@@ -1,0 +1,1029 @@
+"""
+MarEx-TPU Detect: anomalies & extreme-event identification.
+
+TPU-native rebuild of the reference detect engine (``marEx/detect.py``):
+the same four anomaly methods (``detrend_harmonic``, ``shifting_baseline``,
+``fixed_baseline``, ``detrend_fixed_baseline``), the same two extreme methods
+(``global_extreme``, ``hobday_extreme``) with exact and histogram-approximate
+percentile paths, and the same validation/output contract
+(``dat_anomaly``/``mask``/``extreme_events``/``thresholds`` + attrs,
+cf. detect.py:414-421,678-783).
+
+Execution model: instead of lazy Dask graphs, inputs are staged to device
+once, the time axis is scattered into a dense ``(year, dayofyear, space)``
+tensor, and all reductions run as jitted XLA programs
+(:mod:`marex_tpu.ops.climatology`, :mod:`marex_tpu.ops.detrend`,
+:mod:`marex_tpu.ops.quantile`).
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from typing import Any, Dict, List, Literal, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.field import Coord, Field, FieldSet, as_field
+from .core.timeaxis import TimeIndexInfo, decompose_time, gather_from_year_doy, scatter_to_year_doy
+from .exceptions import ConfigurationError, create_data_validation_error
+from .logging_config import configure_logging, get_logger, log_array_info, log_memory_usage, log_timing
+from .ops import climatology as _clim
+from .ops import detrend as _detrend
+from .ops import quantile as _quant
+
+logger = get_logger(__name__)
+
+
+# ============================
+# Validation Functions
+# ============================
+
+
+def _validate_dimensions_exist(da: Field, dimensions: Dict[str, str]) -> None:
+    """Ensure every mapped dimension name exists on the Field (cf. detect.py:53-89)."""
+    missing = [f"'{actual}' (for {concept})" for concept, actual in dimensions.items() if actual not in da.dims]
+    if missing:
+        available = list(da.dims)
+        raise create_data_validation_error(
+            f"Missing required dimensions: {', '.join(missing)}",
+            details=f"Dataset has dimensions: {available}",
+            suggestions=[
+                "Check dimension names in your data",
+                "Update the 'dimensions' parameter to match your data structure",
+                f"Available dimensions: {available}",
+            ],
+            data_info={
+                "missing_dimensions": missing,
+                "available_dimensions": available,
+                "provided_dimensions": dimensions,
+            },
+        )
+
+
+def _validate_coordinates_exist(da: Field, coordinates: Dict[str, str]) -> None:
+    """Ensure every mapped coordinate name exists (cf. detect.py:92-128)."""
+    missing = [f"'{actual}' (for {concept})" for concept, actual in coordinates.items() if actual not in da.coords]
+    if missing:
+        available = list(da.coords.keys())
+        raise create_data_validation_error(
+            f"Missing required coordinates: {', '.join(missing)}",
+            details=f"Dataset has coordinates: {available}",
+            suggestions=[
+                "Check coordinate names in your data",
+                "Update the 'coordinates' parameter to match your data structure",
+                f"Available coordinates: {available}",
+            ],
+            data_info={
+                "missing_coordinates": missing,
+                "available_coordinates": available,
+                "provided_coordinates": coordinates,
+            },
+        )
+
+
+def _infer_dims_coords(
+    da: Field, dimensions: Optional[Dict[str, str]], coordinates: Optional[Dict[str, str]]
+) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """
+    Apply default dim/coord names and validate (cf. detect.py:131-202).
+    Gridded default: {time: time, x: lon, y: lat}. Unstructured (no 'y')
+    requires explicit coordinates.
+    """
+    if dimensions is None:
+        dimensions = {"time": "time", "x": "lon", "y": "lat"}
+    if "time" not in dimensions:
+        dimensions = {"time": "time", **dimensions}
+
+    if coordinates is None:
+        if "y" not in dimensions:
+            logger.error("Coordinates parameter required for unstructured data")
+            raise create_data_validation_error(
+                "Coordinates parameter must be explicitly specified for unstructured data",
+                details="Unstructured data requires coordinate names for x and y spatial coordinates",
+                suggestions=[
+                    "Specify coordinates parameter with spatial coordinate names",
+                    "Example: coordinates={'time': 'time', 'x': 'lon', 'y': 'lat'}",
+                    f"Your x dimension '{dimensions['x']}' needs associated coordinate names",
+                    "If data is gridded, ensure 'y' dimension is also specified",
+                ],
+                data_info={
+                    "data_structure": "unstructured (2D)",
+                    "dimensions": dimensions,
+                    "missing_coordinates": "x and y spatial coordinates",
+                },
+            )
+        coordinates = dimensions.copy()
+    else:
+        if "time" not in coordinates:
+            coordinates = {"time": dimensions.get("time", "time"), **coordinates}
+
+    _validate_dimensions_exist(da, dimensions)
+    _validate_coordinates_exist(da, coordinates)
+    return dimensions, coordinates
+
+
+def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
+    """
+    NaN/inf policy identical to the reference (detect.py:205-279): the spatial
+    mask comes from time step 0; any non-finite value at a valid location at
+    any other time is an error.
+    """
+    vals = da.values
+    tax = da.dims.index(dimensions["time"])
+    vals = np.moveaxis(vals, tax, 0)
+    spatial_mask = np.isfinite(vals[0])
+
+    if not spatial_mask.any():
+        raise create_data_validation_error(
+            "Dataset contains no valid (finite) data",
+            details="All values in the first time step are NaN or infinite",
+            suggestions=[
+                "Check your input data for data quality issues",
+                "Verify the data was loaded correctly",
+                "Check for issues in data preprocessing steps",
+            ],
+            data_info={"total_values": int(vals.size)},
+        )
+
+    invalid_per_location = (~np.isfinite(vals)).sum(axis=0)
+    invalid_in_valid = np.where(spatial_mask, invalid_per_location, 0)
+    max_invalid = invalid_in_valid.max()
+    if max_invalid > 0:
+        total_invalid = int(invalid_in_valid.sum())
+        locations_affected = int((invalid_in_valid > 0).sum())
+        total_ocean = int(spatial_mask.sum())
+        raise create_data_validation_error(
+            f"Dataset contains {total_invalid} invalid values in {locations_affected} ocean locations",
+            details=(
+                f"Found invalid data across time series. Worst location has {int(max_invalid)} "
+                f"invalid time steps out of {vals.shape[0]}."
+            ),
+            suggestions=[
+                "Remove or interpolate NaN/infinite values before preprocessing",
+                "Check data quality and loading procedures",
+                "For ocean data, ensure land mask is properly applied before preprocessing",
+            ],
+            data_info={
+                "total_invalid_values_in_ocean": total_invalid,
+                "locations_affected": locations_affected,
+                "total_ocean_locations": total_ocean,
+                "max_invalid_at_one_location": int(max_invalid),
+                "total_time_steps": int(vals.shape[0]),
+            },
+        )
+
+
+# ============================
+# Internal staging
+# ============================
+
+
+class _Staged:
+    """Device-staged (T, S) view of the input with calendar decomposition."""
+
+    def __init__(self, da: Field, dimensions: Dict[str, str], coordinates: Dict[str, str]):
+        self.dimensions = dimensions
+        self.coordinates = coordinates
+        self.timedim = dimensions["time"]
+        self.xdim = dimensions["x"]
+        self.ydim = dimensions.get("y")
+        self.is_gridded = self.ydim is not None and self.ydim in da.dims
+
+        order = (self.timedim, self.ydim, self.xdim) if self.is_gridded else (self.timedim, self.xdim)
+        da = da.transpose(*order)
+        self.field = da
+        self.spatial_dims = order[1:]
+        self.spatial_shape = tuple(da.sizes[d] for d in self.spatial_dims)
+        self.n_space = int(np.prod(self.spatial_shape))
+
+        vals = da.values.astype(np.float32)
+        self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
+        self.tinfo: TimeIndexInfo = decompose_time(da.coords[coordinates["time"]].values)
+        self._ymd_cache: Dict[str, Any] = {}
+
+    def ymd(self, data: Optional[jnp.ndarray] = None, key: str = "raw") -> jnp.ndarray:
+        if data is None:
+            data = self.data
+        if key not in self._ymd_cache:
+            self._ymd_cache[key] = scatter_to_year_doy(data, self.tinfo)
+        return self._ymd_cache[key]
+
+    def unflatten(self, arr: np.ndarray, leading_dims: Tuple[str, ...]) -> np.ndarray:
+        lead_shape = arr.shape[: len(leading_dims)]
+        return np.asarray(arr).reshape(lead_shape + self.spatial_shape)
+
+    def spatial_coords(self) -> Dict[str, Coord]:
+        out = {}
+        for name, c in self.field.coords.items():
+            if set(c.dims) <= set(self.spatial_dims):
+                out[name] = c
+        return out
+
+    def mask_values(self) -> np.ndarray:
+        return np.isfinite(np.asarray(self.data[0])).reshape(self.spatial_shape)
+
+
+# ============================
+# Public API
+# ============================
+
+
+def preprocess_data(
+    da: Any,
+    method_anomaly: Literal[
+        "detrend_harmonic", "shifting_baseline", "fixed_baseline", "detrend_fixed_baseline"
+    ] = "shifting_baseline",
+    method_extreme: Literal["global_extreme", "hobday_extreme"] = "hobday_extreme",
+    threshold_percentile: float = 95,
+    window_year_baseline: int = 15,
+    smooth_days_baseline: int = 21,
+    window_days_hobday: int = 11,
+    window_spatial_hobday: Optional[int] = None,
+    std_normalise: bool = False,
+    detrend_orders: Optional[List[int]] = None,
+    force_zero_mean: bool = True,
+    reference_period: Optional[Tuple[int, int]] = None,
+    method_percentile: Literal["exact", "approximate"] = "approximate",
+    precision: float = 0.01,
+    max_anomaly: float = 5.0,
+    dask_chunks: Optional[Dict[str, int]] = None,
+    dimensions: Optional[Dict[str, str]] = None,
+    coordinates: Optional[Dict[str, str]] = None,
+    neighbours: Optional[Any] = None,
+    cell_areas: Optional[Any] = None,
+    use_temp_checkpoints: bool = False,
+    verbose: Optional[bool] = None,
+    quiet: Optional[bool] = None,
+) -> FieldSet:
+    """
+    Complete preprocessing pipeline: anomalies + extreme identification.
+
+    API-compatible with the reference ``marEx.preprocess_data``
+    (detect.py:287-841); accepts marex_tpu Fields, xarray DataArrays, or
+    anything duck-typed like one. ``dask_chunks`` / ``use_temp_checkpoints``
+    are accepted for compatibility (no task graph exists to checkpoint).
+
+    Returns
+    -------
+    FieldSet with ``dat_anomaly``, ``mask``, ``extreme_events``,
+    ``thresholds`` (+ ``dat_stn``/``STD``/``extreme_events_stn``/
+    ``thresholds_stn`` when ``std_normalise`` and ``neighbours``/
+    ``cell_areas`` passthrough), and provenance attrs.
+    """
+    if detrend_orders is None:
+        detrend_orders = [1]
+    if verbose is not None or quiet is not None:
+        configure_logging(verbose=verbose, quiet=quiet)
+
+    logger.info(f"Starting data preprocessing - Method: {method_anomaly} -> {method_extreme}")
+    logger.info(f"Parameters: percentile={threshold_percentile}%, method_percentile={method_percentile}")
+
+    da = as_field(da)
+    log_array_info(logger, da, "Input data")
+    log_memory_usage(logger, "Initial memory state", logging.DEBUG)
+
+    dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
+
+    if reference_period is not None and method_anomaly not in ("fixed_baseline", "detrend_fixed_baseline"):
+        raise ConfigurationError(
+            f"reference_period is not supported for method_anomaly='{method_anomaly}'",
+            details="reference_period is only applicable to 'fixed_baseline' and 'detrend_fixed_baseline' methods",
+            suggestions=[
+                "Remove the reference_period parameter, or",
+                "Use method_anomaly='fixed_baseline' or 'detrend_fixed_baseline'",
+            ],
+        )
+
+    _validate_data_values(da, dimensions)
+
+    with log_timing(logger, f"Anomaly computation using {method_anomaly} method", log_memory=True):
+        ds = compute_normalised_anomaly(
+            da.astype(np.float32),
+            method_anomaly,
+            dimensions,
+            coordinates,
+            window_year_baseline,
+            smooth_days_baseline,
+            std_normalise,
+            detrend_orders,
+            force_zero_mean,
+            reference_period,
+        )
+
+    # Shifting baseline: drop the first `window_year_baseline` years
+    if method_anomaly == "shifting_baseline":
+        tvals = ds.coords[coordinates["time"]].values
+        tinfo = decompose_time(tvals)
+        total_years = int(tinfo.year.max() - tinfo.year.min() + 1)
+        if total_years < window_year_baseline:
+            raise create_data_validation_error(
+                "Insufficient data for shifting_baseline method",
+                details=f"Dataset spans {total_years} years but requires at least {window_year_baseline} years",
+                suggestions=[
+                    "Use more years of data to meet minimum requirement",
+                    f"Reduce window_year_baseline parameter (currently {window_year_baseline})",
+                    "Consider using detrend_fixed_baseline or detrend_harmonic method instead",
+                ],
+                data_info={"available_years": total_years, "required_years": int(window_year_baseline)},
+            )
+        start_year = int(tinfo.year.min() + window_year_baseline)
+        keep = np.nonzero(tinfo.year >= start_year)[0]
+        logger.info(f"Trimming data to start from {start_year} (removing first {window_year_baseline} years)")
+        ds = ds.isel({dimensions["time"]: keep})
+
+    anomalies = ds["dat_anomaly"]
+
+    with log_timing(logger, f"Extreme event identification using {method_extreme} method", log_memory=True):
+        extremes, thresholds = identify_extremes(
+            anomalies,
+            method_extreme,
+            threshold_percentile,
+            dimensions,
+            coordinates,
+            window_days_hobday,
+            window_spatial_hobday,
+            method_percentile,
+            precision,
+            max_anomaly,
+        )
+
+    ds["extreme_events"] = extremes
+    ds["thresholds"] = thresholds
+
+    if std_normalise and method_anomaly == "detrend_harmonic":
+        logger.info("Processing standardised anomalies for extreme identification")
+        extremes_stn, thresholds_stn = identify_extremes(
+            ds["dat_stn"],
+            method_extreme,
+            threshold_percentile,
+            dimensions,
+            coordinates,
+            window_days_hobday,
+            window_spatial_hobday,
+            method_percentile,
+            precision,
+            max_anomaly,
+        )
+        ds["extreme_events_stn"] = extremes_stn
+        ds["thresholds_stn"] = thresholds_stn
+
+    if neighbours is not None:
+        nb = as_field(neighbours)
+        ds["neighbours"] = nb.astype(np.int32)
+        if "nv" in nb.dims:
+            ds.coords.setdefault("nv", Coord("nv", np.arange(nb.sizes["nv"])))
+    if cell_areas is not None:
+        ds["cell_areas"] = as_field(cell_areas).astype(np.float32)
+
+    ds.attrs.update(
+        {
+            "method_anomaly": method_anomaly,
+            "method_extreme": method_extreme,
+            "threshold_percentile": threshold_percentile,
+            "preprocessing_steps": _get_preprocessing_steps(
+                method_anomaly,
+                method_extreme,
+                std_normalise,
+                detrend_orders,
+                window_year_baseline,
+                smooth_days_baseline,
+                window_days_hobday,
+                window_spatial_hobday,
+                reference_period,
+            ),
+        }
+    )
+    if method_anomaly == "detrend_harmonic":
+        ds.attrs.update(
+            {"detrend_orders": detrend_orders, "force_zero_mean": force_zero_mean, "std_normalise": std_normalise}
+        )
+    elif method_anomaly == "shifting_baseline":
+        ds.attrs.update(
+            {"window_year_baseline": window_year_baseline, "smooth_days_baseline": smooth_days_baseline}
+        )
+    elif method_anomaly in ("fixed_baseline", "detrend_fixed_baseline"):
+        if method_anomaly == "detrend_fixed_baseline":
+            ds.attrs.update({"detrend_orders": detrend_orders, "force_zero_mean": force_zero_mean})
+        if reference_period is not None:
+            ds.attrs["reference_period"] = list(reference_period)
+    if method_extreme == "hobday_extreme":
+        ds.attrs["window_days_hobday"] = window_days_hobday
+    ds.attrs.update({"method_percentile": method_percentile, "precision": precision, "max_anomaly": max_anomaly})
+
+    n_extremes = int(ds["extreme_events"].values.sum())
+    logger.info(f"Preprocessing completed successfully - {n_extremes} extreme events identified")
+    return ds
+
+
+def _get_preprocessing_steps(
+    method_anomaly: str,
+    method_extreme: str,
+    std_normalise: bool,
+    detrend_orders: List[int],
+    window_year_baseline: int,
+    smooth_days_baseline: int,
+    window_days_hobday: int,
+    window_spatial_hobday: Optional[int],
+    reference_period: Optional[Tuple[int, int]] = None,
+) -> List[str]:
+    """Provenance description of the processing chain (cf. detect.py:844-888)."""
+    steps = []
+    if method_anomaly == "detrend_harmonic":
+        steps.append(f"Removed polynomial trend orders={detrend_orders} & seasonal cycle")
+        if std_normalise:
+            steps.append("Normalised by 30-day rolling STD")
+    elif method_anomaly == "shifting_baseline":
+        steps.append(f"Rolling climatology using {window_year_baseline} years")
+        steps.append(f"Smoothed with {smooth_days_baseline}-day window")
+    elif method_anomaly == "fixed_baseline":
+        if reference_period is not None:
+            steps.append(f"Daily climatology computed from {reference_period[0]}-{reference_period[1]}")
+        else:
+            steps.append("Daily climatology computed from full time series")
+    elif method_anomaly == "detrend_fixed_baseline":
+        steps.append(f"Removed polynomial trend orders={detrend_orders}")
+        if reference_period is not None:
+            steps.append(f"Daily climatology computed from detrended data ({reference_period[0]}-{reference_period[1]})")
+        else:
+            steps.append("Daily climatology computed from detrended data")
+
+    if method_extreme == "global_extreme":
+        steps.append("Global percentile threshold applied to all days")
+    elif method_extreme == "hobday_extreme":
+        if window_spatial_hobday is not None:
+            steps.append(
+                f"Day-of-year thresholds with {window_days_hobday} day window & {window_spatial_hobday} spatial neighbours"
+            )
+        else:
+            steps.append(f"Day-of-year thresholds with {window_days_hobday} day window")
+    return steps
+
+
+def compute_normalised_anomaly(
+    da: Any,
+    method_anomaly: Literal[
+        "detrend_harmonic", "shifting_baseline", "fixed_baseline", "detrend_fixed_baseline"
+    ] = "shifting_baseline",
+    dimensions: Optional[Dict[str, str]] = None,
+    coordinates: Optional[Dict[str, str]] = None,
+    window_year_baseline: int = 15,
+    smooth_days_baseline: int = 21,
+    std_normalise: bool = False,
+    detrend_orders: Optional[List[int]] = None,
+    force_zero_mean: bool = True,
+    reference_period: Optional[Tuple[int, int]] = None,
+    use_temp_checkpoints: bool = False,
+    verbose: Optional[bool] = None,
+    quiet: Optional[bool] = None,
+) -> FieldSet:
+    """
+    Generate anomalies using the selected methodology
+    (cf. detect.py:891-1116). Returns a FieldSet with ``dat_anomaly`` and
+    ``mask`` (+ ``dat_stn``/``STD`` for std-normalised detrending).
+    """
+    if detrend_orders is None:
+        detrend_orders = [1]
+    if verbose is not None or quiet is not None:
+        configure_logging(verbose=verbose, quiet=quiet)
+
+    da = as_field(da)
+    dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
+
+    if reference_period is not None and method_anomaly not in ("fixed_baseline", "detrend_fixed_baseline"):
+        raise ConfigurationError(
+            f"reference_period is not supported for method_anomaly='{method_anomaly}'",
+            details="reference_period is only applicable to 'fixed_baseline' and 'detrend_fixed_baseline' methods",
+            suggestions=[
+                "Remove the reference_period parameter, or",
+                "Use method_anomaly='fixed_baseline' or 'detrend_fixed_baseline'",
+            ],
+        )
+
+    if method_anomaly == "detrend_harmonic":
+        return _anomaly_detrended(
+            da, dimensions, coordinates, std_normalise, detrend_orders, force_zero_mean, remove_harmonics=True
+        )
+    elif method_anomaly == "shifting_baseline":
+        return _anomaly_shifting_baseline(da, dimensions, coordinates, window_year_baseline, smooth_days_baseline)
+    elif method_anomaly == "fixed_baseline":
+        return _anomaly_fixed_baseline(da, dimensions, coordinates, reference_period)
+    elif method_anomaly == "detrend_fixed_baseline":
+        detrended = _anomaly_detrended(
+            da, dimensions, coordinates, False, detrend_orders, force_zero_mean, remove_harmonics=False
+        )
+        return _anomaly_fixed_baseline(detrended["dat_anomaly"], dimensions, coordinates, reference_period)
+    else:
+        raise ConfigurationError(
+            f"Unknown anomaly method '{method_anomaly}'",
+            details="Invalid method_anomaly parameter",
+            suggestions=[
+                "Use 'detrend_harmonic' for efficient processing with trend and harmonic removal",
+                "Use 'shifting_baseline' for accurate climatology (requires more data)",
+                "Use 'fixed_baseline' to remove a single daily climatology across all years",
+                "Use 'detrend_fixed_baseline' for trend removal followed by fixed climatology",
+            ],
+            context={
+                "provided_method": method_anomaly,
+                "valid_methods": ["detrend_harmonic", "shifting_baseline", "fixed_baseline", "detrend_fixed_baseline"],
+            },
+        )
+
+
+def _assemble_anomaly_ds(
+    staged: _Staged,
+    anomalies_ts: jnp.ndarray,
+    extra_vars: Optional[Dict[str, Field]] = None,
+) -> FieldSet:
+    """Wrap (T,S) anomalies + mask back into labeled Fields."""
+    dims = (staged.timedim,) + staged.spatial_dims
+    coords: Dict[str, Any] = dict(staged.field.coords)
+    anom = Field(
+        staged.unflatten(np.asarray(anomalies_ts), (staged.timedim,)),
+        dims,
+        coords,
+        name="dat_anomaly",
+    )
+    mask = Field(staged.mask_values(), staged.spatial_dims, staged.spatial_coords(), name="mask")
+    data_vars = {"dat_anomaly": anom, "mask": mask}
+    if extra_vars:
+        data_vars.update(extra_vars)
+    return FieldSet(data_vars, coords)
+
+
+def _anomaly_shifting_baseline(
+    da: Field,
+    dimensions: Dict[str, str],
+    coordinates: Dict[str, str],
+    window_year_baseline: int,
+    smooth_days_baseline: int,
+) -> FieldSet:
+    """Smoothed rolling climatology anomaly (cf. detect.py:1819-1850)."""
+    staged = _Staged(da, dimensions, coordinates)
+    smoothed = _clim.centered_rolling_mean_time(staged.data, smooth_days_baseline)
+    ymd = scatter_to_year_doy(smoothed, staged.tinfo)
+    clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
+    clim_ts = gather_from_year_doy(clim_y, staged.tinfo)
+    anomalies = staged.data - clim_ts
+    return _assemble_anomaly_ds(staged, anomalies)
+
+
+def _anomaly_fixed_baseline(
+    da: Field,
+    dimensions: Dict[str, str],
+    coordinates: Dict[str, str],
+    reference_period: Optional[Tuple[int, int]],
+) -> FieldSet:
+    """Fixed daily climatology anomaly (cf. detect.py:2299-2397)."""
+    staged = _Staged(da, dimensions, coordinates)
+
+    data_for_clim = staged.data
+    if reference_period is not None:
+        start_year, end_year = reference_period
+        if start_year > end_year:
+            raise ConfigurationError(
+                f"Invalid reference_period: start year ({start_year}) must be <= end year ({end_year})",
+                details="The reference_period tuple must be (start_year, end_year) with start_year <= end_year",
+                suggestions=[f"Swap the order: use reference_period=({end_year}, {start_year})"],
+            )
+        in_period = (staged.tinfo.year >= start_year) & (staged.tinfo.year <= end_year)
+        if not in_period.any():
+            y0, y1 = int(staged.tinfo.year.min()), int(staged.tinfo.year.max())
+            raise ConfigurationError(
+                f"No data found in reference_period ({start_year}, {end_year})",
+                details=f"Dataset spans {y0}-{y1} but no timesteps fall within the specified period",
+                suggestions=[
+                    f"Adjust reference_period to overlap with data range ({y0}-{y1})",
+                    "Set reference_period=None to use the full time series",
+                ],
+            )
+        sel = jnp.asarray(in_period)[:, None]
+        data_for_clim = jnp.where(sel, staged.data, jnp.nan)
+
+    ymd = scatter_to_year_doy(data_for_clim, staged.tinfo)
+    clim = _clim.nanmean_over_years(ymd)  # (366, S)
+    doy_idx = jnp.asarray(staged.tinfo.dayofyear - 1)
+    anomalies = (staged.data - clim[doy_idx]).astype(jnp.float32)
+    return _assemble_anomaly_ds(staged, anomalies)
+
+
+def _anomaly_detrended(
+    da: Field,
+    dimensions: Dict[str, str],
+    coordinates: Dict[str, str],
+    std_normalise: bool,
+    detrend_orders: List[int],
+    force_zero_mean: bool,
+    remove_harmonics: bool,
+) -> FieldSet:
+    """Polynomial + harmonic detrending anomaly (cf. detect.py:2061-2296)."""
+    if not detrend_orders:
+        raise ConfigurationError(
+            "detrend_orders cannot be empty",
+            details="At least one polynomial order must be specified for detrending",
+            suggestions=[
+                "Use detrend_orders=[1] for linear detrending",
+                "Use detrend_orders=[1, 2] for linear + quadratic detrending",
+                "Remove detrend_orders optional parameter to use default [1]",
+            ],
+        )
+    if any(order < 1 for order in detrend_orders):
+        invalid = [o for o in detrend_orders if o < 1]
+        raise ConfigurationError(
+            f"Invalid polynomial orders: {invalid}",
+            details="Polynomial orders must be positive integers (>= 1)",
+            suggestions=[
+                "Use only positive integers for polynomial orders",
+                "Common values: [1] for linear, [1,2] for linear+quadratic",
+                f"Remove invalid orders: {invalid}",
+            ],
+        )
+    if 1 not in detrend_orders and len(detrend_orders) > 1:
+        warnings.warn("Higher-order detrending without linear term may be unstable", UserWarning, stacklevel=2)
+
+    staged = _Staged(da, dimensions, coordinates)
+    model, pmodel = _detrend.build_design_matrix(staged.tinfo, detrend_orders, remove_harmonics)
+    anomalies = _detrend.detrend_subtract(
+        staged.data, jnp.asarray(model, dtype=jnp.float32), jnp.asarray(pmodel, dtype=jnp.float32)
+    )
+    if force_zero_mean:
+        anomalies = _detrend.remove_time_mean(anomalies)
+
+    extra: Dict[str, Field] = {}
+    if std_normalise:
+        ymd = scatter_to_year_doy(anomalies, staged.tinfo)
+        std_doy = _clim.dayofyear_std(ymd)  # (366, S)
+        std_rolling = _clim.wrapped_rolling_rms_doy(std_doy, window=30, pad=16)
+        std_safe = jnp.where(std_rolling > 1e-10, std_rolling, jnp.nan)
+        doy_idx = jnp.asarray(staged.tinfo.dayofyear - 1)
+        dat_stn = anomalies / std_safe[doy_idx]
+
+        dims = (staged.timedim,) + staged.spatial_dims
+        extra["dat_stn"] = Field(
+            staged.unflatten(np.asarray(dat_stn), (staged.timedim,)), dims, staged.field.coords, name="dat_stn"
+        )
+        std_field = Field(
+            staged.unflatten(np.asarray(std_rolling), ("dayofyear",)),
+            ("dayofyear",) + staged.spatial_dims,
+            {**staged.spatial_coords(), "dayofyear": Coord("dayofyear", np.arange(1, 367))},
+            name="STD",
+        )
+        extra["STD"] = std_field
+
+    return _assemble_anomaly_ds(staged, anomalies, extra)
+
+
+# ===============================================
+# Shifting Baseline public helpers
+# ===============================================
+
+
+def rolling_climatology(
+    da: Any,
+    window_year_baseline: int = 15,
+    dimensions: Optional[Dict[str, str]] = None,
+    coordinates: Optional[Dict[str, str]] = None,
+    use_temp_checkpoints: bool = False,
+) -> Field:
+    """
+    Rolling climatology: for each timestep, the mean over the same day-of-year
+    in the previous ``window_year_baseline`` years (cf. detect.py:1511-1688).
+    Years without sufficient history are NaN.
+    """
+    da = as_field(da)
+    dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
+    staged = _Staged(da, dimensions, coordinates)
+    ymd = staged.ymd()
+    clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
+    clim_ts = gather_from_year_doy(clim_y, staged.tinfo)
+    dims = (staged.timedim,) + staged.spatial_dims
+    return Field(staged.unflatten(np.asarray(clim_ts), (staged.timedim,)), dims, staged.field.coords, name=da.name)
+
+
+def smoothed_rolling_climatology(
+    da: Any,
+    window_year_baseline: int = 15,
+    smooth_days_baseline: int = 21,
+    dimensions: Optional[Dict[str, str]] = None,
+    coordinates: Optional[Dict[str, str]] = None,
+    use_temp_checkpoints: bool = False,
+) -> Field:
+    """
+    Rolling climatology of the time-smoothed data — smoothing the raw series
+    first is cheaper than smoothing the climatology (cf. detect.py:1691-1816).
+    """
+    da = as_field(da)
+    dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
+    staged = _Staged(da, dimensions, coordinates)
+    smoothed = _clim.centered_rolling_mean_time(staged.data, smooth_days_baseline)
+    ymd = scatter_to_year_doy(smoothed, staged.tinfo)
+    clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
+    clim_ts = gather_from_year_doy(clim_y, staged.tinfo)
+    dims = (staged.timedim,) + staged.spatial_dims
+    return Field(staged.unflatten(np.asarray(clim_ts), (staged.timedim,)), dims, staged.field.coords, name=da.name)
+
+
+def add_decimal_year(da: Any, dim: str = "time", coord: Optional[str] = None) -> Field:
+    """Attach a ``decimal_year`` coordinate (cf. detect.py:2031-2058)."""
+    da = as_field(da)
+    coord_name = coord if coord is not None else dim
+    dy = decompose_time(da.coords[coord_name].values).decimal_year
+    return da.assign_coords(decimal_year=(dim, dy))
+
+
+# ==========================
+# Extreme identification
+# ==========================
+
+
+def identify_extremes(
+    da: Any,
+    method_extreme: Literal["global_extreme", "hobday_extreme"] = "hobday_extreme",
+    threshold_percentile: float = 95,
+    dimensions: Optional[Dict[str, str]] = None,
+    coordinates: Optional[Dict[str, str]] = None,
+    window_days_hobday: int = 11,
+    window_spatial_hobday: Optional[int] = None,
+    method_percentile: Literal["exact", "approximate"] = "approximate",
+    precision: float = 0.01,
+    max_anomaly: float = 5.0,
+    use_temp_checkpoints: bool = False,
+    verbose: Optional[bool] = None,
+    quiet: Optional[bool] = None,
+) -> Tuple[Field, Field]:
+    """
+    Identify extreme events exceeding a percentile threshold
+    (cf. detect.py:1119-1503). Returns ``(extremes, thresholds)``.
+    """
+    if verbose is not None or quiet is not None:
+        configure_logging(verbose=verbose, quiet=quiet)
+
+    da = as_field(da)
+    dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
+
+    valid_methods = ["exact", "approximate"]
+    if method_percentile not in valid_methods:
+        raise ConfigurationError(
+            f"Unknown method_percentile '{method_percentile}'",
+            details="Invalid method_percentile parameter",
+            suggestions=[
+                "Use 'exact' for precise percentile computation (memory intensive)",
+                "Use 'approximate' for efficient histogram-based computation (default)",
+            ],
+            context={"provided_method": method_percentile, "valid_methods": valid_methods},
+        )
+
+    if method_percentile == "exact":
+        if precision != 0.01:
+            raise ConfigurationError(
+                "Parameter 'precision' cannot be used with method_percentile='exact'",
+                details="The precision parameter is only used by the approximate histogram method",
+                suggestions=[
+                    "Remove the 'precision' parameter when using method_percentile='exact'",
+                    "Use method_percentile='approximate' if you want to control histogram precision",
+                ],
+                context={"method_percentile": method_percentile, "provided_precision": precision},
+            )
+        if max_anomaly != 5.0:
+            raise ConfigurationError(
+                "Parameter 'max_anomaly' cannot be used with method_percentile='exact'",
+                details="The max_anomaly parameter is only used by the approximate histogram method",
+                suggestions=[
+                    "Remove the 'max_anomaly' parameter when using method_percentile='exact'",
+                    "Use method_percentile='approximate' if you want to control histogram binning range",
+                ],
+                context={"method_percentile": method_percentile, "provided_max_anomaly": max_anomaly},
+            )
+
+    if threshold_percentile < 60 and method_percentile == "approximate":
+        raise ConfigurationError(
+            f"Percentile threshold {threshold_percentile}% is not supported with method_percentile='approximate'",
+            details="Low percentile thresholds (<60%) produce undefined behaviour with approximate histograms",
+            suggestions=[
+                "Use method_percentile='exact' for percentiles below 60%",
+                "Use a higher percentile threshold (>=60%) with method_percentile='approximate'",
+            ],
+            context={
+                "threshold_percentile": threshold_percentile,
+                "method_percentile": method_percentile,
+                "min_supported_percentile": 60,
+            },
+        )
+
+    has_y_dim = "y" in dimensions and dimensions["y"] in da.dims
+    if window_spatial_hobday is not None:
+        if not has_y_dim:
+            raise ConfigurationError(
+                "window_spatial_hobday is not supported for unstructured grids",
+                details="Spatial smoothing requires structured grids with both x and y dimensions",
+                suggestions=[
+                    "Remove the window_spatial_hobday parameter for unstructured grids",
+                    "Use structured grid data if spatial smoothing is required",
+                    "Set window_spatial_hobday=None to use default behavior",
+                ],
+                context={"grid_type": "unstructured", "window_spatial_hobday": window_spatial_hobday},
+            )
+        if method_extreme != "hobday_extreme":
+            raise ConfigurationError(
+                "window_spatial_hobday can only be used with method_extreme='hobday_extreme'",
+                details="The window_spatial_hobday parameter is only implemented for the Hobday extreme method",
+                suggestions=[
+                    "Remove the window_spatial_hobday parameter when using method_extreme='global_extreme'",
+                    "Use method_extreme='hobday_extreme' if spatial smoothing is required",
+                ],
+                context={"method_extreme": method_extreme, "window_spatial_hobday": window_spatial_hobday},
+            )
+        if method_percentile == "exact":
+            raise ConfigurationError(
+                "window_spatial_hobday is not supported with method_percentile='exact'",
+                details="The window_spatial_hobday parameter is only implemented for the approximate percentile method",
+                suggestions=[
+                    "Remove the window_spatial_hobday parameter when using method_percentile='exact'",
+                    "Use method_percentile='approximate' if spatial smoothing is required",
+                ],
+                context={"method_percentile": method_percentile, "window_spatial_hobday": window_spatial_hobday},
+            )
+
+    if method_extreme == "hobday_extreme" and window_days_hobday is not None and window_days_hobday % 2 == 0:
+        raise ConfigurationError(
+            "window_days_hobday must be an odd number",
+            details=f"window_days_hobday={window_days_hobday} is even, which would create asymmetric temporal windows.",
+            suggestions=[f"Use window_days_hobday={window_days_hobday + 1} or {window_days_hobday - 1}", "Choose an odd number"],
+            context={"window_days_hobday": window_days_hobday, "is_odd": False},
+        )
+
+    if method_extreme == "hobday_extreme" and window_spatial_hobday is None and has_y_dim:
+        window_spatial_hobday = 5
+
+    if method_extreme == "hobday_extreme" and window_spatial_hobday is not None and window_spatial_hobday % 2 == 0:
+        raise ConfigurationError(
+            "window_spatial_hobday must be an odd number",
+            details=f"window_spatial_hobday={window_spatial_hobday} is even, which would create asymmetric spatial windows.",
+            suggestions=["Choose an odd number."],
+            context={"window_spatial_hobday": window_spatial_hobday, "is_odd": False},
+        )
+
+    if method_extreme == "global_extreme":
+        return _identify_extremes_constant(da, threshold_percentile, method_percentile, dimensions, coordinates, precision, max_anomaly)
+    elif method_extreme == "hobday_extreme":
+        return _identify_extremes_hobday(
+            da,
+            threshold_percentile,
+            window_days_hobday,
+            window_spatial_hobday,
+            method_percentile,
+            dimensions,
+            coordinates,
+            precision,
+            max_anomaly,
+        )
+    else:
+        raise ConfigurationError(
+            f"Unknown extreme method '{method_extreme}'",
+            details="Invalid method_extreme parameter",
+            suggestions=[
+                "Use 'global_extreme' for efficient constant percentile threshold",
+                "Use 'hobday_extreme' for day-of-year specific thresholds",
+            ],
+            context={"provided_method": method_extreme, "valid_methods": ["global_extreme", "hobday_extreme"]},
+        )
+
+
+def _apply_threshold_bounds(thr: jnp.ndarray, bin_edges: np.ndarray, max_anomaly: float) -> jnp.ndarray:
+    """Warn on out-of-range thresholds and clamp too-low values (detect.py:2707-2732)."""
+    upper_bound = float(bin_edges[-2])
+    lower_bound = float(bin_edges[3])
+    thr_np = np.asarray(thr)
+    with np.errstate(invalid="ignore"):
+        too_high = np.asarray(thr_np > upper_bound)
+        too_low = np.asarray(thr_np < lower_bound)
+    if too_high.any():
+        warnings.warn(
+            f"Quantile values exceed expected range: max={np.nanmax(thr_np):.4f} > {upper_bound:.4f}. "
+            f"Consider increasing max_anomaly parameter (currently {max_anomaly:.2f}) or using a lower percentile threshold.",
+            UserWarning,
+            stacklevel=2,
+        )
+    if too_low.any():
+        warnings.warn(
+            f"Quantile values below expected range in some locations: min={np.nanmin(thr_np):.4f} < {lower_bound:.4f}. "
+            "This is likely due to a constant anomaly in certain regions (e.g. due to sea ice). "
+            "Double check the computed threshold values are correct.",
+            UserWarning,
+            stacklevel=2,
+        )
+        thr = jnp.where(jnp.asarray(too_low), lower_bound, thr)
+    return thr
+
+
+def _identify_extremes_hobday(
+    da: Field,
+    threshold_percentile: float,
+    window_days_hobday: int,
+    window_spatial_hobday: Optional[int],
+    method_percentile: str,
+    dimensions: Dict[str, str],
+    coordinates: Dict[str, str],
+    precision: float,
+    max_anomaly: float,
+) -> Tuple[Field, Field]:
+    """Day-of-year thresholds + comparison (cf. detect.py:1858-2023)."""
+    staged = _Staged(da, dimensions, coordinates)
+    q = threshold_percentile / 100.0
+
+    n_years = len(np.unique(staged.tinfo.year))
+    n_samples = n_years * window_days_hobday * (window_spatial_hobday if window_spatial_hobday is not None else 1) ** 2
+    n_above = n_samples * (1.0 - q)
+    if n_above < 50:
+        logger.warning(
+            f"Not enough samples for accurate extreme detection: {n_above} < 50. "
+            "Consider using a lower threshold_percentile, increasing your time-series size, "
+            "increasing the window_days_hobday, or using a larger window_spatial_hobday."
+        )
+
+    ymd = staged.ymd()
+
+    if method_percentile == "exact":
+        thr = _quant.hobday_thresholds_exact(ymd, q, window_days_hobday)  # (366, S)
+    else:
+        bin_edges = _quant.make_bin_edges(precision, max_anomaly)
+        nbins = len(bin_edges) - 1
+        centers = jnp.asarray(_quant.make_bin_centers(bin_edges))
+        bins_ymd = _quant.digitize_anomalies(ymd, precision, nbins)
+        grid_shape = staged.spatial_shape if staged.is_gridded else None
+        thr = _quant.hobday_thresholds_approx(
+            bins_ymd,
+            q,
+            window_days_hobday,
+            nbins,
+            centers,
+            window_spatial=window_spatial_hobday,
+            grid_shape=grid_shape,
+        )
+        # NaN out land (points NaN at t=0), then bounds handling
+        land = ~jnp.isfinite(staged.data[0])
+        thr = jnp.where(land[None, :], jnp.nan, thr)
+        thr = _apply_threshold_bounds(thr, bin_edges, max_anomaly)
+
+    doy_idx = jnp.asarray(staged.tinfo.dayofyear - 1)
+    extremes_ts = staged.data >= thr[doy_idx]
+
+    dims = (staged.timedim,) + staged.spatial_dims
+    extremes = Field(
+        staged.unflatten(np.asarray(extremes_ts), (staged.timedim,)).astype(bool),
+        dims,
+        staged.field.coords,
+        name="extreme_events",
+    )
+    thr_field = Field(
+        staged.unflatten(np.asarray(thr), ("dayofyear",)).astype(np.float32),
+        ("dayofyear",) + staged.spatial_dims,
+        {**staged.spatial_coords(), "dayofyear": Coord("dayofyear", np.arange(1, 367))},
+        name="thresholds",
+    )
+    return extremes, thr_field
+
+
+def _identify_extremes_constant(
+    da: Field,
+    threshold_percentile: float,
+    method_percentile: str,
+    dimensions: Dict[str, str],
+    coordinates: Dict[str, str],
+    precision: float,
+    max_anomaly: float,
+) -> Tuple[Field, Field]:
+    """Global-in-time threshold per spatial point (cf. detect.py:2737-2923)."""
+    staged = _Staged(da, dimensions, coordinates)
+    q = threshold_percentile / 100.0
+
+    if method_percentile == "exact":
+        thr = _quant.exact_quantile_time(staged.data, q)  # (S,)
+    else:
+        bin_edges = _quant.make_bin_edges(precision, max_anomaly)
+        nbins = len(bin_edges) - 1
+        centers = jnp.asarray(_quant.make_bin_centers(bin_edges))
+        bins_ts = _quant.digitize_anomalies(staged.data, precision, nbins)
+        thr = _quant.global_thresholds_approx(bins_ts, q, nbins, centers)
+        # NaN where any timestep is NaN (detect.py:2834-2836)
+        nan_any = jnp.isnan(staged.data).any(axis=0)
+        thr = jnp.where(nan_any, jnp.nan, thr)
+        thr = _apply_threshold_bounds(thr, bin_edges, max_anomaly)
+
+    extremes_ts = staged.data >= thr[None, :]
+
+    dims = (staged.timedim,) + staged.spatial_dims
+    extremes = Field(
+        staged.unflatten(np.asarray(extremes_ts), (staged.timedim,)).astype(bool),
+        dims,
+        staged.field.coords,
+        name="extreme_events",
+    )
+    thr_field = Field(
+        staged.unflatten(np.asarray(thr), ()).astype(np.float32),
+        staged.spatial_dims,
+        staged.spatial_coords(),
+        name="thresholds",
+    )
+    return extremes, thr_field

@@ -1,0 +1,311 @@
+"""
+Quantile / threshold kernels (exact and histogram-approximate).
+
+TPU-native re-design of the reference's percentile machinery:
+
+* exact global threshold          <- da.quantile            (detect.py:2887-2899)
+* exact hobday (day-of-year)      <- per-chunk nanpercentile (detect.py:1921-1956)
+* approx 1-D histogram quantile   <- xhistogram + CDF interp (detect.py:2737-2865)
+* approx 2-D histogram quantile   <- flox 2-key count histogram + count-space
+  (hobday)                           interpolation            (detect.py:2465-2734)
+
+The asymmetric binning scheme (single ``[-inf, -precision)`` bucket + uniform
+``precision`` bins up to ``max_anomaly``) and the *count-space* interpolation
+semantics (cumulative counts, searchsorted-right, lower-bound clamp at
+``bin_edges[3]``) are preserved exactly — they are the documented numerical
+contract of the approximate method.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------------------
+# Binning
+# ----------------------------------------------------------------------------
+
+
+def make_bin_edges(precision: float = 0.01, max_anomaly: float = 5.0) -> np.ndarray:
+    """Asymmetric bin edges: [-inf, -precision, 0, precision, ..., max_anomaly]."""
+    return np.concatenate(
+        [[-np.inf], np.arange(-precision, max_anomaly + precision, precision, dtype=np.float32)]
+    ).astype(np.float32)
+
+
+def make_bin_centers(bin_edges: np.ndarray) -> np.ndarray:
+    """Bin centres with the negative bucket centred at 0 (detect.py:2607-2608)."""
+    centers = (bin_edges[1:] + bin_edges[:-1]) / 2
+    centers[0] = 0.0
+    return centers.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def digitize_anomalies(data: jax.Array, precision: float, nbins: int) -> jax.Array:
+    """
+    Device equivalent of ``np.digitize(data, bin_edges) - 1`` for the
+    asymmetric edges above.  NaN and out-of-range-high values map to the
+    sentinel bin ``nbins`` (excluded from histograms), matching the
+    flox ``expected_groups`` behaviour (detect.py:2644).
+    """
+    k = jnp.floor((data + precision) / precision).astype(jnp.int32) + 1
+    k = jnp.where(data < -precision, 0, k)
+    k = jnp.where(jnp.isnan(data), nbins, k)
+    return jnp.clip(k, 0, nbins)
+
+
+# ----------------------------------------------------------------------------
+# Histogram accumulation
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def histogram_doy_bins(bins_ymd: jax.Array, nbins: int) -> jax.Array:
+    """
+    2-key (day-of-year x bin) count histogram per spatial point.
+
+    Parameters
+    ----------
+    bins_ymd : (Y, 366, S) int32 bin indices (sentinel ``nbins`` for invalid)
+
+    Returns
+    -------
+    hist : (366, S, nbins) int32 counts
+
+    One fused scatter-add replaces the reference's flox shuffle-reduce.
+    """
+    Y, D, S = bins_ymd.shape
+    hist = jnp.zeros((D, S, nbins + 1), dtype=jnp.int32)
+    doy_idx = jax.lax.broadcasted_iota(jnp.int32, (Y, D, S), 1)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (Y, D, S), 2)
+    hist = hist.at[doy_idx, s_idx, bins_ymd].add(1)
+    return hist[..., :nbins]
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def histogram_bins_1d(bins_ts: jax.Array, nbins: int) -> jax.Array:
+    """
+    Per-point histogram over all time.
+
+    bins_ts : (T, S) int32 bin indices (sentinel ``nbins`` excluded)
+    returns : (S, nbins) int32
+    """
+    T, S = bins_ts.shape
+    hist = jnp.zeros((S, nbins + 1), dtype=jnp.int32)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    hist = hist.at[s_idx, bins_ts].add(1)
+    return hist[..., :nbins]
+
+
+@partial(jax.jit, static_argnames=("window",))
+def rolling_doy_window_sum(hist: jax.Array, window: int) -> jax.Array:
+    """
+    Wrapped rolling sum over the day-of-year axis (axis 0), window centred —
+    the windowed histogram of detect.py:2494-2500.
+    """
+    pad = window // 2
+    padded = jnp.concatenate([hist[-pad:], hist, hist[:pad]], axis=0)
+    csum = jnp.cumsum(padded, axis=0)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+    D = hist.shape[0]
+    i = jnp.arange(D)
+    return csum[i + window] - csum[i]
+
+
+@partial(jax.jit, static_argnames=("window", "axis", "wrap"))
+def rolling_axis_sum(hist: jax.Array, window: int, axis: int, wrap: bool) -> jax.Array:
+    """
+    Centred rolling sum along ``axis``; circular when ``wrap`` else truncated
+    windows at the edges (``min_periods=1`` semantics, detect.py:2659-2666).
+    """
+    hist = jnp.moveaxis(hist, axis, 0)
+    n = hist.shape[0]
+    half = window // 2
+    if wrap:
+        padded = jnp.concatenate([hist[-half:], hist, hist[:half]], axis=0)
+        csum = jnp.concatenate([jnp.zeros_like(padded[:1]), jnp.cumsum(padded, axis=0)], axis=0)
+        i = jnp.arange(n)
+        out = csum[i + window] - csum[i]
+    else:
+        csum = jnp.concatenate([jnp.zeros_like(hist[:1]), jnp.cumsum(hist, axis=0)], axis=0)
+        i = jnp.arange(n)
+        lo = jnp.clip(i - half, 0, n)
+        hi = jnp.clip(i + half + 1, 0, n)
+        out = csum[hi] - csum[lo]
+    return jnp.moveaxis(out, 0, axis)
+
+
+# ----------------------------------------------------------------------------
+# Count-space quantile interpolation (2-D hobday path)
+# ----------------------------------------------------------------------------
+
+
+@jax.jit
+def histogram_quantile_counts(hist_windowed: jax.Array, q: float, bin_centers: jax.Array) -> jax.Array:
+    """
+    Count-space quantile from windowed histograms, vectorised over all
+    leading axes.  Mirrors ``_rolling_histogram_quantile`` (detect.py:2508-2558):
+    cumulative counts, position ``q * total``, searchsorted-right upper bin,
+    linear interpolation between bin centres in count space.
+
+    hist_windowed : (..., nbins) int32
+    returns       : (...) float32 thresholds (NaN where total count is 0)
+    """
+    nbins = hist_windowed.shape[-1]
+    cumsum = jnp.cumsum(hist_windowed.astype(jnp.int32), axis=-1)
+    total = cumsum[..., -1]
+    pos = q * total.astype(jnp.float32)
+
+    # searchsorted(cumsum, pos, side="right") == count of entries <= pos
+    idx_upper = jnp.sum((cumsum.astype(jnp.float32) <= pos[..., None]).astype(jnp.int32), axis=-1)
+    idx_upper = jnp.clip(idx_upper, 0, nbins - 1)
+    idx_lower = jnp.maximum(idx_upper - 1, 0)
+
+    count_lower = jnp.take_along_axis(cumsum, idx_lower[..., None], axis=-1)[..., 0].astype(jnp.float32)
+    count_upper = jnp.take_along_axis(cumsum, idx_upper[..., None], axis=-1)[..., 0].astype(jnp.float32)
+
+    bin_lower = bin_centers[idx_lower]
+    bin_upper = bin_centers[idx_upper]
+
+    eps = 1e-10
+    diff = count_upper - count_lower
+    frac = jnp.where(diff > eps, (pos - count_lower) / jnp.where(diff > eps, diff, 1.0), 0.5)
+    thr = bin_lower + frac * (bin_upper - bin_lower)
+
+    thr = jnp.where(total > 0, thr, jnp.nan)
+    thr = jnp.where((idx_upper == 0) & (total > 0), bin_centers[0], thr)
+    return thr.astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------------
+# CDF-space quantile interpolation (1-D global path)
+# ----------------------------------------------------------------------------
+
+
+@jax.jit
+def histogram_quantile_cdf(hist: jax.Array, q: float, bin_centers: jax.Array) -> jax.Array:
+    """
+    CDF-space quantile with robust tail handling, vectorised — mirrors
+    ``_compute_histogram_quantile_1d`` interpolation (detect.py:2777-2832).
+
+    hist : (..., nbins) counts
+    """
+    nbins = hist.shape[-1]
+    eps = 1e-10
+    total = jnp.sum(hist, axis=-1, keepdims=True).astype(jnp.float32) + eps
+    cdf = jnp.cumsum(hist, axis=-1).astype(jnp.float32) / total
+
+    idx_upper = jnp.argmax(cdf >= (q - eps), axis=-1).astype(jnp.int32)
+    idx_before = jnp.where(idx_upper - 1 > 0, idx_upper - 1, 0)
+    cdf_target = jnp.take_along_axis(cdf, idx_before[..., None], axis=-1)[..., 0]
+    idx_lower = jnp.argmax(cdf > cdf_target[..., None], axis=-1).astype(jnp.int32)
+
+    idx_lower = jnp.clip(idx_lower, 0, nbins - 2)
+    idx_upper = jnp.clip(idx_upper, 1, nbins - 1)
+
+    cdf_lower = jnp.take_along_axis(cdf, idx_lower[..., None], axis=-1)[..., 0]
+    cdf_upper = jnp.take_along_axis(cdf, idx_upper[..., None], axis=-1)[..., 0]
+    bin_lower = bin_centers[idx_lower]
+    bin_upper = bin_centers[idx_upper]
+
+    denom = cdf_upper - cdf_lower
+    exact_match = jnp.abs(cdf_lower - q) < eps
+    zero_denom = jnp.abs(denom) <= eps
+
+    frac = (q - cdf_lower) / jnp.where(jnp.abs(denom) > eps, denom, 1.0)
+    thr = bin_lower + frac * (bin_upper - bin_lower)
+    thr = jnp.where(exact_match, bin_lower, thr)
+    thr = jnp.where(zero_denom & ~exact_match, (bin_lower + bin_upper) / 2, thr)
+    return thr.astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------------
+# Exact quantiles
+# ----------------------------------------------------------------------------
+
+
+@jax.jit
+def exact_quantile_time(data: jax.Array, q: float) -> jax.Array:
+    """Exact (linear-interpolated) nan-quantile along axis 0 (time)."""
+    return jnp.nanquantile(data, q, axis=0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("window_days", "doy_chunk"))
+def hobday_thresholds_exact(data_ymd: jax.Array, q: float, window_days: int, doy_chunk: int = 6) -> jax.Array:
+    """
+    Exact day-of-year thresholds: for each doy, the nan-quantile over all
+    samples whose day-of-year falls in the wrapped window (detect.py:1921-1956).
+
+    data_ymd : (Y, 366, S)
+    returns  : (366, S)
+    """
+    Y, D, S = data_ymd.shape
+    half = window_days // 2
+    offsets = jnp.arange(-half, half + 1)
+
+    def per_doy_block(d0: jax.Array) -> jax.Array:
+        doys = (d0[:, None] + offsets[None, :]) % D  # (chunk, W)
+        # gather -> (Y, chunk, W, S)
+        win = data_ymd[:, doys, :]
+        win = jnp.moveaxis(win, 1, 0).reshape(doy_chunk, Y * (2 * half + 1), S)
+        return jnp.nanquantile(win, q, axis=1).astype(jnp.float32)
+
+    starts = jnp.arange(0, D, doy_chunk)
+    blocks = jax.lax.map(lambda s: per_doy_block(s + jnp.arange(doy_chunk)), starts)
+    return blocks.reshape(-1, S)[:D]
+
+
+# ----------------------------------------------------------------------------
+# Orchestrators
+# ----------------------------------------------------------------------------
+
+
+def hobday_thresholds_approx(
+    bins_ymd: jax.Array,
+    q: float,
+    window_days: int,
+    nbins: int,
+    bin_centers: jax.Array,
+    window_spatial: Optional[int] = None,
+    grid_shape: Optional[Tuple[int, int]] = None,
+    wrap_lon: bool = True,
+) -> jax.Array:
+    """
+    Approximate hobday thresholds from pre-binned data.
+
+    bins_ymd : (Y, 366, S) int32 bin indices
+    grid_shape : (ny, nx) when the flattened space axis is a regular grid and
+        ``window_spatial`` smoothing is requested.
+
+    Returns (366, S) float32 thresholds (land handling is done by the caller).
+    """
+    hist = histogram_doy_bins(bins_ymd, nbins)  # (366, S, nbins)
+
+    if window_spatial is not None and window_spatial > 1:
+        if grid_shape is None:
+            raise ValueError("window_spatial requires grid_shape for gridded data")
+        ny, nx = grid_shape
+        hist = hist.reshape(366, ny, nx, nbins)
+        # longitude: circular window sum; latitude: truncated-window sum
+        hist = rolling_axis_sum(hist, window_spatial, axis=2, wrap=wrap_lon)
+        hist = rolling_axis_sum(hist, window_spatial, axis=1, wrap=False)
+        hist = hist.reshape(366, ny * nx, nbins)
+
+    hist_w = rolling_doy_window_sum(hist, window_days)  # (366, S, nbins)
+    return histogram_quantile_counts(hist_w, q, bin_centers)
+
+
+def global_thresholds_approx(
+    bins_ts: jax.Array,
+    q: float,
+    nbins: int,
+    bin_centers: jax.Array,
+) -> jax.Array:
+    """Approximate global-in-time thresholds: (T, S) bins -> (S,) thresholds."""
+    hist = histogram_bins_1d(bins_ts, nbins)  # (S, nbins)
+    return histogram_quantile_cdf(hist, q, bin_centers)
