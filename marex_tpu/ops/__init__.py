@@ -1,5 +1,5 @@
 """Device kernels (jit/pallas) for marex_tpu."""
 
-from . import climatology, detrend, quantile  # noqa: F401
+from . import climatology, detrend, label, morphology, overlap, partition, properties, quantile  # noqa: F401
 
-__all__ = ["climatology", "detrend", "quantile"]
+__all__ = ["climatology", "detrend", "label", "morphology", "overlap", "partition", "properties", "quantile"]

@@ -1,0 +1,142 @@
+"""
+Temporal overlap-graph kernels.
+
+TPU-native replacement for the reference's per-slice overlap extraction
+(``check_overlap_slice`` track.py:2396-2452) and global aggregation
+(``find_overlapping_objects`` track.py:2454-2504): for each pair of
+consecutive timesteps, the (parent id, child id, overlap weight) list is
+computed on device by a sort + run-length segment-sum over packed pair keys,
+emitted into a fixed-size padded buffer (static shapes), then aggregated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INVALID = jnp.int32(2**31 - 1)
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+def overlap_pairs_slice(
+    ids_a: jax.Array,
+    ids_b: jax.Array,
+    weights: jax.Array,
+    max_pairs: int,
+    key_stride: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Unique (id_a, id_b) pairs with summed overlap weight for one slice pair.
+
+    ids_a, ids_b : (S,) int32 label fields at t and t+1 (0 = background).
+        Labels must be < key_stride and key_stride**2 < 2**31.
+    weights : (S,) float32 per-cell overlap weight (1.0 for pixel counts,
+        cell areas for unstructured grids).
+    max_pairs : static output capacity; excess unique pairs are dropped
+        (callers should size this generously and check the overflow flag).
+
+    Returns
+    -------
+    pair_a, pair_b : (max_pairs,) int32 (padded with -1)
+    pair_w : (max_pairs,) float32 summed weights
+    """
+    both = jnp.logical_and(ids_a > 0, ids_b > 0)
+    key = jnp.where(both, ids_a * key_stride + ids_b, _INVALID)
+
+    order = jnp.argsort(key)
+    k_sorted = key[order]
+    w_sorted = jnp.where(both, weights, 0.0)[order]
+
+    is_start = jnp.concatenate([jnp.ones(1, bool), k_sorted[1:] != k_sorted[:-1]])
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    # invalid keys sort last; cap their segment ids out of range so they drop
+    seg_id = jnp.where(k_sorted == _INVALID, max_pairs, seg_id)
+
+    pair_w = jax.ops.segment_sum(w_sorted, seg_id, num_segments=max_pairs)
+    pair_key = jnp.full((max_pairs,), -1, jnp.int32)
+    pair_key = pair_key.at[seg_id].set(k_sorted, mode="drop")
+
+    valid = pair_key >= 0
+    pair_a = jnp.where(valid, pair_key // key_stride, -1)
+    pair_b = jnp.where(valid, pair_key % key_stride, -1)
+    return pair_a, pair_b, pair_w
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+def overlap_pairs_all(
+    labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Overlap pairs between every consecutive timestep pair, vmapped.
+
+    labels : (T, S) int32 globally-unique-per-slice label fields
+    weights : (S,) float32 cell weights
+
+    Returns (T-1, max_pairs) triples (a, b, w); a precedes b in time.
+    """
+    a = labels[:-1]
+    b = labels[1:]
+    f = jax.vmap(lambda x, y: overlap_pairs_slice(x, y, weights, max_pairs, key_stride))
+    return f(a, b)
+
+
+def aggregate_pairs_host(
+    pair_a: np.ndarray, pair_b: np.ndarray, pair_w: np.ndarray
+) -> np.ndarray:
+    """
+    Merge per-slice padded pair lists into a unique (N, 3) array summing
+    weights of duplicate pairs (an object pair can overlap in several chunks
+    only across slice boundaries; kept for parity with track.py:2489-2503).
+    """
+    a = np.asarray(pair_a).ravel()
+    b = np.asarray(pair_b).ravel()
+    w = np.asarray(pair_w).ravel()
+    valid = a >= 0
+    a, b, w = a[valid], b[valid], w[valid]
+    if len(a) == 0:
+        return np.empty((0, 3), dtype=np.float64)
+    key = a.astype(np.int64) * np.int64(2**31) + b.astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(sums, inv, w)
+    out = np.column_stack([(uniq // 2**31).astype(np.float64), (uniq % 2**31).astype(np.float64), sums])
+    return out
+
+
+def union_find_components(pairs: np.ndarray, node_ids: np.ndarray) -> np.ndarray:
+    """
+    Connected components of the overlap graph (host, path-compressed
+    union-find) — replaces scipy csgraph at track.py:2876-2884.
+
+    pairs : (N, 2) int array of edges between node ids
+    node_ids : (M,) all node ids present
+
+    Returns (M,) component index (0..K-1) aligned with node_ids order.
+    """
+    id_to_idx = {int(v): i for i, v in enumerate(node_ids)}
+    parent = np.arange(len(node_ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in pairs:
+        ia = id_to_idx.get(int(a))
+        ib = id_to_idx.get(int(b))
+        if ia is None or ib is None:
+            continue
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    roots = np.array([find(i) for i in range(len(node_ids))])
+    _, comp = np.unique(roots, return_inverse=True)
+    return comp

@@ -1,0 +1,245 @@
+"""
+Child-object partitioning kernels for split/merge tracking.
+
+TPU-native re-design of the reference's Numba partitioning kernels
+(track.py:4826-5419):
+
+* ``wrapped_euclidian_distance_mask_parallel``  -> dense wrapped-distance
+  argmin over parent centroids (:func:`centroid_assign_grid`)
+* ``partition_nn_grid``       -> exact Euclidean distance transform per
+  parent (separable two-pass EDT: periodic 1-D row scan + column lower
+  envelope), then argmin. The reference approximates nearest-cell search with
+  a coarse bucket grid; the EDT here is exact, capped at the same
+  ``max_distance`` with the same parent-centroid fallback.
+* ``partition_nn_unstructured``  -> multi-source hop-distance BFS by iterated
+  neighbour-graph dilation from the parent∩child seed region, haversine
+  centroid fallback for unreached cells.
+* ``partition_centroid_unstructured`` -> vectorised haversine argmin.
+
+All kernels take a *padded* parent axis (static ``P = max_parents``) with a
+validity mask so shapes stay static under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+# ----------------------------------------------------------------------------
+# Structured grid
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("wrap",))
+def centroid_assign_grid(
+    parent_centroids: jax.Array, parent_valid: jax.Array, shape_y: jax.Array, wrap: bool = True
+) -> jax.Array:
+    """
+    Parent-index assignment of every grid cell by wrapped Euclidean distance
+    to parent centroids (pixel coordinates), cf. track.py:4826-4884.
+
+    parent_centroids : (P, 2) float32 (cy, cx) pixel coords
+    parent_valid : (P,) bool
+    shape_y : (H, W) any array fixing the grid shape (values unused)
+
+    Returns (H, W) int32 parent index (argmin; ties -> lowest index).
+    """
+    H, W = shape_y.shape
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    cy = parent_centroids[:, 0]
+    cx = parent_centroids[:, 1]
+    dy = y[None] - cy[:, None, None]
+    dx = x[None] - cx[:, None, None]
+    if wrap:
+        half = W / 2.0
+        dx = jnp.where(dx > half, dx - W, dx)
+        dx = jnp.where(dx < -half, dx + W, dx)
+    d2 = dy * dy + dx * dx
+    d2 = jnp.where(parent_valid[:, None, None], d2, _INF)
+    return jnp.argmin(d2, axis=0).astype(jnp.int32)
+
+
+def _row_distance_periodic(mask: jax.Array, wrap: bool) -> jax.Array:
+    """
+    1-D distance (in cells) to the nearest True along the last axis, periodic
+    when ``wrap``.  mask : (..., W) bool -> float32 distances (inf if empty).
+    """
+    W = mask.shape[-1]
+    x = jnp.moveaxis(mask, -1, 0)  # (W, ...)
+
+    def fwd(carry, m):
+        d = jnp.where(m, 0.0, carry + 1.0)
+        return d, d
+
+    init = jnp.full(x.shape[1:], jnp.float32(W * 4))
+    if wrap:
+        # two passes around the circle capture wrap-around sources
+        carry, d1 = jax.lax.scan(fwd, init, x)
+        _, d1b = jax.lax.scan(fwd, carry, x)
+        d_fwd = d1b
+    else:
+        _, d_fwd = jax.lax.scan(fwd, init, x)
+
+    xr = x[::-1]
+    if wrap:
+        carry, d2 = jax.lax.scan(fwd, init, xr)
+        _, d2b = jax.lax.scan(fwd, carry, xr)
+        d_bwd = d2b[::-1]
+    else:
+        _, d2 = jax.lax.scan(fwd, init, xr)
+        d_bwd = d2[::-1]
+
+    d = jnp.minimum(d_fwd, d_bwd)
+    d = jnp.where(d >= W * 2, _INF, d)
+    return jnp.moveaxis(d, 0, -1)
+
+
+@partial(jax.jit, static_argnames=("wrap",))
+def euclidean_distance_transform_grid(parent_masks: jax.Array, wrap: bool = True) -> jax.Array:
+    """
+    Exact squared Euclidean distance to the nearest True cell, per parent,
+    periodic in x.  Two-pass separable EDT.
+
+    parent_masks : (P, H, W) bool
+    Returns (P, H, W) float32 squared distances (inf where parent empty).
+    """
+    P, H, W = parent_masks.shape
+    d1 = _row_distance_periodic(parent_masks, wrap)  # (P, H, W) distance within row
+    d1sq = jnp.where(jnp.isinf(d1), _INF, d1 * d1)
+
+    yy = jnp.arange(H, dtype=jnp.float32)
+
+    def per_row(y0):
+        dy2 = (yy - y0) ** 2  # (H,)
+        v = d1sq + dy2[None, :, None]  # (P, H, W)
+        return jnp.min(v, axis=1)  # (P, W)
+
+    out = jax.lax.map(per_row, yy)  # (H, P, W)
+    return jnp.moveaxis(out, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("wrap",))
+def partition_nn_grid(
+    child_mask: jax.Array,
+    parent_masks: jax.Array,
+    parent_valid: jax.Array,
+    parent_centroids: jax.Array,
+    max_distance: jax.Array,
+    wrap: bool = True,
+) -> jax.Array:
+    """
+    Assign every cell to its nearest parent *cell* (exact EDT, capped at
+    ``max_distance``), falling back to nearest parent *centroid* for cells
+    beyond the cap — the semantics of track.py:4972-5113.
+
+    Returns (H, W) int32 parent index.
+    """
+    d2 = euclidean_distance_transform_grid(parent_masks, wrap)  # (P, H, W)
+    d = jnp.sqrt(d2)
+    d = jnp.where(parent_valid[:, None, None], d, _INF)
+    d = jnp.where(d <= max_distance, d, _INF)
+
+    assign = jnp.argmin(d, axis=0).astype(jnp.int32)
+    reached = jnp.isfinite(jnp.min(d, axis=0))
+
+    fallback = centroid_assign_grid(parent_centroids, parent_valid, child_mask, wrap)
+    return jnp.where(reached, assign, fallback)
+
+
+# ----------------------------------------------------------------------------
+# Unstructured mesh
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_distance",))
+def hop_distance_unstructured(seed_masks: jax.Array, neighbours: jax.Array, max_distance: int) -> jax.Array:
+    """
+    Multi-source hop distance from each parent's seed region by iterated
+    graph dilation (the BFS of track.py:5189-5222).
+
+    seed_masks : (P, C) bool
+    Returns (P, C) float32 hop counts (inf where unreached within cap).
+    """
+    idx = jnp.maximum(neighbours, 0)
+    valid = neighbours >= 0
+
+    def body(d, state):
+        visited, dist = state
+        g = visited[:, idx]  # (P, 3, C)
+        g = jnp.logical_and(g, valid[None])
+        new_visited = jnp.logical_or(visited, jnp.any(g, axis=1))
+        newly = jnp.logical_and(new_visited, ~visited)
+        dist = jnp.where(newly, (d + 1).astype(jnp.float32), dist)
+        return new_visited, dist
+
+    dist0 = jnp.where(seed_masks, 0.0, _INF)
+    visited, dist = jax.lax.fori_loop(0, max_distance, body, (seed_masks, dist0))
+    return dist
+
+
+@jax.jit
+def haversine_to_centroids(lat_deg: jax.Array, lon_deg: jax.Array, parent_centroids: jax.Array) -> jax.Array:
+    """
+    Great-circle angular distance from every cell to each parent centroid
+    (track.py:5406-5411).
+
+    lat_deg, lon_deg : (C,); parent_centroids : (P, 2) degrees (lat, lon)
+    Returns (P, C) float32.
+    """
+    lat = jnp.deg2rad(lat_deg.astype(jnp.float32))
+    lon = jnp.deg2rad(lon_deg.astype(jnp.float32))
+    plat = jnp.deg2rad(parent_centroids[:, 0:1].astype(jnp.float32))
+    plon = jnp.deg2rad(parent_centroids[:, 1:2].astype(jnp.float32))
+    dlat = plat - lat[None, :]
+    dlon = plon - lon[None, :]
+    a = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat)[None, :] * jnp.cos(plat) * jnp.sin(dlon / 2) ** 2
+    return 2 * jnp.arctan2(jnp.sqrt(a), jnp.sqrt(jnp.maximum(1 - a, 0.0)))
+
+
+@partial(jax.jit, static_argnames=("max_distance",))
+def partition_nn_unstructured(
+    child_mask: jax.Array,
+    parent_masks: jax.Array,
+    parent_valid: jax.Array,
+    parent_centroids: jax.Array,
+    neighbours: jax.Array,
+    lat_deg: jax.Array,
+    lon_deg: jax.Array,
+    max_distance: int,
+) -> jax.Array:
+    """
+    Nearest-parent partitioning on the mesh: BFS frontier expansion from each
+    parent's overlap with the child (hop distance), haversine centroid
+    fallback for unreached cells (track.py:5116-5242).
+
+    Returns (C,) int32 parent index for every cell.
+    """
+    seeds = jnp.logical_and(parent_masks, child_mask[None, :])
+    seeds = jnp.logical_and(seeds, parent_valid[:, None])
+    dist = hop_distance_unstructured(seeds, neighbours, max_distance)
+    dist = jnp.where(parent_valid[:, None], dist, _INF)
+
+    assign = jnp.argmin(dist, axis=0).astype(jnp.int32)
+    reached = jnp.isfinite(jnp.min(dist, axis=0))
+
+    hd = haversine_to_centroids(lat_deg, lon_deg, parent_centroids)
+    hd = jnp.where(parent_valid[:, None], hd, _INF)
+    fallback = jnp.argmin(hd, axis=0).astype(jnp.int32)
+    return jnp.where(reached, assign, fallback)
+
+
+@jax.jit
+def partition_centroid_unstructured(
+    parent_centroids: jax.Array, parent_valid: jax.Array, lat_deg: jax.Array, lon_deg: jax.Array
+) -> jax.Array:
+    """Closest-parent-centroid assignment on the sphere (track.py:5356-5419)."""
+    hd = haversine_to_centroids(lat_deg, lon_deg, parent_centroids)
+    hd = jnp.where(parent_valid[:, None], hd, _INF)
+    return jnp.argmin(hd, axis=0).astype(jnp.int32)

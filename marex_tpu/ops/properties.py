@@ -1,0 +1,137 @@
+"""
+Per-object property kernels: areas & centroids via segment reductions.
+
+TPU-native replacement for skimage ``regionprops_table`` per slice
+(track.py:2332-2390) and the unstructured spherical-centroid accumulation
+(track.py:2159-2250): one scatter-add pass per quantity, vectorised over the
+whole (time, space) block, with the reference's periodic-longitude centroid
+fix (track.py:2050-2107) reproduced from per-label edge flags.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+EDGE_ZONE = 100  # cells from the x-boundary counting as "near the edge" (track.py:2075-2076)
+
+
+@partial(jax.jit, static_argnames=("n_labels",))
+def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Array:
+    """
+    Segment-sum of ``weights`` by label.
+
+    labels : (T, S) int32 in [0, n_labels]
+    weights : (S,) or (T, S) float32
+    returns (T, n_labels + 1) — index 0 is background.
+    """
+    T, S = labels.shape
+    if weights.ndim == 1:
+        weights = jnp.broadcast_to(weights[None, :], (T, S))
+    out = jnp.zeros((T, n_labels + 1), dtype=jnp.float32)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    return out.at[t_idx, labels].add(weights.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("n_labels", "wrap"))
+def grid_label_props(
+    labels: jax.Array, n_labels: int, wrap: bool, cell_weights: jax.Array | None = None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Areas + (y, x) pixel centroids per label on a regular grid, with the
+    reference's periodic-boundary recentring: when a label touches both x
+    edges, x indices greater than Nx/2 are shifted by -Nx before averaging
+    and the mean re-wrapped positive (track.py:2085-2097).
+
+    labels : (T, H, W) int32 dense in [0, n_labels]
+    cell_weights : optional (H, W) weights (physical cell areas); when None,
+        area = pixel count and centroids are unweighted (regionprops parity).
+
+    Returns
+    -------
+    areas : (T, n_labels + 1) float32
+    cy, cx : (T, n_labels + 1) float32 pixel-coordinate centroids (NaN where absent)
+    """
+    T, H, W = labels.shape
+    lf = labels.reshape(T, H * W)
+    y_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(H * W)
+    x_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(H * W)
+
+    if cell_weights is None:
+        w = jnp.ones((H * W,), jnp.float32)
+    else:
+        w = cell_weights.reshape(H * W).astype(jnp.float32)
+
+    areas = label_sums(lf, w, n_labels)
+    sum_y = label_sums(lf, w * y_idx, n_labels)
+    sum_x = label_sums(lf, w * x_idx, n_labels)
+    cnt_right = label_sums(lf, w * (x_idx > W / 2), n_labels)
+
+    near_left = label_sums(lf, (x_idx < EDGE_ZONE).astype(jnp.float32), n_labels) > 0
+    near_right = label_sums(lf, (x_idx >= W - EDGE_ZONE).astype(jnp.float32), n_labels) > 0
+
+    safe = jnp.maximum(areas, 1e-30)
+    cy = sum_y / safe
+    cx_plain = sum_x / safe
+    cx_adj = (sum_x - W * cnt_right) / safe
+    cx_adj = jnp.where(cx_adj < 0, cx_adj + W, cx_adj)
+
+    wrapped = jnp.logical_and(near_left, near_right) if wrap else jnp.zeros_like(near_left)
+    cx = jnp.where(wrapped, cx_adj, cx_plain)
+
+    present = areas > 0
+    cy = jnp.where(present, cy, jnp.nan)
+    cx = jnp.where(present, cx, jnp.nan)
+    areas = jnp.where(present, areas, 0.0)
+    return areas, cy, cx
+
+
+@partial(jax.jit, static_argnames=("n_labels",))
+def unstructured_label_props(
+    labels: jax.Array, lat_deg: jax.Array, lon_deg: jax.Array, cell_area: jax.Array, n_labels: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Area-weighted spherical centroids per label on an unstructured mesh:
+    accumulate Cartesian (x, y, z) weighted by cell area, renormalise, and
+    convert back to (lat, lon) degrees in [-90, 90] x [-180, 180]
+    (track.py:2195-2230).
+
+    labels : (T, C) int32 dense in [0, n_labels]
+
+    Returns areas, clat, clon — each (T, n_labels + 1) float32.
+    """
+    lat = jnp.deg2rad(lat_deg.astype(jnp.float32))
+    lon = jnp.deg2rad(lon_deg.astype(jnp.float32))
+    cos_lat = jnp.cos(lat)
+    x = cos_lat * jnp.cos(lon)
+    y = cos_lat * jnp.sin(lon)
+    z = jnp.sin(lat)
+    a = cell_area.astype(jnp.float32)
+
+    areas = label_sums(labels, a, n_labels)
+    wx = label_sums(labels, a * x, n_labels)
+    wy = label_sums(labels, a * y, n_labels)
+    wz = label_sums(labels, a * z, n_labels)
+
+    norm = jnp.sqrt(wx**2 + wy**2 + wz**2)
+    norm = jnp.where(norm > 0, norm, 1.0)
+    wx, wy, wz = wx / norm, wy / norm, wz / norm
+
+    clat = jnp.rad2deg(jnp.arcsin(jnp.clip(wz, -1.0, 1.0)))
+    clon = jnp.rad2deg(jnp.arctan2(wy, wx))
+    clon = jnp.where(clon > 180.0, clon - 360.0, jnp.where(clon < -180.0, clon + 360.0, clon))
+
+    present = areas > 0
+    clat = jnp.where(present, clat, jnp.nan)
+    clon = jnp.where(present, clon, jnp.nan)
+    return areas, clat, clon
+
+
+@jax.jit
+def interp_coord(pix: jax.Array, coord_values: jax.Array) -> jax.Array:
+    """Linear pixel-index -> coordinate interpolation (np.interp semantics)."""
+    n = coord_values.shape[0]
+    return jnp.interp(pix, jnp.arange(n, dtype=jnp.float32), coord_values.astype(jnp.float32))
