@@ -1,0 +1,127 @@
+"""
+Benchmark harness for marex_tpu.
+
+Measures end-to-end detect+track wall-clock on a synthetic daily SST block
+(BASELINE config 1: fixed-baseline climatology + global_extreme percentile +
+tracker(allow_merging=False)) and reports throughput in gridpoint-days/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the reference's implied production
+throughput: the marEx batch jobs process ~0.25 deg global daily data with 128
+Dask workers in 39 min (detect, examples/batch jobs/run_detect.py:29-33) plus
+179 min (track, submit_track.sh:2-9) per ~40-year dataset ->
+~40*365*1036800 / 13080 s ~= 1.16e6 gridpoint-days/s on 128 cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+# Implied reference throughput (gridpoint-days per second, 128-core Dask)
+BASELINE_THROUGHPUT = 40 * 365 * 720 * 1440 / (39 * 60 + 179 * 60)
+
+
+def make_data(n_years: int, ny: int, nx: int, seed: int = 0):
+    from marex_tpu.core.field import Field
+
+    rng = np.random.default_rng(seed)
+    times = pd.date_range("2000-01-01", periods=int(n_years * 365.25), freq="D").to_numpy()
+    T = len(times)
+    lat = np.linspace(-89.5, 89.5, ny)
+    lon = np.linspace(0, 360, nx, endpoint=False)
+    doy = pd.DatetimeIndex(times).dayofyear.to_numpy()
+
+    seasonal = 3.0 * np.cos(2 * np.pi * (doy[:, None, None] - 30) / 365.25) * np.cos(np.deg2rad(lat))[None, :, None]
+    base = (15.0 + 10.0 * np.cos(np.deg2rad(lat))[None, :, None]).astype(np.float32)
+    noise = rng.standard_normal((T, ny, nx)).astype(np.float32)
+    for k in range(1, T):
+        noise[k] = 0.8 * noise[k - 1] + 0.6 * noise[k]
+    sst = (base + seasonal + noise).astype(np.float32)
+    sst = np.ascontiguousarray(sst + 0 * lon[None, None, :], dtype=np.float32)
+    # land block
+    sst[:, ny // 4 : ny // 4 + ny // 8, nx // 8 : nx // 4] = np.nan
+    return Field(sst, ("time", "lat", "lon"), coords={"time": times, "lat": lat, "lon": lon}, name="sst")
+
+
+def run_once(da):
+    import marex_tpu as marEx
+
+    ds = marEx.preprocess_data(
+        da,
+        method_anomaly="fixed_baseline",
+        method_extreme="global_extreme",
+        method_percentile="approximate",
+        threshold_percentile=95,
+        quiet=True,
+    )
+    tr = marEx.tracker(
+        ds.extreme_events,
+        ds.mask,
+        R_fill=8,
+        T_fill=2,
+        area_filter_quartile=0.5,
+        allow_merging=False,
+        quiet=True,
+    )
+    events = tr.run()
+    return int(events.attrs["N_events_final"])
+
+
+def main() -> None:
+    import contextlib
+    import io
+
+    n_years = int(os.environ.get("MAREX_BENCH_YEARS", "10"))
+    ny = int(os.environ.get("MAREX_BENCH_NY", "180"))
+    nx = int(os.environ.get("MAREX_BENCH_NX", "360"))
+
+    da = make_data(n_years, ny, nx)
+    T = da.sizes["time"]
+    gridpoint_days = T * ny * nx
+
+    # warm-up on a small slice to amortise jit compilation of a different
+    # shape is useless (shapes differ) — instead run the real thing twice and
+    # report the second (steady-state) run; fall back to one timed run when
+    # the problem is large.
+    silence = contextlib.redirect_stdout(io.StringIO())
+
+    with silence:
+        t0 = time.perf_counter()
+        n_events = run_once(da)
+        first = time.perf_counter() - t0
+
+    elapsed = first
+    if first < 120:
+        with silence:
+            t0 = time.perf_counter()
+            n_events = run_once(da)
+            elapsed = time.perf_counter() - t0
+
+    throughput = gridpoint_days / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "detect+track throughput (fixed_baseline+global_extreme, R_fill=8, no-merge)",
+                "value": round(throughput, 1),
+                "unit": "gridpoint-days/sec/chip",
+                "vs_baseline": round(throughput / BASELINE_THROUGHPUT, 3),
+                "detail": {
+                    "shape": [T, ny, nx],
+                    "wall_s": round(elapsed, 2),
+                    "first_run_s": round(first, 2),
+                    "n_events": n_events,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

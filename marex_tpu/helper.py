@@ -1,0 +1,211 @@
+"""
+Runtime / deployment helpers for marex_tpu.
+
+Role-equivalent of the reference's ``marEx/helper.py`` (Dask cluster
+configuration, SLURM launch, checkpoint-to-zarr): here the runtime is JAX
+SPMD, so the helpers configure the XLA backend, build device meshes, report
+device inventory instead of SSH-tunnelled dashboards, and checkpoint Fields
+to zarr-lite stores.
+
+``configure_dask`` / ``start_local_cluster`` / ``start_distributed_cluster``
+are kept as API-compatible shims so scripts written against the reference
+keep running: they configure the JAX runtime and return a lightweight
+ClusterInfo handle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .core.field import Field, FieldSet
+from .logging_config import get_logger
+
+logger = get_logger(__name__)
+
+# Default runtime knobs (role of DEFAULT_DASK_CONFIG, helper.py:44-67)
+DEFAULT_RUNTIME_CONFIG: Dict[str, Any] = {
+    "jax.transfer_guard": "allow",
+    "jax.default_matmul_precision": "default",
+    "host.memory_fraction_warn": 0.9,
+}
+
+
+@dataclass
+class ClusterInfo:
+    """Description of the active accelerator 'cluster' (device inventory)."""
+
+    backend: str
+    n_devices: int
+    n_local_devices: int
+    device_kind: str
+    process_index: int = 0
+    n_processes: int = 1
+    coords: Optional[list] = None
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def __str__(self) -> str:  # pragma: no cover
+        return (
+            f"ClusterInfo(backend={self.backend}, devices={self.n_devices} "
+            f"({self.device_kind}), processes={self.n_processes})"
+        )
+
+    # Dask-client-compatible no-ops so pipeline scripts keep working
+    def close(self) -> None:
+        pass
+
+    def restart(self) -> None:
+        pass
+
+
+def configure_dask(config: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """
+    API-compatible shim for the reference's ``configure_dask``
+    (helper.py:90-138): applies runtime configuration to the JAX backend.
+    Returns the effective config dict.
+    """
+    cfg = dict(DEFAULT_RUNTIME_CONFIG)
+    if config:
+        cfg.update(config)
+    # map recognised knobs onto jax.config
+    import jax
+
+    if "jax.default_matmul_precision" in cfg and cfg["jax.default_matmul_precision"] != "default":
+        jax.config.update("jax_default_matmul_precision", cfg["jax.default_matmul_precision"])
+    logger.debug(f"Runtime configured: {cfg}")
+    return cfg
+
+
+configure_devices = configure_dask  # preferred TPU-native name
+
+
+def get_cluster_info(client: Optional[ClusterInfo] = None) -> ClusterInfo:
+    """Inventory of the active JAX backend (role of helper.py:141-229)."""
+    import jax
+
+    devices = jax.devices()
+    local = jax.local_devices()
+    info = ClusterInfo(
+        backend=jax.default_backend(),
+        n_devices=len(devices),
+        n_local_devices=len(local),
+        device_kind=local[0].device_kind if local else "none",
+        process_index=jax.process_index(),
+        n_processes=jax.process_count(),
+        coords=[getattr(d, "coords", None) for d in local],
+    )
+    logger.info(str(info))
+    return info
+
+
+def start_local_cluster(
+    n_workers: Optional[int] = None,
+    threads_per_worker: int = 1,
+    memory_limit: Optional[str] = None,
+    **kwargs: Any,
+) -> ClusterInfo:
+    """
+    Single-host runtime startup (role of helper.py:232-411).
+
+    On TPU there is no scheduler to start; this validates the backend, warms
+    up the compiler, and returns the device inventory. ``n_workers`` maps to
+    a virtual CPU device count when running on the CPU backend (useful for
+    testing sharded code without hardware).
+    """
+    if n_workers is not None and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count={n_workers}".strip()
+
+    configure_dask()
+    import jax
+    import jax.numpy as jnp
+
+    # compiler warm-up
+    jax.jit(lambda x: x * 2)(jnp.ones((8, 8))).block_until_ready()
+    return get_cluster_info()
+
+
+def start_distributed_cluster(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs: Any,
+) -> ClusterInfo:
+    """
+    Multi-host runtime startup (role of the reference's SLURMCluster launch,
+    helper.py:414-639): initialises ``jax.distributed`` so all hosts of a TPU
+    pod slice join a single SPMD program. Arguments default to the standard
+    TPU/SLURM environment variables.
+    """
+    import jax
+
+    if jax.process_count() == 1 and (coordinator_address or os.environ.get("COORDINATOR_ADDRESS")):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    configure_dask()
+    return get_cluster_info()
+
+
+# ----------------------------------------------------------------------------
+# Checkpointing
+# ----------------------------------------------------------------------------
+
+
+def checkpoint_to_zarr(
+    data: Any,
+    name: str = "checkpoint",
+    timedim: str = "time",
+    temp_dir: Optional[str] = None,
+) -> Any:
+    """
+    Write a Field/FieldSet to a zarr-lite store and reload it
+    (role of helper.py:642-777; here it materialises device buffers to disk
+    for resumability rather than breaking a task graph).
+    """
+    import tempfile
+
+    from .io.zarr_lite import open_zarr, to_zarr
+
+    base = temp_dir or tempfile.gettempdir()
+    path = os.path.join(base, f"marex_tpu_{name}.zarr")
+    to_zarr(data, path, mode="w")
+    reloaded = open_zarr(path)
+    if isinstance(data, Field) and isinstance(reloaded, FieldSet):
+        key = data.name or "data"
+        return reloaded[key]
+    return reloaded
+
+
+def fix_dask_tuple_array(da: Any) -> Any:
+    """Compatibility no-op (the reference works around a dask-zarr bug here,
+    helper.py:780-821; there is no task graph in this framework)."""
+    return da
+
+
+def memory_summary() -> Dict[str, float]:
+    """Host + device memory snapshot in MB."""
+    out: Dict[str, float] = {}
+    try:
+        import psutil
+
+        out["host_rss_mb"] = psutil.Process().memory_info().rss / 2**20
+        out["host_available_mb"] = psutil.virtual_memory().available / 2**20
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        import jax
+
+        for d in jax.local_devices():
+            stats = getattr(d, "memory_stats", lambda: None)() or {}
+            if "bytes_in_use" in stats:
+                out[f"device{d.id}_in_use_mb"] = stats["bytes_in_use"] / 2**20
+    except Exception:  # pragma: no cover
+        pass
+    return out

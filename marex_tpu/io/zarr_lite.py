@@ -1,0 +1,263 @@
+"""
+zarr-lite: dependency-free zarr-v2 store reader/writer.
+
+The reference framework leans on xarray+zarr for all IO and checkpointing
+(helper.py:642-777, track.py:1728-1753). This module gives marex_tpu the same
+persistent-store capability with zero external dependencies: it reads and
+writes directory-style zarr v2 stores using stdlib ``json`` + ``zlib``
+(compressor id "zlib"), raw (compressor ``null``) chunks, and the xarray
+``_ARRAY_DIMENSIONS`` convention, including minimal CF datetime decoding.
+
+Stores written here are valid zarr v2 and readable by the real ``zarr``
+package; externally-produced stores using blosc/other codecs require the
+optional ``zarr`` dependency (gated via the dependency registry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from .._dependencies import has_dependency
+from ..core.field import Coord, Field, FieldSet
+from ..exceptions import DataValidationError, DependencyError
+
+_DEFAULT_CHUNK_BYTES = 64 * 2**20
+
+
+# ----------------------------------------------------------------------------
+# Writing
+# ----------------------------------------------------------------------------
+
+
+def _choose_chunks(shape: Tuple[int, ...], itemsize: int) -> Tuple[int, ...]:
+    """Chunk along the leading axis so each chunk stays under ~64 MB."""
+    if not shape:
+        return ()
+    row_bytes = itemsize * int(np.prod(shape[1:])) if len(shape) > 1 else itemsize
+    lead = max(1, min(shape[0], _DEFAULT_CHUNK_BYTES // max(row_bytes, 1)))
+    return (lead,) + tuple(shape[1:])
+
+
+def _encode_datetimes(arr: np.ndarray) -> Tuple[np.ndarray, Dict[str, Any]]:
+    if np.issubdtype(arr.dtype, np.datetime64):
+        ns = arr.astype("datetime64[ns]").astype(np.int64)
+        return ns, {"units": "nanoseconds since 1970-01-01", "calendar": "proleptic_gregorian"}
+    return arr, {}
+
+
+def _write_array(group_path: str, name: str, arr: np.ndarray, dims: Tuple[str, ...], attrs: Dict[str, Any]) -> None:
+    arr = np.ascontiguousarray(arr)
+    arr, time_attrs = _encode_datetimes(arr)
+    a_attrs = dict(attrs)
+    a_attrs.update(time_attrs)
+    a_attrs["_ARRAY_DIMENSIONS"] = list(dims)
+
+    apath = os.path.join(group_path, name)
+    os.makedirs(apath, exist_ok=True)
+
+    chunks = _choose_chunks(arr.shape, arr.dtype.itemsize)
+    zarray = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks) if chunks else [1],
+        "dtype": arr.dtype.str if arr.dtype.kind != "b" else "|b1",
+        "compressor": {"id": "zlib", "level": 1},
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    with open(os.path.join(apath, ".zarray"), "w") as f:
+        json.dump(zarray, f)
+    with open(os.path.join(apath, ".zattrs"), "w") as f:
+        json.dump(a_attrs, f, default=str)
+
+    if arr.ndim == 0:
+        data = zlib.compress(arr.tobytes(), 1)
+        with open(os.path.join(apath, "0"), "wb") as f:
+            f.write(data)
+        return
+
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+
+    def write_chunk(starts: Tuple[int, ...]) -> None:
+        idx = tuple(slice(st, min(st + c, s)) for st, c, s in zip(starts, chunks, arr.shape))
+        block = arr[idx]
+        # pad partial edge chunks to full chunk shape (zarr v2 requirement)
+        if block.shape != tuple(chunks):
+            padded = np.zeros(chunks, dtype=arr.dtype)
+            padded[tuple(slice(0, b) for b in block.shape)] = block
+            block = padded
+        key = ".".join(str(st // c) for st, c in zip(starts, chunks))
+        with open(os.path.join(apath, key), "wb") as f:
+            f.write(zlib.compress(np.ascontiguousarray(block).tobytes(), 1))
+
+    import itertools
+
+    for starts in itertools.product(*grid):
+        write_chunk(starts)
+
+
+def to_zarr(data: Union[Field, FieldSet], path: str, mode: str = "w") -> None:
+    """
+    Write a Field or FieldSet as a zarr v2 group (xarray-compatible layout).
+    """
+    if mode == "w" and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    if isinstance(data, Field):
+        data = FieldSet({data.name or "data": data})
+
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(dict(data.attrs), f, default=str)
+
+    for name, fld in data.data_vars.items():
+        _write_array(path, name, fld.values, fld.dims, fld.attrs)
+    for name, coord in data.coords.items():
+        if name in data.data_vars:
+            continue
+        _write_array(path, name, np.asarray(coord.values), coord.dims, {})
+
+
+# ----------------------------------------------------------------------------
+# Reading
+# ----------------------------------------------------------------------------
+
+
+def _decompress(raw: bytes, compressor: Optional[Dict[str, Any]]) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if cid == "gzip":
+        import gzip
+
+        return gzip.decompress(raw)
+    if cid == "blosc" and has_dependency("zarr"):
+        import numcodecs  # type: ignore
+
+        return numcodecs.get_codec(compressor).decode(raw)
+    raise DependencyError(
+        f"Unsupported zarr compressor '{cid}'",
+        details="zarr-lite decodes zlib/gzip/raw chunks natively",
+        suggestions=["Install the 'zarr' package to read this store", "Re-write the store with zlib compression"],
+        context={"compressor": compressor},
+    )
+
+
+def _read_array(apath: str) -> Tuple[np.ndarray, List[str], Dict[str, Any]]:
+    with open(os.path.join(apath, ".zarray")) as f:
+        meta = json.load(f)
+    attrs: Dict[str, Any] = {}
+    zattrs_path = os.path.join(apath, ".zattrs")
+    if os.path.exists(zattrs_path):
+        with open(zattrs_path) as f:
+            attrs = json.load(f)
+
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    comp = meta.get("compressor")
+    sep = meta.get("dimension_separator", ".")
+
+    if not shape:
+        with open(os.path.join(apath, "0"), "rb") as f:
+            arr = np.frombuffer(_decompress(f.read(), comp), dtype=dtype).reshape(())
+        return arr, attrs.pop("_ARRAY_DIMENSIONS", []), attrs
+
+    out = np.zeros(shape, dtype=dtype)
+    ngrid = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
+
+    import itertools
+
+    for gi in itertools.product(*[range(n) for n in ngrid]):
+        key = sep.join(str(i) for i in gi)
+        fpath = os.path.join(apath, key)
+        if not os.path.exists(fpath):
+            continue  # missing chunk = fill_value (already zeros)
+        with open(fpath, "rb") as f:
+            block = np.frombuffer(_decompress(f.read(), comp), dtype=dtype).reshape(chunks)
+        sl = tuple(slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(gi, chunks, shape))
+        out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+
+    dims = attrs.pop("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(len(shape))])
+    return out, dims, attrs
+
+
+def _decode_cf_time(arr: np.ndarray, attrs: Dict[str, Any]) -> np.ndarray:
+    units = attrs.get("units", "")
+    if not isinstance(units, str) or " since " not in units:
+        return arr
+    unit, _, epoch = units.partition(" since ")
+    unit_map = {
+        "nanoseconds": "ns",
+        "microseconds": "us",
+        "milliseconds": "ms",
+        "seconds": "s",
+        "minutes": "m",
+        "hours": "h",
+        "days": "D",
+    }
+    pd_unit = unit_map.get(unit.strip().lower())
+    if pd_unit is None:
+        return arr
+    try:
+        origin = pd.Timestamp(epoch.strip())
+        return (origin + pd.to_timedelta(arr.astype("float64"), unit=pd_unit)).to_numpy()
+    except Exception:
+        return arr
+
+
+def open_zarr(path: str, chunks: Optional[Dict[str, int]] = None) -> FieldSet:
+    """
+    Open a zarr v2 group as a FieldSet (``chunks`` accepted for API parity,
+    ignored — there is no lazy layer).
+    """
+    if not os.path.isdir(path):
+        raise DataValidationError(f"Not a zarr store: {path}")
+
+    group_attrs: Dict[str, Any] = {}
+    gattrs = os.path.join(path, ".zattrs")
+    if os.path.exists(gattrs):
+        with open(gattrs) as f:
+            group_attrs = json.load(f)
+
+    arrays: Dict[str, Tuple[np.ndarray, List[str], Dict[str, Any]]] = {}
+    for name in sorted(os.listdir(path)):
+        apath = os.path.join(path, name)
+        if os.path.isdir(apath) and os.path.exists(os.path.join(apath, ".zarray")):
+            arrays[name] = _read_array(apath)
+
+    # split coords vs data vars: 1-D arrays named after their dim, or listed
+    # in any variable's "coordinates" attribute
+    coord_names = set()
+    for name, (arr, dims, attrs) in arrays.items():
+        if list(dims) == [name]:
+            coord_names.add(name)
+        for c in str(attrs.get("coordinates", "")).split():
+            coord_names.add(c)
+
+    coords: Dict[str, Coord] = {}
+    data_vars: Dict[str, Field] = {}
+    for name, (arr, dims, attrs) in arrays.items():
+        if "since" in str(attrs.get("units", "")):
+            arr = _decode_cf_time(arr, attrs)
+            attrs = {k: v for k, v in attrs.items() if k not in ("units", "calendar")}
+        if name in coord_names:
+            coords[name] = Coord(tuple(dims), arr)
+        else:
+            data_vars[name] = Field(arr, tuple(dims), name=name, attrs=attrs)
+
+    fs = FieldSet(data_vars, coords, group_attrs)
+    return fs

@@ -64,7 +64,10 @@ def binary_close_open_grid(data: jax.Array, radius: int, mask: jax.Array, mode: 
 
     k = jnp.asarray(disk_kernel(radius), dtype=jnp.float32)
     ksum = float(disk_kernel(radius).sum())
-    d = 2 * radius
+    # Pad by 4R: closing+opening chains four R-reach operations, so 4R makes
+    # the result exactly translation-invariant under the periodic boundary.
+    # (The reference pads 2R, which nibbles objects near the seam.)
+    d = 4 * radius
 
     pad_mode = "wrap" if mode == "wrap" else "edge"
     x = jnp.pad(data, ((0, 0), (d, d), (d, d)), mode=pad_mode).astype(jnp.float32)

@@ -1,0 +1,1306 @@
+"""
+MarEx-TPU Track: event identification, tracking, and splitting/merging.
+
+TPU-native rebuild of the reference tracker (``marEx/track.py``): the same
+three-stage pipeline (preprocess -> identify & track -> statistics), the same
+option surface (R_fill/T_fill morphology, quartile or absolute area filter,
+overlap-threshold tracking with optional splitting & merging, nearest-cell or
+centroid child partitioning, structured and unstructured grids, regional
+mode), and the same output contract (``ID_field``, ``global_ID``, ``area``,
+``centroid``, ``presence``, ``time_start``/``time_end``, ``merge_ledger`` +
+merge-events dataset, cf. track.py:210-221).
+
+Execution model: morphology, connected-component labeling, per-label
+properties, overlap-pair extraction, and child partitioning are jitted XLA
+kernels (:mod:`marex_tpu.ops`); the inherently sequential split/merge march
+(track.py:3379-3639) is a host loop that only touches timesteps where merges
+actually occur, dispatching device kernels for the heavy per-slice work.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from typing import Any, Dict, List, Literal, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.field import Coord, Field, FieldSet, as_field
+from .exceptions import ConfigurationError, TrackingError, create_coordinate_error, create_data_validation_error
+from .logging_config import configure_logging, get_logger, log_array_info, log_memory_usage, log_timing
+from .ops import label as _label
+from .ops import morphology as _morph
+from .ops import overlap as _overlap
+from .ops import partition as _part
+from .ops import properties as _props
+
+logger = get_logger(__name__)
+
+MAX_PARENTS = 10  # padded parent capacity per merge event (track.py:3827-3830)
+
+
+# ============================
+# Host-side helpers
+# ============================
+
+
+def _overlap_slice_host(ids_a: np.ndarray, ids_b: np.ndarray, weights: Optional[np.ndarray]) -> np.ndarray:
+    """
+    (id_a, id_b, weight) unique pair list for one slice pair — host mirror of
+    the device kernel, used for incremental recomputation inside the merge
+    march (semantics of track.py:2396-2452).
+    """
+    both = (ids_a > 0) & (ids_b > 0)
+    if not both.any():
+        return np.empty((0, 3), dtype=np.float64)
+    a = ids_a[both].astype(np.int64)
+    b = ids_b[both].astype(np.int64)
+    stride = np.int64(max(int(ids_a.max()), int(ids_b.max())) + 1)
+    key = a * stride + b
+    if weights is None:
+        uniq, counts = np.unique(key, return_counts=True)
+        w = counts.astype(np.float64)
+    else:
+        uniq, inv = np.unique(key, return_inverse=True)
+        w = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(w, inv, weights[both].astype(np.float64))
+    return np.column_stack([(uniq // stride).astype(np.float64), (uniq % stride).astype(np.float64), w])
+
+
+class ObjectTable:
+    """
+    Host registry of per-object properties (area, centroid), replacing the
+    reference's xr.Dataset-with-ID-coordinate bookkeeping (track.py:2300-2390).
+    """
+
+    def __init__(self) -> None:
+        self._rows: Dict[int, Tuple[float, float, float]] = {}
+
+    def add(self, oid: int, area: float, c0: float, c1: float) -> None:
+        self._rows[int(oid)] = (float(area), float(c0), float(c1))
+
+    def drop(self, oid: int) -> None:
+        self._rows.pop(int(oid), None)
+
+    def __contains__(self, oid: int) -> bool:
+        return int(oid) in self._rows
+
+    def area(self, oid: int) -> float:
+        return self._rows[int(oid)][0]
+
+    def centroid(self, oid: int) -> Tuple[float, float]:
+        _, c0, c1 = self._rows[int(oid)]
+        return (c0, c1)
+
+    def max_id(self) -> int:
+        return max(self._rows.keys(), default=0)
+
+    def ids(self) -> np.ndarray:
+        return np.array(sorted(self._rows.keys()), dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+
+class tracker:
+    """
+    Identify and track binary objects through time (API-compatible with the
+    reference ``marEx.tracker``, track.py:66-321).
+
+    Parameters mirror the reference; ``data_bin`` / ``mask`` may be
+    marex_tpu Fields, xarray DataArrays, or duck-typed equivalents.
+    """
+
+    def __init__(
+        self,
+        data_bin: Any,
+        mask: Any,
+        R_fill: Union[int, float],
+        area_filter_quartile: Optional[float] = None,
+        area_filter_absolute: Optional[int] = None,
+        temp_dir: Optional[str] = None,
+        T_fill: int = 2,
+        allow_merging: bool = True,
+        nn_partitioning: bool = False,
+        overlap_threshold: float = 0.5,
+        unstructured_grid: bool = False,
+        dimensions: Optional[Dict[str, str]] = None,
+        coordinates: Optional[Dict[str, str]] = None,
+        neighbours: Optional[Any] = None,
+        cell_areas: Optional[Any] = None,
+        grid_resolution: Optional[float] = None,
+        max_iteration: int = 40,
+        checkpoint: Optional[str] = None,
+        debug: int = 0,
+        verbose: Optional[bool] = None,
+        quiet: Optional[bool] = None,
+        regional_mode: bool = False,
+        coordinate_units: Optional[Literal["degrees", "radians"]] = None,
+    ) -> None:
+        if verbose is not None or quiet is not None:
+            configure_logging(verbose=verbose, quiet=quiet)
+
+        logger.info("Initialising MarEx-TPU tracker")
+        logger.info(f"Grid type: {'unstructured' if unstructured_grid else 'structured'}")
+        logger.info(
+            f"Parameters: R_fill={R_fill}, T_fill={T_fill}, "
+            f"area_filter_quartile={area_filter_quartile}, area_filter_absolute={area_filter_absolute}"
+        )
+
+        self.data_bin = as_field(data_bin)
+        self.mask = as_field(mask)
+        log_array_info(logger, self.data_bin, "Binary input data")
+
+        self.regional_mode = regional_mode
+        self.coordinate_units = coordinate_units
+        self.unstructured_grid = unstructured_grid
+        self.temp_dir = temp_dir
+        self.max_iteration = max_iteration
+        self.checkpoint = checkpoint
+        self.debug = debug
+
+        dimensions = dimensions or {}
+        self.timedim = dimensions.get("time", "time")
+        self.xdim = dimensions.get("x", "lon")
+        self.ydim: Optional[str] = dimensions.get("y", "lat")
+        if unstructured_grid:
+            self.timecoord = coordinates["time"] if coordinates and "time" in coordinates else self.timedim
+            self.xcoord = coordinates["x"] if coordinates and "x" in coordinates else "lon"
+            self.ycoord = coordinates["y"] if coordinates and "y" in coordinates else "lat"
+        else:
+            coordinates = coordinates or {}
+            self.timecoord = coordinates.get("time", self.timedim)
+            self.xcoord = coordinates.get("x", self.xdim)
+            self.ycoord = coordinates.get("y", self.ydim)
+
+        if self.xcoord not in self.data_bin.coords or self.ycoord not in self.data_bin.coords:
+            raise create_data_validation_error(
+                "Missing required coordinates in input data",
+                details=f"Expected coordinates ({self.timecoord}, {self.xcoord}, {self.ycoord}), "
+                f"found {list(self.data_bin.coords)}",
+                suggestions=[
+                    "Ensure data_bin contains time, x, and y coordinates",
+                    "Specify coordinates in the tracker initialisation with `coordinates` parameter.",
+                ],
+            )
+
+        self.lat_init = np.array(self.data_bin.coords[self.ycoord].values, copy=True)
+        self.lon_init = np.array(self.data_bin.coords[self.xcoord].values, copy=True)
+        self._unify_coordinates()
+
+        self.R_fill = int(R_fill)
+        self.T_fill = T_fill
+        self._resolve_area_filtering_parameters(area_filter_quartile, area_filter_absolute)
+        self.allow_merging = allow_merging
+        self.nn_partitioning = nn_partitioning
+        self.overlap_threshold = overlap_threshold
+
+        self.lat = np.asarray(self.data_bin.coords[self.ycoord].values, dtype=np.float64)
+        self.lon = np.asarray(self.data_bin.coords[self.xcoord].values, dtype=np.float64)
+
+        self.data_attrs = dict(self.data_bin.attrs)
+
+        self._validate_inputs(neighbours, cell_areas, grid_resolution, temp_dir)
+
+        # ---- cell areas -------------------------------------------------
+        if self.unstructured_grid:
+            self.cell_area = np.asarray(as_field(cell_areas).values, dtype=np.float32)
+        else:
+            if grid_resolution is not None:
+                logger.info(f"Calculating cell areas from grid resolution: {grid_resolution} degrees")
+                R_earth = 6378.0
+                lat_r = np.radians(self.lat)
+                dlat = np.radians(grid_resolution)
+                dlon = np.radians(grid_resolution)
+                grid_area = (R_earth**2 * np.abs(np.sin(lat_r + dlat / 2) - np.sin(lat_r - dlat / 2)) * dlon).astype(
+                    np.float32
+                )
+                if cell_areas is not None:
+                    logger.warning("grid_resolution parameter overrides provided cell_areas for structured grid")
+                ny, nx = len(self.lat), len(self.lon)
+                self.cell_area = np.broadcast_to(grid_area[:, None], (ny, nx)).astype(np.float32).copy()
+            elif cell_areas is None:
+                ny, nx = len(self.lat), len(self.lon)
+                self.cell_area = np.ones((ny, nx), dtype=np.float32)
+                logger.info("No cell_areas provided for structured grid - using unit areas (cell counts)")
+            else:
+                ca = as_field(cell_areas)
+                if set(ca.dims) != {self.ydim, self.xdim}:
+                    raise create_data_validation_error(
+                        "Invalid cell_areas dimensions for structured grid",
+                        details=f"Expected spatial dimensions {{{self.ydim}, {self.xdim}}}, got {set(ca.dims)}",
+                        suggestions=["Ensure cell_areas matches the spatial dimensions of your data"],
+                    )
+                self.cell_area = np.asarray(ca.transpose(self.ydim, self.xdim).values, dtype=np.float32)
+        self.mean_cell_area = float(np.mean(self.cell_area))
+
+        # ---- unstructured grid setup ------------------------------------
+        if unstructured_grid:
+            nb = as_field(neighbours)
+            nb_vals = np.asarray(nb.values, dtype=np.int32)
+            if nb_vals.shape[0] != 3:
+                raise create_data_validation_error(
+                    "Invalid neighbour array for triangular grid",
+                    details=f"Expected shape (3, ncells), got {nb_vals.shape}",
+                    suggestions=[
+                        "Ensure triangular grid connectivity",
+                        "Check neighbour array from grid file",
+                        "Verify unstructured grid format",
+                    ],
+                    data_info={"actual_shape": nb_vals.shape, "expected_shape": "(3, ncells)"},
+                )
+            if tuple(nb.dims) != ("nv", self.xdim):
+                raise create_data_validation_error(
+                    "Invalid neighbour array dimensions",
+                    details=f"Expected dimensions ('nv', '{self.xdim}'), got {nb.dims}",
+                    suggestions=["Check dimension names in grid file", "Verify coordinate mapping"],
+                    data_info={"actual_dims": nb.dims, "expected_dims": ("nv", self.xdim)},
+                )
+            self.neighbours_int = nb_vals - 1  # 0-based, -1 = missing (track.py:1060)
+        else:
+            self.neighbours_int = None
+
+    # ------------------------------------------------------------------
+    # Validation & coordinates
+    # ------------------------------------------------------------------
+
+    def _resolve_area_filtering_parameters(
+        self, area_filter_quartile: Optional[float], area_filter_absolute: Optional[int]
+    ) -> None:
+        provided = sum(x is not None for x in (area_filter_quartile, area_filter_absolute))
+        if provided == 0:
+            self.area_filter_quartile = 0.5
+            self.area_filter_absolute = 0
+            self._use_absolute_filtering = False
+        elif provided == 1:
+            if area_filter_quartile is not None:
+                self.area_filter_quartile = area_filter_quartile
+                self.area_filter_absolute = 0
+                self._use_absolute_filtering = False
+            else:
+                self.area_filter_quartile = 0.0
+                self.area_filter_absolute = area_filter_absolute
+                self._use_absolute_filtering = True
+        else:
+            raise ConfigurationError(
+                "Cannot specify both area filtering parameters",
+                details="area_filter_quartile and area_filter_absolute are mutually exclusive",
+                suggestions=[
+                    "Use area_filter_quartile for percentile-based filtering (e.g., 0.25 for smallest 25%)",
+                    "Use area_filter_absolute for fixed minimum area (e.g., 10 for minimum 10 cells)",
+                    "Omit both parameters to use default quartile filtering (0.5)",
+                ],
+                context={
+                    "area_filter_quartile": area_filter_quartile,
+                    "area_filter_absolute": area_filter_absolute,
+                },
+            )
+
+    def _validate_inputs(
+        self,
+        neighbours: Optional[Any],
+        cell_areas: Optional[Any],
+        grid_resolution: Optional[float],
+        temp_dir: Optional[str],
+    ) -> None:
+        if self.regional_mode and self.unstructured_grid:
+            raise NotImplementedError("regional_mode is not yet implemented for unstructured grids")
+
+        if self.unstructured_grid:
+            self.ydim = None
+            if tuple(self.data_bin.dims) != (self.timedim, self.xdim):
+                try:
+                    self.data_bin = self.data_bin.transpose(self.timedim, self.xdim)
+                except Exception:
+                    raise create_data_validation_error(
+                        "Invalid dimensions for unstructured data",
+                        details=f"Expected 2D array with dimensions ({self.timedim}, {self.xdim}), "
+                        f"got {list(self.data_bin.dims)}",
+                        suggestions=["Ensure data has time and cell dimensions only"],
+                    )
+        else:
+            if tuple(self.data_bin.dims) != (self.timedim, self.ydim, self.xdim):
+                try:
+                    self.data_bin = self.data_bin.transpose(self.timedim, self.ydim, self.xdim)
+                except Exception:
+                    raise create_data_validation_error(
+                        "Invalid dimensions for gridded data",
+                        details=f"Expected 3D array with dimensions ({self.timedim}, {self.ydim}, {self.xdim}), "
+                        f"got {list(self.data_bin.dims)}",
+                        suggestions=["Ensure data has time, latitude, and longitude dimensions"],
+                    )
+
+        if self.data_bin.dtype != bool:
+            raise create_data_validation_error(
+                "Input DataArray must be binary (boolean type)",
+                details=f"Found dtype {self.data_bin.dtype}, expected bool",
+                suggestions=[
+                    "Convert data using da > threshold for binary events",
+                    "Use field.astype(bool) for boolean conversion",
+                ],
+                data_info={"actual_dtype": str(self.data_bin.dtype), "expected_dtype": "bool"},
+            )
+
+        if self.unstructured_grid:
+            if neighbours is None:
+                raise create_data_validation_error(
+                    "neighbours array is required for unstructured grids",
+                    details="Unstructured grid processing requires cell connectivity information",
+                    suggestions=["Provide a neighbours parameter when using unstructured_grid=True"],
+                )
+            if cell_areas is None:
+                raise create_data_validation_error(
+                    "cell_areas array is required for unstructured grids",
+                    details="Unstructured grid processing requires cell area information",
+                    suggestions=["Provide a cell_areas parameter when using unstructured_grid=True"],
+                )
+
+        if grid_resolution is not None:
+            if self.unstructured_grid:
+                raise create_data_validation_error(
+                    "grid_resolution parameter is not supported for unstructured grids",
+                    details="Grid resolution calculation requires structured (lat/lon) coordinates",
+                    suggestions=["Use cell_areas parameter directly for unstructured grids"],
+                )
+            if not isinstance(grid_resolution, (int, float)) or grid_resolution <= 0:
+                raise create_data_validation_error(
+                    "grid_resolution must be a positive number",
+                    details=f"Received grid_resolution={grid_resolution}",
+                    suggestions=["Provide a positive float value representing grid resolution in degrees"],
+                )
+
+        if self.mask.dtype != bool:
+            raise create_data_validation_error(
+                "Mask must be binary (boolean type)",
+                details=f"Found mask dtype {self.mask.dtype}, expected bool",
+                suggestions=["Convert mask using mask > 0 or mask.astype(bool)"],
+                data_info={"mask_dtype": str(self.mask.dtype)},
+            )
+
+        if not bool(self.mask.values.any()):
+            raise create_data_validation_error(
+                "Mask contains only False values",
+                details="Mask should indicate valid regions with True values",
+                suggestions=[
+                    "Check mask orientation - it should mark valid (ocean) regions as True",
+                    "Invert mask if needed: mask = ~mask",
+                ],
+            )
+
+        if not self._use_absolute_filtering:
+            if (self.area_filter_quartile < 0) or (self.area_filter_quartile > 1):
+                raise ConfigurationError(
+                    "Invalid area_filter_quartile value",
+                    details=f"Value {self.area_filter_quartile} is outside valid range [0, 1]",
+                    suggestions=[
+                        "Use values between 0.0 and 1.0",
+                        "Use 0.25 to filter smallest 25% of events",
+                    ],
+                    context={"provided_value": self.area_filter_quartile, "valid_range": [0, 1]},
+                )
+        else:
+            if self.area_filter_absolute <= 0:
+                raise ConfigurationError(
+                    "Invalid area_filter_absolute value",
+                    details=f"area_filter_absolute={self.area_filter_absolute} must be positive",
+                    suggestions=["Set area_filter_absolute to a positive integer (e.g., 5, 10, 50)"],
+                    context={"area_filter_absolute": self.area_filter_absolute},
+                )
+
+        if self.T_fill % 2 != 0:
+            raise ConfigurationError(
+                "T_fill must be even for temporal symmetry",
+                details=f"Provided T_fill={self.T_fill} is odd",
+                suggestions=["Use even values: 2, 4, 6, 8, etc."],
+                context={"provided_value": self.T_fill, "requirement": "even number"},
+            )
+
+    def _unify_coordinates(self) -> None:
+        """Auto-detect units and convert radians -> degrees (track.py:919-976)."""
+        if self.regional_mode:
+            if self.coordinate_units is None:
+                raise create_coordinate_error(
+                    "coordinate_units must be specified when regional_mode=True",
+                    suggestions=[
+                        "Set coordinate_units='degrees' for degree-based coordinates",
+                        "Set coordinate_units='radians' for radian-based coordinates",
+                    ],
+                )
+            if self.coordinate_units not in ("degrees", "radians"):
+                raise create_coordinate_error(
+                    f"Invalid coordinate_units '{self.coordinate_units}'",
+                    details="coordinate_units must be either 'degrees' or 'radians'",
+                    suggestions=["Use coordinate_units='degrees' or coordinate_units='radians'"],
+                )
+        elif self.coordinate_units is not None:
+            if self.coordinate_units not in ("degrees", "radians"):
+                raise create_coordinate_error(
+                    f"Invalid coordinate_units '{self.coordinate_units}'",
+                    details="coordinate_units must be either 'degrees' or 'radians'",
+                    suggestions=["Use coordinate_units='degrees' or coordinate_units='radians'"],
+                )
+        else:
+            lon = np.asarray(self.data_bin.coords[self.xcoord].values, dtype=np.float64)
+            lon_range = float(lon.max() - lon.min())
+            # tolerate one grid-spacing short of the full circle (endpoint-free grids)
+            tol_deg = max(1.0, 360.0 / max(lon.size, 1) + 1e-6)
+            tol_rad = max(0.02, 2 * np.pi / max(lon.size, 1) + 1e-9)
+            if abs(lon_range - 360.0) <= tol_deg:
+                self.coordinate_units = "degrees"
+            elif abs(lon_range - 2 * np.pi) <= tol_rad:
+                self.coordinate_units = "radians"
+            else:
+                raise create_coordinate_error(
+                    f"Cannot auto-detect coordinate units from range {lon_range:.3f}",
+                    details=f"Expected ranges: ~360 degrees or ~{2*np.pi:.3f} radians. Found range: {lon_range:.3f}",
+                    suggestions=[
+                        "Use regional_mode=True with coordinate_units specified for regional data",
+                        "Specify coordinate_units='degrees' or coordinate_units='radians' explicitly",
+                    ],
+                    context={"detected_range": lon_range, "xdim": self.xcoord},
+                )
+
+        if self.coordinate_units == "radians":
+            for cname in (self.xcoord, self.ycoord):
+                c = self.data_bin.coords[cname]
+                self.data_bin.coords[cname] = Coord(c.dims, np.asarray(c.values) * 180.0 / np.pi)
+
+    # ------------------------------------------------------------------
+    # Main public pipeline
+    # ------------------------------------------------------------------
+
+    def run(self, return_merges: bool = False, checkpoint: Optional[str] = None):
+        """Run preprocessing, tracking, and statistics (track.py:1162-1232)."""
+        logger.info("Starting complete tracking pipeline")
+        log_memory_usage(logger, "Pipeline start", logging.DEBUG)
+
+        with log_timing(logger, "Data preprocessing", log_memory=True):
+            data_bin_preprocessed, object_stats = self.run_preprocess(checkpoint=checkpoint)
+
+        with log_timing(logger, "Object identification and tracking", log_memory=True):
+            events_ds, merges_ds, N_events_final = self.run_tracking(data_bin_preprocessed)
+
+        with log_timing(logger, "Computing event statistics and attributes", log_memory=True):
+            events_ds = self.run_stats_attributes(events_ds, merges_ds, object_stats, N_events_final)
+
+        logger.info(f"Tracking pipeline completed successfully - {N_events_final} events identified")
+        if self.allow_merging and return_merges:
+            return events_ds, merges_ds
+        return events_ds
+
+    # ------------------------------------------------------------------
+    # Stage 1: preprocessing
+    # ------------------------------------------------------------------
+
+    def compute_area(self, data_bin: jnp.ndarray) -> np.ndarray:
+        """Total active area per timestep (track.py:1499-1518)."""
+        if self.unstructured_grid:
+            return np.asarray(jnp.sum(data_bin * jnp.asarray(self.cell_area)[None], axis=1))
+        return np.asarray(jnp.sum(data_bin, axis=(1, 2)))
+
+    def fill_holes(self, data: jnp.ndarray, R_fill: Optional[int] = None) -> jnp.ndarray:
+        """Morphological closing+opening (track.py:1520-1673)."""
+        if R_fill is None:
+            R_fill = self.R_fill
+        if self.unstructured_grid:
+            return _morph.binary_close_open_unstructured(
+                data, jnp.asarray(self.neighbours_int), jnp.asarray(self.mask_values), int(R_fill)
+            )
+        mode = "wrap" if not self.regional_mode else "edge"
+        return _morph.binary_close_open_grid(data, int(R_fill), jnp.asarray(self.mask_values), mode=mode)
+
+    def fill_time_gaps(self, data: jnp.ndarray) -> jnp.ndarray:
+        """Temporal closing then re-fill of new spatial holes (track.py:1675-1726)."""
+        if self.T_fill == 0:
+            return data
+        closed = _morph.binary_close_time(data, int(self.T_fill))
+        return self.fill_holes(closed, R_fill=self.R_fill // 2)
+
+    @property
+    def mask_values(self) -> np.ndarray:
+        return np.asarray(self.mask.values, dtype=bool)
+
+    def _label_slices(self, data: jnp.ndarray) -> Tuple[jnp.ndarray, np.ndarray]:
+        """Per-timestep CCL returning dense per-slice labels + counts."""
+        if self.unstructured_grid:
+            masked = jnp.logical_and(data, jnp.asarray(self.mask_values)[None])
+            labels, counts = _label.label_slices_unstructured(masked, jnp.asarray(self.neighbours_int))
+        else:
+            labels, counts = _label.label_slices_grid(data, wrap_x=not self.regional_mode)
+        return labels, np.asarray(counts)
+
+    def filter_small_objects(self, data: jnp.ndarray):
+        """Remove objects below the area threshold (track.py:1755-1906)."""
+        labels, counts = self._label_slices(data)
+        L = int(counts.max()) if counts.size else 0
+        if L == 0:
+            raise TrackingError(
+                "No objects found for area-based filtering",
+                details={"objects_count": 0, "area_filter_quartile": self.area_filter_quartile},
+                suggestions=[
+                    "Check if input data contains any extreme events",
+                    "Verify that preprocessing parameters are appropriate",
+                    "Consider lowering the extreme threshold percentile",
+                ],
+            )
+
+        T = labels.shape[0]
+        flat = labels.reshape(T, -1)
+        ones = jnp.ones((flat.shape[1],), jnp.float32)
+        areas_tl = np.asarray(_props.label_sums(flat, ones, L))  # (T, L+1) pixel/cell counts
+
+        # flatten object area list
+        all_areas = []
+        for t in range(T):
+            n = int(counts[t])
+            if n:
+                all_areas.append(areas_tl[t, 1 : n + 1])
+        object_areas = np.concatenate(all_areas) if all_areas else np.array([])
+
+        if self.unstructured_grid:
+            # pre-filter tiny objects before the percentile (track.py:1812-1815)
+            min_sz = 5 if self._use_absolute_filtering else 50
+            object_areas_f = object_areas[object_areas > min_sz]
+            if len(object_areas_f) == 0:
+                raise TrackingError(
+                    "No objects found for area-based filtering",
+                    details={"objects_count": 0, "grid_type": "unstructured"},
+                    suggestions=["Check if input data contains any extreme events"],
+                )
+            N_prefiltered = int(len(object_areas_f))
+            if self._use_absolute_filtering:
+                area_threshold = float(self.area_filter_absolute)
+            else:
+                area_threshold = float(np.percentile(object_areas_f, self.area_filter_quartile * 100))
+            keep_tl = areas_tl > area_threshold
+            N_filtered = int(np.sum(object_areas_f > area_threshold))
+            stats_areas = object_areas_f
+        else:
+            N_prefiltered = int(len(object_areas))
+            if self._use_absolute_filtering:
+                area_threshold = float(self.area_filter_absolute)
+            else:
+                area_threshold = float(np.percentile(object_areas, self.area_filter_quartile * 100.0))
+            keep_tl = areas_tl >= area_threshold
+            N_filtered = int(np.sum(object_areas >= area_threshold))
+            stats_areas = object_areas
+
+        keep_tl[:, 0] = False
+        keep_dev = jnp.asarray(keep_tl)
+        filtered = jnp.take_along_axis(keep_dev, flat, axis=1).reshape(data.shape)
+
+        return filtered, area_threshold, stats_areas, N_prefiltered, N_filtered
+
+    def run_preprocess(self, checkpoint: Optional[str] = None):
+        """Morphological fill + area filtering (track.py:1234-1368)."""
+        data = jnp.asarray(np.asarray(self.data_bin.values, dtype=bool))
+
+        raw_area = self.compute_area(data)
+
+        logger.info(f"Filling spatial holes with radius R_fill={self.R_fill}")
+        data = self.fill_holes(data)
+
+        logger.info(f"Filling temporal gaps with T_fill={self.T_fill}")
+        data = self.fill_time_gaps(data)
+
+        logger.info("Filtering small objects")
+        data_filtered, area_threshold, object_areas, N_pre, N_post = self.filter_small_objects(data)
+        logger.info(f"Filtered {N_pre} -> {N_post} objects (threshold: {area_threshold})")
+
+        processed_area = self.compute_area(data_filtered)
+
+        total_area_IDed = float(object_areas.sum())
+        accepted_area = float(object_areas[object_areas > area_threshold].sum())
+        accepted_area_fraction = accepted_area / total_area_IDed if total_area_IDed else 0.0
+        total_raw = float(raw_area.sum())
+        total_processed = float(processed_area.sum())
+        preprocessed_area_fraction = total_raw / total_processed if total_processed else 0.0
+
+        object_stats = (
+            total_area_IDed,
+            N_pre,
+            N_post,
+            area_threshold,
+            accepted_area_fraction,
+            preprocessed_area_fraction,
+        )
+        return data_filtered, object_stats
+
+    # ------------------------------------------------------------------
+    # Stage 2: tracking
+    # ------------------------------------------------------------------
+
+    def run_tracking(self, data_bin_preprocessed: jnp.ndarray):
+        """Track objects through time (track.py:1370-1412)."""
+        if self.allow_merging or self.unstructured_grid:
+            events_ds, merges_ds, N_events = self.track_objects(data_bin_preprocessed)
+        else:
+            labels, n = _label.label_spacetime_grid(data_bin_preprocessed, wrap_x=not self.regional_mode)
+            N_events = int(n)
+            id_field = self._wrap_id_field(np.asarray(labels, dtype=np.int32))
+            events_ds = FieldSet({"ID_field": id_field})
+            merges_ds = FieldSet()
+        logger.info("Finished tracking all extreme events!")
+        return events_ds, merges_ds, N_events
+
+    def _spatial_dims(self) -> Tuple[str, ...]:
+        return (self.xdim,) if self.unstructured_grid else (self.ydim, self.xdim)
+
+    def _wrap_id_field(self, values: np.ndarray) -> Field:
+        dims = (self.timedim,) + self._spatial_dims()
+        return Field(values, dims, self.data_bin.coords, name="ID_field")
+
+    def _compute_props_for_labels(self, labels: jnp.ndarray, counts: np.ndarray, offsets: np.ndarray) -> ObjectTable:
+        """Build the object table from per-slice dense labels."""
+        L = int(counts.max()) if counts.size else 0
+        table = ObjectTable()
+        if L == 0:
+            return table
+        if self.unstructured_grid:
+            areas, c0, c1 = _props.unstructured_label_props(
+                labels, jnp.asarray(self.lat), jnp.asarray(self.lon), jnp.asarray(self.cell_area), L
+            )
+        else:
+            areas, c0, c1 = _props.grid_label_props(labels, L, wrap=not self.regional_mode)
+        areas, c0, c1 = map(np.asarray, (areas, c0, c1))
+        for t in range(labels.shape[0]):
+            n = int(counts[t])
+            for k in range(1, n + 1):
+                gid = int(offsets[t]) + k
+                table.add(gid, float(areas[t, k]), float(c0[t, k]), float(c1[t, k]))
+        return table
+
+    def _slice_props_host(self, slice_labels: np.ndarray, ids: np.ndarray) -> Dict[int, Tuple[float, float, float]]:
+        """Recompute (area, centroid) for specific ids in one time slice."""
+        out: Dict[int, Tuple[float, float, float]] = {}
+        for oid in ids:
+            m = slice_labels == oid
+            if not m.any():
+                continue
+            if self.unstructured_grid:
+                a = self.cell_area[m]
+                area = float(a.sum())
+                lat_r = np.radians(self.lat[m])
+                lon_r = np.radians(self.lon[m])
+                x = np.sum(a * np.cos(lat_r) * np.cos(lon_r))
+                y = np.sum(a * np.cos(lat_r) * np.sin(lon_r))
+                z = np.sum(a * np.sin(lat_r))
+                norm = max(np.sqrt(x * x + y * y + z * z), 1e-30)
+                clat = float(np.degrees(np.arcsin(np.clip(z / norm, -1, 1))))
+                clon = float(np.degrees(np.arctan2(y / norm, x / norm)))
+                if clon > 180:
+                    clon -= 360
+                elif clon < -180:
+                    clon += 360
+                out[int(oid)] = (area, clat, clon)
+            else:
+                yy, xx = np.nonzero(m)
+                area = float(len(yy))
+                cy = float(yy.mean())
+                W = slice_labels.shape[1]
+                if not self.regional_mode and (xx < _props.EDGE_ZONE).any() and (xx >= W - _props.EDGE_ZONE).any():
+                    x_adj = xx.astype(np.float64).copy()
+                    x_adj[xx > W / 2] -= W
+                    cx = float(x_adj.mean())
+                    if cx < 0:
+                        cx += W
+                else:
+                    cx = float(xx.mean())
+                out[int(oid)] = (area, cy, cx)
+        return out
+
+    def _enforce_threshold(self, pairs: np.ndarray, table: ObjectTable) -> np.ndarray:
+        """Filter pair list by overlap fraction >= threshold (track.py:2506-2552)."""
+        if len(pairs) == 0:
+            return pairs.reshape(0, 3)
+        keep = []
+        for a, b, w in pairs:
+            ia, ib = int(a), int(b)
+            if ia not in table or ib not in table:
+                continue
+            min_area = min(table.area(ia), table.area(ib))
+            if min_area > 0 and (w / min_area) >= self.overlap_threshold:
+                keep.append((a, b, w))
+        return np.array(keep, dtype=np.float64).reshape(-1, 3)
+
+    def track_objects(self, data_bin: jnp.ndarray):
+        """Full merge/split-aware tracking (track.py:2734-2807)."""
+        labels_slices, counts = self._label_slices(data_bin)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        global_labels = np.asarray(_label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32))))
+        logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
+
+        object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
+        logger.info("Finished calculating object properties")
+
+        labels_np = np.array(global_labels, dtype=np.int32)  # writable host copy
+        labels_np, object_table, overlap_list, merge_events = self._split_and_merge(labels_np, object_table)
+        logger.info("Finished splitting and merging objects")
+
+        events_ds, N_events = self._cluster_rename(labels_np, object_table, overlap_list, merge_events)
+        logger.info("Finished clustering and renaming objects into coherent consistent events")
+        return events_ds, merge_events, N_events
+
+    # -- overlap utilities -------------------------------------------------
+
+    def _cell_weights(self) -> Optional[np.ndarray]:
+        if self.unstructured_grid:
+            return self.cell_area.reshape(-1).astype(np.float32)
+        return None
+
+    def _all_overlaps(self, labels_np: np.ndarray) -> np.ndarray:
+        """Overlap pairs for all consecutive slices (device kernel + host merge)."""
+        T = labels_np.shape[0]
+        flat = labels_np.reshape(T, -1)
+        S = flat.shape[1]
+        w = self._cell_weights()
+        weights = jnp.asarray(w) if w is not None else jnp.ones((S,), jnp.float32)
+        max_label = int(labels_np.max())
+        key_stride = max_label + 2
+        if key_stride * key_stride >= 2**31:
+            # fall back to host for extreme label counts
+            out = []
+            wv = w
+            for t in range(T - 1):
+                out.append(_overlap_slice_host(flat[t], flat[t + 1], wv))
+            return _merge_pair_lists(out)
+        max_pairs = 256
+        while True:
+            pa, pb, pw = _overlap.overlap_pairs_all(jnp.asarray(flat), weights, max_pairs, key_stride)
+            pa = np.asarray(pa)
+            # overflow check: every slice must have at least one free slot
+            if (pa[:, -1] < 0).all() or max_pairs >= S:
+                break
+            max_pairs *= 4
+        return _overlap.aggregate_pairs_host(pa, np.asarray(pb), np.asarray(pw))
+
+    # -- split & merge march -------------------------------------------------
+
+    def _split_and_merge(self, labels_np: np.ndarray, table: ObjectTable):
+        """
+        Sequential split/merge resolution (semantics of track.py:3337-3802):
+        timestep march with (t-2, t-1) consolidation and iterative per-timestep
+        merge partitioning. Only timesteps with candidate merges do real work.
+        """
+        T = labels_np.shape[0]
+        w = self._cell_weights()
+        flatten = (lambda s: s) if self.unstructured_grid else (lambda s: s.reshape(-1))
+
+        # per-consecutive-slice overlap cache: index t holds pairs (t, t+1)
+        pair_cache: List[Optional[np.ndarray]] = [None] * max(T - 1, 0)
+
+        def get_pairs(t: int) -> np.ndarray:
+            if pair_cache[t] is None:
+                pair_cache[t] = _overlap_slice_host(flatten(labels_np[t]), flatten(labels_np[t + 1]), w)
+            return pair_cache[t]
+
+        def invalidate(t: int) -> None:
+            if 0 <= t - 1 < T - 1:
+                pair_cache[t - 1] = None
+            if 0 <= t < T - 1:
+                pair_cache[t] = None
+
+        merge_times: List[Any] = []
+        merge_child_ids: List[np.ndarray] = []
+        merge_parent_ids: List[np.ndarray] = []
+        merge_areas: List[np.ndarray] = []
+        next_new_id = int(table.max_id()) + 1
+        time_values = np.asarray(self.data_bin.coords[self.timecoord].values)
+
+        for t in range(T):
+            # -- consolidation of t-1 using t-2 (track.py:3422-3429) --------
+            if t > 0:
+                t2 = t - 2
+                if t2 >= 0:
+                    back = self._enforce_threshold(get_pairs(t2), table)
+                else:
+                    back = np.empty((0, 3))
+                if len(back):
+                    parents, counts_p = np.unique(back[:, 0], return_counts=True)
+                    for parent_id in parents[counts_p > 1]:
+                        if int(parent_id) not in table:
+                            continue
+                        children = back[back[:, 0] == parent_id, 1].astype(np.int64)
+                        first = int(children[0])
+                        if first not in table:
+                            continue
+                        changed = False
+                        for child in children[1:]:
+                            child = int(child)
+                            if child not in table:
+                                continue
+                            labels_np[t - 1][labels_np[t - 1] == child] = first
+                            table.drop(child)
+                            changed = True
+                        if changed:
+                            props = self._slice_props_host(labels_np[t - 1], np.array([first]))
+                            if first in props:
+                                table.add(first, *props[first])
+                            invalidate(t - 1)
+
+            if t == 0:
+                continue
+
+            # -- per-timestep merge resolution (track.py:3438-3597) ---------
+            for iteration in range(10):
+                cur = self._enforce_threshold(get_pairs(t - 1), table)
+                if len(cur) == 0:
+                    break
+                children, child_counts = np.unique(cur[:, 1], return_counts=True)
+                merging = children[child_counts > 1]
+                if len(merging) == 0:
+                    break
+
+                for child_id in merging:
+                    child_id = int(child_id)
+                    cur = self._enforce_threshold(get_pairs(t - 1), table)
+                    rows = cur[cur[:, 1] == child_id]
+                    if len(rows) < 2:
+                        continue
+                    parent_ids = rows[:, 0].astype(np.int64)
+                    n_parents = len(parent_ids)
+
+                    new_ids = np.arange(next_new_id, next_new_id + n_parents - 1, dtype=np.int64)
+                    next_new_id += n_parents - 1
+                    child_ids = np.concatenate([[child_id], new_ids]).astype(np.int64)
+
+                    merge_times.append(time_values[t])
+                    merge_child_ids.append(child_ids)
+                    merge_parent_ids.append(parent_ids)
+                    merge_areas.append(rows[:, 2])
+
+                    parent_centroids = np.array([table.centroid(int(p)) for p in parent_ids], dtype=np.float64)
+                    assignment = self._partition_child(
+                        labels_np, t, child_id, parent_ids, parent_centroids, table
+                    )  # (n_child_cells,) index into parents
+
+                    child_mask = labels_np[t] == child_id
+                    new_labels_cells = child_ids[assignment]
+                    labels_np[t][child_mask] = new_labels_cells
+                    invalidate(t)
+
+                    props = self._slice_props_host(labels_np[t], child_ids)
+                    if child_id in props:
+                        table.add(child_id, *props[child_id])
+                    else:
+                        table.drop(child_id)
+                        logger.info(f"Deleted child_id {child_id} because parents have split/morphed")
+                    for nid in new_ids:
+                        nid = int(nid)
+                        if nid in props:
+                            table.add(nid, *props[nid])
+                        else:
+                            logger.warning(
+                                f"Missing newly created child_id {nid} because parents have split/morphed"
+                            )
+            else:
+                logger.warning(f"Resolving mergers at timestep {t} did not converge after 10 iterations")
+
+        # end-of-series consolidation parity: the reference also consolidates
+        # the final timestep within each chunk; the march above consolidates
+        # t-1 at every t, leaving only the last slice — do it now.
+        if T >= 2:
+            back = self._enforce_threshold(get_pairs(T - 2), table)
+            if len(back):
+                parents, counts_p = np.unique(back[:, 0], return_counts=True)
+                for parent_id in parents[counts_p > 1]:
+                    if int(parent_id) not in table:
+                        continue
+                    children = back[back[:, 0] == parent_id, 1].astype(np.int64)
+                    first = int(children[0])
+                    if first not in table:
+                        continue
+                    for child in children[1:]:
+                        child = int(child)
+                        if child not in table:
+                            continue
+                        labels_np[T - 1][labels_np[T - 1] == child] = first
+                        table.drop(child)
+                    props = self._slice_props_host(labels_np[T - 1], np.array([first]))
+                    if first in props:
+                        table.add(first, *props[first])
+
+        # final overlap list over the (modified) fields (track.py:3641-3643)
+        overlap_list = self._enforce_threshold(self._all_overlaps(labels_np), table)
+
+        # duplicate-children diagnostics (track.py:3646-3751, abbreviated)
+        if len(overlap_list):
+            uc, cc = np.unique(overlap_list[:, 1], return_counts=True)
+            dups = uc[cc > 1]
+            if len(dups):
+                logger.warning(
+                    f"There are {len(dups)} children with multiple parents after splitting/merging "
+                    "(expected for disjoint objects grouped by the overlap logic)"
+                )
+
+        merge_events = _build_merge_events(merge_times, merge_child_ids, merge_parent_ids, merge_areas)
+        return labels_np, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
+
+    def _partition_child(
+        self,
+        labels_np: np.ndarray,
+        t: int,
+        child_id: int,
+        parent_ids: np.ndarray,
+        parent_centroids: np.ndarray,
+        table: ObjectTable,
+    ) -> np.ndarray:
+        """Partition the child's cells among parents; returns parent indices
+        for child cells in C-order (device kernels from ops.partition)."""
+        n_parents = len(parent_ids)
+        P = MAX_PARENTS
+        valid = np.zeros(P, bool)
+        valid[:n_parents] = True
+        cents = np.zeros((P, 2), np.float32)
+        cents[:n_parents] = parent_centroids
+
+        prev = labels_np[t - 1]
+        child_mask = labels_np[t] == child_id
+
+        if self.unstructured_grid:
+            pmasks = np.zeros((P,) + prev.shape, bool)
+            for i, pid in enumerate(parent_ids):
+                pmasks[i] = prev == pid
+            if self.nn_partitioning:
+                max_area = max(table.area(int(p)) for p in parent_ids) / self.mean_cell_area
+                max_distance = max(int(np.sqrt(max_area) * 2.0), 20) * 2
+                assign = _part.partition_nn_unstructured(
+                    jnp.asarray(child_mask),
+                    jnp.asarray(pmasks),
+                    jnp.asarray(valid),
+                    jnp.asarray(cents),
+                    jnp.asarray(self.neighbours_int),
+                    jnp.asarray(self.lat.astype(np.float32)),
+                    jnp.asarray(self.lon.astype(np.float32)),
+                    int(max_distance),
+                )
+            else:
+                assign = _part.partition_centroid_unstructured(
+                    jnp.asarray(cents),
+                    jnp.asarray(valid),
+                    jnp.asarray(self.lat.astype(np.float32)),
+                    jnp.asarray(self.lon.astype(np.float32)),
+                )
+            assign = np.asarray(assign)
+            return assign[child_mask]
+        else:
+            if self.nn_partitioning:
+                pmasks = np.zeros((P,) + prev.shape, bool)
+                for i, pid in enumerate(parent_ids):
+                    pmasks[i] = prev == pid
+                max_area = max(table.area(int(p)) for p in parent_ids)
+                max_distance = max(int(np.sqrt(max_area) * 3.0), 40)
+                assign = _part.partition_nn_grid(
+                    jnp.asarray(child_mask),
+                    jnp.asarray(pmasks),
+                    jnp.asarray(valid),
+                    jnp.asarray(cents),
+                    float(max_distance),
+                    wrap=not self.regional_mode,
+                )
+            else:
+                assign = _part.centroid_assign_grid(
+                    jnp.asarray(cents), jnp.asarray(valid), jnp.asarray(child_mask), wrap=not self.regional_mode
+                )
+            assign = np.asarray(assign)
+            return assign[child_mask]
+
+    # -- clustering & statistics ----------------------------------------------
+
+    def _cluster_rename(
+        self,
+        labels_np: np.ndarray,
+        table: ObjectTable,
+        overlap_list: np.ndarray,
+        merge_events: FieldSet,
+    ):
+        """Cluster overlap pairs into events and relabel (track.py:2809-3331)."""
+        field_ids = np.unique(labels_np)
+        field_ids = field_ids[field_ids > 0]
+        if len(overlap_list):
+            overlap_ids = np.unique(overlap_list.astype(np.int64))
+            overlap_ids = overlap_ids[overlap_ids > 0]
+            all_ids = np.unique(np.concatenate([field_ids.astype(np.int64), overlap_ids]))
+        else:
+            all_ids = field_ids.astype(np.int64)
+        logger.info(f"Found {len(all_ids)} valid object IDs")
+
+        comp = _overlap.union_find_components(
+            overlap_list.astype(np.int64) if len(overlap_list) else np.empty((0, 2), np.int64), all_ids
+        )
+        n_events = int(comp.max()) + 1 if len(comp) else 0
+        logger.info(f"Identified {n_events} connected components (events)")
+
+        max_id = int(max(labels_np.max(), all_ids.max() if len(all_ids) else 0))
+        lookup = np.zeros(max_id + 2, dtype=np.int32)
+        lookup[all_ids] = comp.astype(np.int32) + 1
+
+        # device remap of the full field
+        new_field = np.asarray(jnp.take(jnp.asarray(lookup), jnp.asarray(labels_np)))
+
+        T = labels_np.shape[0]
+        N = n_events
+
+        # global_ID (time, ID): original id at each time for each event
+        global_id = np.zeros((T, N + 1), dtype=np.int32)
+        for t in range(T):
+            nf = new_field[t].reshape(-1)
+            of = labels_np[t].reshape(-1)
+            sel = nf > 0
+            global_id[t][nf[sel]] = of[sel]
+
+        presence = global_id > 0
+        time_vals = np.asarray(self.data_bin.coords[self.timecoord].values)
+        first_idx = presence.argmax(axis=0)
+        last_idx = T - 1 - presence[::-1].argmax(axis=0)
+        time_start = time_vals[first_idx]
+        time_end = time_vals[last_idx]
+
+        # per-time area & centroid recompute for (possibly disjoint) events
+        areas, clat, clon = self._event_stats(new_field, N)
+
+        # merge ledger: (time, ID, sibling_ID) of merge-partner event ids
+        sibling = MAX_PARENTS
+        ledger = np.full((T, N + 1, sibling), -1, dtype=np.int32)
+        if "parent_IDs" in merge_events.data_vars:
+            pids = merge_events["parent_IDs"].values
+            mtimes = merge_events["merge_time"].values
+            time_to_idx = {v: i for i, v in enumerate(time_vals)}
+            for m in range(pids.shape[0]):
+                tixd = time_to_idx.get(mtimes[m])
+                if tixd is None:
+                    continue
+                parents_old = pids[m][pids[m] > 0]
+                parents_new = lookup[np.clip(parents_old, 0, max_id + 1)]
+                parents_new = parents_new[parents_new > 0]
+                for pn in parents_new:
+                    k = min(len(parents_new), sibling)
+                    ledger[tixd, pn, :k] = parents_new[:k]
+
+        tdims = (self.timedim,)
+        sdims = self._spatial_dims()
+        coords = dict(self.data_bin.coords)
+        id_coord = Coord("ID", np.arange(1, N + 1, dtype=np.int32))
+
+        events_ds = FieldSet(
+            {
+                "ID_field": Field(new_field.astype(np.int32), tdims + sdims, coords, name="ID_field"),
+                "global_ID": Field(global_id[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="global_ID"),
+                "area": Field(areas[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="area"),
+                "centroid": Field(
+                    np.stack([clat[:, 1:], clon[:, 1:]], axis=0),
+                    ("component", self.timedim, "ID"),
+                    {**coords, "ID": id_coord, "component": Coord("component", np.array([0, 1]))},
+                    name="centroid",
+                ),
+                "presence": Field(presence[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="presence"),
+                "time_start": Field(time_start[1:], ("ID",), {"ID": id_coord}, name="time_start"),
+                "time_end": Field(time_end[1:], ("ID",), {"ID": id_coord}, name="time_end"),
+                "merge_ledger": Field(
+                    ledger[:, 1:, :],
+                    (self.timedim, "ID", "sibling_ID"),
+                    {**coords, "ID": id_coord, "sibling_ID": Coord("sibling_ID", np.arange(sibling))},
+                    name="merge_ledger",
+                ),
+            },
+            attrs={},
+        )
+        return events_ds, N
+
+    def _event_stats(self, event_field: np.ndarray, n_events: int):
+        """Physical areas + area-weighted centroids per (time, event)
+        (track.py:3119-3319)."""
+        if n_events == 0:
+            T = event_field.shape[0]
+            z = np.zeros((T, 1), np.float32)
+            return z, z.copy(), z.copy()
+        labels = jnp.asarray(event_field)
+        if self.unstructured_grid:
+            areas, clat, clon = _props.unstructured_label_props(
+                labels, jnp.asarray(self.lat), jnp.asarray(self.lon), jnp.asarray(self.cell_area), n_events
+            )
+            areas, clat, clon = map(np.asarray, (areas, clat, clon))
+        else:
+            areas, cy, cx = _props.grid_label_props(
+                labels, n_events, wrap=not self.regional_mode, cell_weights=jnp.asarray(self.cell_area)
+            )
+            areas = np.asarray(areas)
+            cy = np.asarray(_props.interp_coord(cy, jnp.asarray(self.lat.astype(np.float32))))
+            cx = np.asarray(_props.interp_coord(cx, jnp.asarray(self.lon.astype(np.float32))))
+            present = areas > 0
+            clat = np.where(present, cy, np.nan).astype(np.float32)
+            clon = np.where(present, cx, np.nan).astype(np.float32)
+        areas = np.where(areas > 0, areas, np.nan).astype(np.float32)
+        return areas, clat, clon
+
+    # ------------------------------------------------------------------
+    # Stage 3: statistics & attributes
+    # ------------------------------------------------------------------
+
+    def run_stats_attributes(
+        self,
+        events_ds: FieldSet,
+        merges_ds: FieldSet,
+        object_stats: Tuple[float, int, int, float, float, float],
+        N_events_final: int,
+    ) -> FieldSet:
+        """Attach summary statistics and remap coordinates (track.py:1414-1493)."""
+        (
+            total_area_IDed,
+            N_objects_prefiltered,
+            N_objects_filtered,
+            area_threshold,
+            accepted_area_fraction,
+            preprocessed_area_fraction,
+        ) = object_stats
+
+        events_ds.attrs["allow_merging"] = int(self.allow_merging)
+        events_ds.attrs["N_objects_prefiltered"] = int(N_objects_prefiltered)
+        events_ds.attrs["N_objects_filtered"] = int(N_objects_filtered)
+        events_ds.attrs["N_events_final"] = int(N_events_final)
+        events_ds.attrs["R_fill"] = self.R_fill
+        events_ds.attrs["T_fill"] = self.T_fill
+        events_ds.attrs["area_filter_quartile"] = self.area_filter_quartile
+        events_ds.attrs["area_threshold (cells)"] = area_threshold
+        events_ds.attrs["accepted_area_fraction"] = accepted_area_fraction
+        events_ds.attrs["preprocessed_area_fraction"] = preprocessed_area_fraction
+
+        print("Tracking Statistics:")
+        print(f"   Binary Hobday to Processed Area Fraction: {preprocessed_area_fraction}")
+        print(f"   Total Object Area IDed (cells): {total_area_IDed}")
+        print(f"   Number of Initial Pre-Filtered Objects: {N_objects_prefiltered}")
+        print(f"   Number of Final Filtered Objects: {N_objects_filtered}")
+        print(f"   Area Cutoff Threshold (cells): {int(area_threshold)}")
+        print(f"   Accepted Area Fraction: {accepted_area_fraction}")
+        print(f"   Total Events Tracked: {N_events_final}")
+
+        if self.allow_merging:
+            events_ds.attrs["overlap_threshold"] = self.overlap_threshold
+            events_ds.attrs["nn_partitioning"] = int(self.nn_partitioning)
+            n_merges = merges_ds["n_parents"].shape[0] if "n_parents" in merges_ds.data_vars else 0
+            events_ds.attrs["total_merges"] = int(n_merges)
+            if n_merges:
+                events_ds.attrs["multi_parent_merges"] = int((merges_ds["n_parents"].values > 2).sum())
+            else:
+                events_ds.attrs["multi_parent_merges"] = 0
+            print(f"   Total Merging Events Recorded: {events_ds.attrs['total_merges']}")
+
+        events_ds.attrs.update(self.data_attrs)
+        events_ds = self._remap_coordinates(events_ds)
+        return events_ds
+
+    def _remap_coordinates(self, events_ds: FieldSet) -> FieldSet:
+        """Restore original coordinate units/ranges for coords & centroids
+        (track.py:978-1021)."""
+        ydims = events_ds.coords[self.ycoord].dims if self.ycoord in events_ds.coords else (self.ydim,)
+        xdims = events_ds.coords[self.xcoord].dims if self.xcoord in events_ds.coords else (self.xdim,)
+        events_ds.coords[self.ycoord] = Coord(ydims, self.lat_init)
+        events_ds.coords[self.xcoord] = Coord(xdims, self.lon_init)
+
+        if "centroid" in events_ds.data_vars:
+            cent = events_ds["centroid"].values.copy()
+            clat, clon = cent[0], cent[1]
+            lon_min = float(np.min(self.lon_init))
+            lon_max = float(np.max(self.lon_init))
+            if self.coordinate_units == "radians":
+                clat = clat * np.pi / 180.0
+                clon = clon * np.pi / 180.0
+                if lon_min >= 0 and lon_max > np.pi:
+                    clon = np.where(clon < 0, clon + 2 * np.pi, clon)
+            else:
+                if lon_min >= 0 and lon_max > 180:
+                    clon = np.where(clon < 0, clon + 360, clon)
+            cent[0], cent[1] = clat, clon
+            f = events_ds["centroid"]
+            events_ds["centroid"] = Field(cent, f.dims, f.coords, name="centroid")
+        return events_ds
+
+
+# ============================
+# Module-level helpers
+# ============================
+
+
+def _merge_pair_lists(lists: List[np.ndarray]) -> np.ndarray:
+    lists = [x for x in lists if len(x)]
+    if not lists:
+        return np.empty((0, 3), dtype=np.float64)
+    allp = np.concatenate(lists)
+    key = allp[:, 0].astype(np.int64) * np.int64(2**31) + allp[:, 1].astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(len(uniq))
+    np.add.at(sums, inv, allp[:, 2])
+    return np.column_stack([uniq // 2**31, uniq % 2**31, sums]).astype(np.float64)
+
+
+def _build_merge_events(
+    merge_times: List[Any],
+    merge_child_ids: List[np.ndarray],
+    merge_parent_ids: List[np.ndarray],
+    merge_areas: List[np.ndarray],
+) -> FieldSet:
+    """Assemble the padded merge-events dataset (track.py:3753-3793)."""
+    if merge_parent_ids and merge_child_ids:
+        max_parents = max(len(x) for x in merge_parent_ids)
+        max_children = max(len(x) for x in merge_child_ids)
+    else:
+        max_parents = 1
+        max_children = 1
+    n = len(merge_parent_ids)
+    parent_arr = np.full((n, max_parents), -1, np.int32)
+    child_arr = np.full((n, max_children), -1, np.int32)
+    areas_arr = np.full((n, max_parents), -1, np.int32)
+    for i, p in enumerate(merge_parent_ids):
+        parent_arr[i, : len(p)] = p
+    for i, c in enumerate(merge_child_ids):
+        child_arr[i, : len(c)] = c
+    for i, a in enumerate(merge_areas):
+        areas_arr[i, : len(a)] = a
+
+    mid = Coord("merge_ID", np.arange(n))
+    if n:
+        mt = np.array(merge_times)
+    else:
+        mt = np.array([], dtype="datetime64[ns]")
+    return FieldSet(
+        {
+            "parent_IDs": Field(parent_arr, ("merge_ID", "parent_idx"), {"merge_ID": mid}, name="parent_IDs"),
+            "child_IDs": Field(child_arr, ("merge_ID", "child_idx"), {"merge_ID": mid}, name="child_IDs"),
+            "overlap_areas": Field(areas_arr, ("merge_ID", "parent_idx"), {"merge_ID": mid}, name="overlap_areas"),
+            "merge_time": Field(mt, ("merge_ID",), {"merge_ID": mid}, name="merge_time"),
+            "n_parents": Field(
+                np.array([len(p) for p in merge_parent_ids], np.int8), ("merge_ID",), {"merge_ID": mid}, name="n_parents"
+            ),
+            "n_children": Field(
+                np.array([len(c) for c in merge_child_ids], np.int8), ("merge_ID",), {"merge_ID": mid}, name="n_children"
+            ),
+        },
+        attrs={"fill_value": -1},
+    )
+
+
+def regional_tracker(
+    data_bin: Any,
+    mask: Any,
+    coordinate_units: Literal["degrees", "radians"],
+    R_fill: Union[int, float],
+    area_filter_quartile: Optional[float] = None,
+    area_filter_absolute: Optional[int] = None,
+    **kwargs: Any,
+) -> tracker:
+    """
+    Convenience constructor for regional (non-global) domains with open
+    boundaries — sets ``regional_mode=True`` and requires explicit coordinate
+    units (track.py:5471-5558).
+    """
+    return tracker(
+        data_bin,
+        mask,
+        R_fill=R_fill,
+        area_filter_quartile=area_filter_quartile,
+        area_filter_absolute=area_filter_absolute,
+        regional_mode=True,
+        coordinate_units=coordinate_units,
+        **kwargs,
+    )

@@ -8,11 +8,19 @@ code paths execute real collectives without TPU hardware.
 
 import os
 
-# Must be configured before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be configured before the jax backend is initialised anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # pragma: no cover - older jax without this flag
+    pass
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402

@@ -34,7 +34,7 @@ class TestMorphology:
         se = mmorph.disk_kernel(r)
         got = np.asarray(mmorph.binary_close_open_grid(jnp.asarray(data), r, jnp.asarray(mask), mode="wrap"))
 
-        d = 2 * r
+        d = 4 * r  # marex_tpu pads 4R for exact periodic invariance
         padded = np.pad(data, ((0, 0), (d, d), (d, d)), mode="wrap")
         closed = ndimage.binary_closing(padded, structure=se[None])
         opened = ndimage.binary_opening(closed, structure=se[None])

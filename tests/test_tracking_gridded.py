@@ -1,0 +1,288 @@
+"""Gridded tracking tests: moving blobs, merging, gap filling, filtering.
+
+Mirrors the reference's tracking test strategy (tests/test_gridded_tracking.py):
+event counts within small tolerances, blob-following ID fields, merge ledger
+behaviour, T_fill gap continuity, and validation error paths.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import marex_tpu as marEx
+from marex_tpu.core.field import Field
+
+from .conftest import assert_count_in_reasonable_range
+
+NY, NX = 40, 240
+
+
+def _grid_coords(T, start="2020-01-01"):
+    return {
+        "time": pd.date_range(start, periods=T, freq="D").to_numpy(),
+        "lat": np.linspace(-40, 40, NY),
+        "lon": np.linspace(0, 360, NX, endpoint=False),
+    }
+
+
+def make_blob_field(T=30, r=6, path=None):
+    """Binary field with one circular blob following `path` (list of (y, x))."""
+    data = np.zeros((T, NY, NX), bool)
+    yy, xx = np.mgrid[0:NY, 0:NX]
+    for t in range(T):
+        cy, cx = path(t)
+        dx = np.minimum(np.abs(xx - cx), NX - np.abs(xx - cx))
+        data[t] = (yy - cy) ** 2 + dx**2 <= r**2
+    return Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
+
+
+def ocean_mask():
+    return Field(np.ones((NY, NX), bool), ("lat", "lon"), coords={"lat": np.linspace(-40, 40, NY), "lon": np.linspace(0, 360, NX, endpoint=False)}, name="mask")
+
+
+class TestBasicTracking:
+    def test_single_moving_blob_no_merging(self):
+        da = make_blob_field(T=30, path=lambda t: (20, 30 + 3 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=False)
+        events = tr.run()
+        assert "ID_field" in events
+        ids = events.ID_field.values
+        assert ids.max() == 1  # one coherent event
+        assert events.attrs["N_events_final"] == 1
+        # blob present at every timestep
+        assert (ids.reshape(30, -1).max(axis=1) == 1).all()
+
+    def test_blob_wraps_through_lon_boundary(self):
+        # blob crosses the periodic boundary mid-track
+        da = make_blob_field(T=30, path=lambda t: (20, (225 + 3 * t) % NX))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=False)
+        events = tr.run()
+        assert events.ID_field.values.max() == 1
+
+    def test_single_blob_with_merging_enabled(self):
+        da = make_blob_field(T=24, path=lambda t: (20, 40 + 2 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=True)
+        events, merges = tr.run(return_merges=True)
+        for var in ("ID_field", "global_ID", "area", "centroid", "presence", "time_start", "time_end", "merge_ledger"):
+            assert var in events, var
+        assert events.attrs["N_events_final"] == 1
+        assert events.attrs["total_merges"] == 0
+        # presence is continuous over the event lifetime
+        pres = events.presence.values[:, 0]
+        assert pres.all()
+        # area positive wherever present
+        area = events.area.values[:, 0]
+        assert np.isfinite(area).all() and (area > 0).all()
+
+    def test_centroid_tracks_blob(self):
+        da = make_blob_field(T=20, path=lambda t: (20, 60 + 4 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=True)
+        events = tr.run()
+        clon = events.centroid.values[1, :, 0]  # component 1 = lon
+        lon_vals = np.linspace(0, 360, NX, endpoint=False)
+        expected = lon_vals[(60 + 4 * np.arange(20)) % NX]
+        np.testing.assert_allclose(clon, expected, atol=2.0)
+
+    def test_two_separate_blobs(self):
+        def path_pair(t):
+            return (10, 40 + 2 * t)
+
+        da1 = make_blob_field(T=20, path=path_pair)
+        da2 = make_blob_field(T=20, path=lambda t: (32, 160 + 2 * t))
+        da = Field(da1.values | da2.values, da1.dims, da1.coords, name="extreme_events")
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.0, T_fill=0, allow_merging=True)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 2
+
+
+class TestTemporalGapFilling:
+    def _gappy_blob(self, gap):
+        T = 24
+        data = np.zeros((T, NY, NX), bool)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        blob = (yy - 20) ** 2 + (xx - 100) ** 2 <= 36
+        for t in range(T):
+            if not (10 <= t < 10 + gap):
+                data[t] = blob
+        return Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
+
+    def test_gap_filled_with_t_fill(self):
+        da = self._gappy_blob(gap=2)
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, T_fill=2, area_filter_quartile=0.5, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 1
+        ids = events.ID_field.values
+        assert ids[11].max() == 1  # gap timestep filled
+
+    def test_gap_splits_without_t_fill(self):
+        da = self._gappy_blob(gap=2)
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, T_fill=0, area_filter_quartile=0.5, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 2
+
+    def test_large_gap_not_filled(self):
+        da = self._gappy_blob(gap=6)
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, T_fill=2, area_filter_quartile=0.5, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 2
+
+
+class TestMergingSplitting:
+    def _merging_blobs(self, T=20):
+        """Two blobs approach and merge at about t=10."""
+        data = np.zeros((T, NY, NX), bool)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        for t in range(T):
+            cxa = 90 + 2 * t  # moves right
+            cxb = 150 - 2 * t  # moves left
+            a = (yy - 20) ** 2 + (xx - cxa) ** 2 <= 49
+            b = (yy - 20) ** 2 + (xx - cxb) ** 2 <= 49
+            data[t] = a | b
+        return Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
+
+    @pytest.mark.parametrize("nn_partitioning", [False, True])
+    def test_merge_preserves_identities(self, nn_partitioning):
+        da = self._merging_blobs()
+        tr = marEx.tracker(
+            da,
+            ocean_mask(),
+            R_fill=2,
+            T_fill=0,
+            area_filter_quartile=0.0,
+            allow_merging=True,
+            nn_partitioning=nn_partitioning,
+            overlap_threshold=0.3,
+        )
+        events, merges = tr.run(return_merges=True)
+        # the two parent identities persist through the merge
+        assert_count_in_reasonable_range(events.attrs["N_events_final"], 2, tolerance=1)
+        assert events.attrs["total_merges"] >= 1
+        assert "parent_IDs" in merges
+        n_parents = merges.n_parents.values
+        assert (n_parents >= 2).any()
+
+    def test_merge_ledger_records_siblings(self):
+        da = self._merging_blobs()
+        tr = marEx.tracker(
+            da, ocean_mask(), R_fill=2, T_fill=0, area_filter_quartile=0.0, allow_merging=True, overlap_threshold=0.3
+        )
+        events = tr.run()
+        ledger = events.merge_ledger.values
+        assert (ledger > 0).any()  # at least one recorded merge pair
+
+    def test_classic_merging_gives_single_event(self):
+        # without split/merge logic, 3-D connectivity fuses the pair into one event
+        da = self._merging_blobs()
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, T_fill=0, area_filter_quartile=0.0, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 1
+
+
+class TestAreaFiltering:
+    def _two_size_blobs(self):
+        T = 10
+        data = np.zeros((T, NY, NX), bool)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        big = (yy - 20) ** 2 + (xx - 60) ** 2 <= 64
+        small = (yy - 20) ** 2 + (xx - 180) ** 2 <= 4
+        for t in range(T):
+            data[t] = big | small
+        return Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
+
+    def test_absolute_filter_removes_small(self):
+        da = self._two_size_blobs()
+        tr = marEx.tracker(da, ocean_mask(), R_fill=0, T_fill=0, area_filter_absolute=50, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 1
+
+    def test_quartile_filter(self):
+        da = self._two_size_blobs()
+        tr = marEx.tracker(da, ocean_mask(), R_fill=0, T_fill=0, area_filter_quartile=0.5, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 1
+
+    def test_no_filter_keeps_both(self):
+        da = self._two_size_blobs()
+        tr = marEx.tracker(da, ocean_mask(), R_fill=0, T_fill=0, area_filter_absolute=1, allow_merging=False)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 2
+
+
+class TestValidation:
+    def test_odd_t_fill_rejected(self):
+        da = make_blob_field(T=5, path=lambda t: (20, 100))
+        with pytest.raises(marEx.ConfigurationError):
+            marEx.tracker(da, ocean_mask(), R_fill=2, T_fill=3, area_filter_quartile=0.5)
+
+    def test_both_area_filters_rejected(self):
+        da = make_blob_field(T=5, path=lambda t: (20, 100))
+        with pytest.raises(marEx.ConfigurationError):
+            marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, area_filter_absolute=10)
+
+    def test_non_boolean_data_rejected(self):
+        da = make_blob_field(T=5, path=lambda t: (20, 100)).astype(np.int32)
+        with pytest.raises(marEx.DataValidationError):
+            marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5)
+
+    def test_all_false_mask_rejected(self):
+        da = make_blob_field(T=5, path=lambda t: (20, 100))
+        m = ocean_mask()
+        bad_mask = Field(np.zeros((NY, NX), bool), m.dims, m.coords)
+        with pytest.raises(marEx.DataValidationError):
+            marEx.tracker(da, bad_mask, R_fill=2, area_filter_quartile=0.5)
+
+    def test_invalid_quartile_rejected(self):
+        da = make_blob_field(T=5, path=lambda t: (20, 100))
+        with pytest.raises(marEx.ConfigurationError):
+            marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=1.5)
+
+    def test_stats_attrs_present(self):
+        da = make_blob_field(T=10, path=lambda t: (20, 100 + 2 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, T_fill=0, area_filter_quartile=0.5, allow_merging=True)
+        events = tr.run()
+        for attr in (
+            "allow_merging",
+            "N_objects_prefiltered",
+            "N_objects_filtered",
+            "N_events_final",
+            "R_fill",
+            "T_fill",
+            "area_filter_quartile",
+            "preprocessed_area_fraction",
+            "total_merges",
+        ):
+            assert attr in events.attrs, attr
+
+
+class TestRegionalMode:
+    def _regional_blob(self):
+        T = 12
+        data = np.zeros((T, NY, NX), bool)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        for t in range(T):
+            data[t] = (yy - 20) ** 2 + (xx - (30 + 3 * t)) ** 2 <= 25
+        coords = {
+            "time": pd.date_range("2020-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(30, 60, NY),
+            "lon": np.linspace(-20, 30, NX),  # regional, 50-degree span
+        }
+        return Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+
+    def test_regional_tracker_runs(self):
+        da = self._regional_blob()
+        m = Field(np.ones((NY, NX), bool), ("lat", "lon"), coords={"lat": da.coords["lat"].values, "lon": da.coords["lon"].values})
+        tr = marEx.regional_tracker(da, m, coordinate_units="degrees", R_fill=2, area_filter_quartile=0.5, T_fill=0)
+        events = tr.run()
+        assert events.attrs["N_events_final"] == 1
+
+    def test_regional_requires_units(self):
+        da = self._regional_blob()
+        m = Field(np.ones((NY, NX), bool), ("lat", "lon"), coords={"lat": da.coords["lat"].values, "lon": da.coords["lon"].values})
+        with pytest.raises(marEx.CoordinateError):
+            marEx.tracker(da, m, R_fill=2, area_filter_quartile=0.5, regional_mode=True)
+
+    def test_nonglobal_without_regional_mode_rejected(self):
+        da = self._regional_blob()
+        m = Field(np.ones((NY, NX), bool), ("lat", "lon"), coords={"lat": da.coords["lat"].values, "lon": da.coords["lon"].values})
+        with pytest.raises(marEx.CoordinateError):
+            marEx.tracker(da, m, R_fill=2, area_filter_quartile=0.5)
