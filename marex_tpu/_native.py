@@ -1,0 +1,220 @@
+"""
+Native (C++) host-runtime loader.
+
+Compiles ``csrc/marex_host.cpp`` into a shared library on first use (g++,
+cached next to the package) and exposes it through ctypes; every entry point
+has a pure-numpy fallback so the framework works without a toolchain.
+Disable with ``MAREX_DISABLE_NATIVE=1``.
+
+The TPU owns the array math; this layer accelerates the host-side graph
+bookkeeping of the tracker (overlap-pair aggregation, union-find event
+clustering, in-place label renames) — the role Numba played in the reference
+(track.py:4826-5468).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from .logging_config import get_logger
+
+logger = get_logger(__name__)
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _source_path() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in (
+        os.path.join(here, "..", "csrc", "marex_host.cpp"),
+        os.path.join(here, "csrc", "marex_host.cpp"),
+    ):
+        if os.path.exists(cand):
+            return os.path.abspath(cand)
+    return None
+
+
+def _build(src: str) -> Optional[str]:
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
+    os.makedirs(out_dir, exist_ok=True)
+    so_path = os.path.join(out_dir, "libmarex_host.so")
+    if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(src):
+        return so_path
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", so_path],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return so_path
+    except Exception as e:  # pragma: no cover - toolchain missing
+        logger.debug(f"native build failed ({e}); using numpy fallbacks")
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MAREX_DISABLE_NATIVE", "").strip() in ("1", "true"):
+        return None
+    src = _source_path()
+    if src is None:
+        return None
+    so = _build(src)
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.marex_overlap_pairs.restype = ctypes.c_int64
+        lib.marex_overlap_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.marex_union_find.restype = None
+        lib.marex_union_find.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.marex_replace_value.restype = ctypes.c_int64
+        lib.marex_replace_value.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        logger.debug("native host runtime loaded")
+    except Exception as e:  # pragma: no cover
+        logger.debug(f"native load failed ({e}); using numpy fallbacks")
+        _lib = None
+    return _lib
+
+
+def has_native() -> bool:
+    return get_lib() is not None
+
+
+# ----------------------------------------------------------------------------
+# Wrappers with numpy fallback
+# ----------------------------------------------------------------------------
+
+
+def overlap_pairs(ids_a: np.ndarray, ids_b: np.ndarray, weights: Optional[np.ndarray]) -> np.ndarray:
+    """Unique positive (a, b) pairs with summed weights -> (N, 3) float64."""
+    lib = get_lib()
+    a = np.ascontiguousarray(ids_a.reshape(-1), dtype=np.int32)
+    b = np.ascontiguousarray(ids_b.reshape(-1), dtype=np.int32)
+    if lib is not None:
+        w = None if weights is None else np.ascontiguousarray(weights.reshape(-1), dtype=np.float32)
+        cap = int(min(len(a), 4 * 1024 * 1024)) + 1
+        out_a = np.empty(cap, np.int64)
+        out_b = np.empty(cap, np.int64)
+        out_w = np.empty(cap, np.float64)
+        n = lib.marex_overlap_pairs(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            None if w is None else w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(a),
+            cap,
+            out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return np.column_stack([out_a[:n].astype(np.float64), out_b[:n].astype(np.float64), out_w[:n]])
+
+    # numpy fallback
+    both = (a > 0) & (b > 0)
+    if not both.any():
+        return np.empty((0, 3), dtype=np.float64)
+    av = a[both].astype(np.int64)
+    bv = b[both].astype(np.int64)
+    key = (av << 31) | bv
+    if weights is None:
+        uniq, counts = np.unique(key, return_counts=True)
+        sums = counts.astype(np.float64)
+    else:
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, weights.reshape(-1)[both].astype(np.float64))
+    return np.column_stack([(uniq >> 31).astype(np.float64), (uniq & ((1 << 31) - 1)).astype(np.float64), sums])
+
+
+def union_find(edges: np.ndarray, node_ids: np.ndarray) -> np.ndarray:
+    """Connected components: edges (N,2), node_ids (M,) -> (M,) comp index."""
+    lib = get_lib()
+    node_ids = np.ascontiguousarray(node_ids, dtype=np.int64)
+    if lib is not None:
+        ea = np.ascontiguousarray(edges[:, 0] if len(edges) else np.empty(0), dtype=np.int64)
+        eb = np.ascontiguousarray(edges[:, 1] if len(edges) else np.empty(0), dtype=np.int64)
+        comp = np.empty(len(node_ids), np.int32)
+        lib.marex_union_find(
+            ea.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(ea),
+            node_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(node_ids),
+            comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return comp
+
+    # numpy fallback (path-compressing loop)
+    id_to_idx = {int(v): i for i, v in enumerate(node_ids)}
+    parent = np.arange(len(node_ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for aa, bb in np.asarray(edges).reshape(-1, 2):
+        ia = id_to_idx.get(int(aa))
+        ib = id_to_idx.get(int(bb))
+        if ia is None or ib is None:
+            continue
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(node_ids))])
+    _, comp = np.unique(roots, return_inverse=True)
+    return comp.astype(np.int32)
+
+
+def replace_value(arr: np.ndarray, old_val: int, new_val: int) -> int:
+    """In-place replacement; returns count."""
+    lib = get_lib()
+    if lib is not None and arr.dtype == np.int32 and arr.flags["C_CONTIGUOUS"]:
+        return int(
+            lib.marex_replace_value(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                arr.size,
+                int(old_val),
+                int(new_val),
+            )
+        )
+    m = arr == old_val
+    arr[m] = new_val
+    return int(m.sum())

@@ -109,34 +109,15 @@ def aggregate_pairs_host(
 
 def union_find_components(pairs: np.ndarray, node_ids: np.ndarray) -> np.ndarray:
     """
-    Connected components of the overlap graph (host, path-compressed
-    union-find) — replaces scipy csgraph at track.py:2876-2884.
+    Connected components of the overlap graph (host union-find; native C++
+    when available) — replaces scipy csgraph at track.py:2876-2884.
 
     pairs : (N, 2) int array of edges between node ids
     node_ids : (M,) all node ids present
 
     Returns (M,) component index (0..K-1) aligned with node_ids order.
     """
-    id_to_idx = {int(v): i for i, v in enumerate(node_ids)}
-    parent = np.arange(len(node_ids), dtype=np.int64)
+    from .._native import union_find
 
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
-
-    for a, b in pairs:
-        ia = id_to_idx.get(int(a))
-        ib = id_to_idx.get(int(b))
-        if ia is None or ib is None:
-            continue
-        ra, rb = find(ia), find(ib)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    roots = np.array([find(i) for i in range(len(node_ids))])
-    _, comp = np.unique(roots, return_inverse=True)
-    return comp
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    return union_find(pairs, np.asarray(node_ids, dtype=np.int64))

@@ -48,24 +48,20 @@ MAX_PARENTS = 10  # padded parent capacity per merge event (track.py:3827-3830)
 def _overlap_slice_host(ids_a: np.ndarray, ids_b: np.ndarray, weights: Optional[np.ndarray]) -> np.ndarray:
     """
     (id_a, id_b, weight) unique pair list for one slice pair — host mirror of
-    the device kernel, used for incremental recomputation inside the merge
-    march (semantics of track.py:2396-2452).
+    the device kernel (native C++ hash-aggregation when available), used for
+    incremental recomputation inside the merge march (semantics of
+    track.py:2396-2452).
     """
-    both = (ids_a > 0) & (ids_b > 0)
-    if not both.any():
-        return np.empty((0, 3), dtype=np.float64)
-    a = ids_a[both].astype(np.int64)
-    b = ids_b[both].astype(np.int64)
-    stride = np.int64(max(int(ids_a.max()), int(ids_b.max())) + 1)
-    key = a * stride + b
-    if weights is None:
-        uniq, counts = np.unique(key, return_counts=True)
-        w = counts.astype(np.float64)
-    else:
-        uniq, inv = np.unique(key, return_inverse=True)
-        w = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(w, inv, weights[both].astype(np.float64))
-    return np.column_stack([(uniq // stride).astype(np.float64), (uniq % stride).astype(np.float64), w])
+    from ._native import overlap_pairs
+
+    return overlap_pairs(np.asarray(ids_a), np.asarray(ids_b), weights)
+
+
+def _replace_label(slice_arr: np.ndarray, old_id: int, new_id: int) -> int:
+    """In-place label rename on one time slice (native C++ when available)."""
+    from ._native import replace_value
+
+    return replace_value(slice_arr.reshape(-1), int(old_id), int(new_id))
 
 
 class ObjectTable:
@@ -830,7 +826,7 @@ class tracker:
                             child = int(child)
                             if child not in table:
                                 continue
-                            labels_np[t - 1][labels_np[t - 1] == child] = first
+                            _replace_label(labels_np[t - 1], child, first)
                             table.drop(child)
                             changed = True
                         if changed:
@@ -915,7 +911,7 @@ class tracker:
                         child = int(child)
                         if child not in table:
                             continue
-                        labels_np[T - 1][labels_np[T - 1] == child] = first
+                        _replace_label(labels_np[T - 1], child, first)
                         table.drop(child)
                     props = self._slice_props_host(labels_np[T - 1], np.array([first]))
                     if first in props:

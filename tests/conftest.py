@@ -22,6 +22,17 @@ try:
 except Exception:  # pragma: no cover - older jax without this flag
     pass
 
+# Persistent compilation cache: kernel compiles dominate test wall-time on
+# the CPU backend; cache them across test sessions.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # pragma: no cover
+    pass
+
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,290 @@
+"""Unstructured-mesh tests: preprocessing + tracking on a triangular grid.
+
+Mirrors the reference's unstructured test strategy
+(tests/test_unstructured_preprocessing.py, test_unstructured_tracking.py).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import marex_tpu as marEx
+from marex_tpu.core.field import Coord, Field
+
+from .conftest import assert_percentile_frequency, make_unstructured_mesh
+
+UNSTRUCT_DIMS = {"time": "time", "x": "ncells"}
+UNSTRUCT_COORDS = {"time": "time", "x": "lon", "y": "lat"}
+
+
+class TestUnstructuredPreprocessing:
+    def test_fixed_baseline_global_extreme(self, unstructured_sst):
+        da, nb, ca = unstructured_sst
+        ds = marEx.preprocess_data(
+            da,
+            method_anomaly="fixed_baseline",
+            method_extreme="global_extreme",
+            method_percentile="exact",
+            threshold_percentile=95,
+            dimensions=UNSTRUCT_DIMS,
+            coordinates=UNSTRUCT_COORDS,
+            neighbours=nb,
+            cell_areas=ca,
+        )
+        assert ds.dat_anomaly.dims == ("time", "ncells")
+        assert ds.thresholds.dims == ("ncells",)
+        assert "neighbours" in ds
+        assert "cell_areas" in ds
+        freq = ds.extreme_events.values.mean()
+        assert_percentile_frequency(freq, 95, description="unstructured fixed/global")
+
+    def test_hobday_extreme_approximate(self, unstructured_sst):
+        da, nb, ca = unstructured_sst
+        ds = marEx.preprocess_data(
+            da,
+            method_anomaly="detrend_harmonic",
+            method_extreme="hobday_extreme",
+            method_percentile="approximate",
+            threshold_percentile=95,
+            dimensions=UNSTRUCT_DIMS,
+            coordinates=UNSTRUCT_COORDS,
+        )
+        assert ds.thresholds.dims == ("dayofyear", "ncells")
+        freq = ds.extreme_events.values.mean()
+        assert 0.02 < freq < 0.09
+
+    def test_shifting_baseline(self, unstructured_sst):
+        da, nb, ca = unstructured_sst
+        ds = marEx.preprocess_data(
+            da,
+            method_anomaly="shifting_baseline",
+            method_extreme="global_extreme",
+            window_year_baseline=5,
+            dimensions=UNSTRUCT_DIMS,
+            coordinates=UNSTRUCT_COORDS,
+        )
+        assert np.isfinite(ds.dat_anomaly.values).all()
+        freq = ds.extreme_events.values.mean()
+        assert_percentile_frequency(freq, 95, description="unstructured shifting/global")
+
+    def test_coordinates_required_for_unstructured(self, unstructured_sst):
+        da, _, _ = unstructured_sst
+        with pytest.raises(marEx.DataValidationError):
+            marEx.preprocess_data(da, method_anomaly="fixed_baseline", dimensions=UNSTRUCT_DIMS)
+
+    def test_spatial_window_rejected(self, unstructured_sst):
+        da, _, _ = unstructured_sst
+        with pytest.raises(marEx.ConfigurationError):
+            marEx.preprocess_data(
+                da,
+                method_anomaly="fixed_baseline",
+                method_extreme="hobday_extreme",
+                window_spatial_hobday=5,
+                dimensions=UNSTRUCT_DIMS,
+                coordinates=UNSTRUCT_COORDS,
+            )
+
+
+def _mesh_blob_events(T=20, seed=0):
+    """Binary events: a hop-ball around a seed cell, drifting across the mesh."""
+    lat_c, lon_c, neighbours, areas = make_unstructured_mesh(n_side=16)
+    C = len(lat_c)
+    nb0 = neighbours.astype(np.int64) - 1  # 0-based, -1 invalid
+
+    # adjacency list for BFS
+    def hop_ball(center, radius):
+        dist = np.full(C, 255, np.int16)
+        dist[center] = 0
+        frontier = [center]
+        for d in range(1, radius + 1):
+            nxt = []
+            for c in frontier:
+                for k in range(3):
+                    nn = nb0[k, c]
+                    if nn >= 0 and dist[nn] == 255:
+                        dist[nn] = d
+                        nxt.append(nn)
+            frontier = nxt
+        return dist <= radius
+
+    rng = np.random.default_rng(seed)
+    # pick a walk of seed cells: follow neighbours
+    seeds = [C // 2]
+    for _ in range(T - 1):
+        c = seeds[-1]
+        options = [nb0[k, c] for k in range(3) if nb0[k, c] >= 0]
+        seeds.append(int(rng.choice(options)) if options else c)
+
+    data = np.zeros((T, C), bool)
+    for t in range(T):
+        data[t] = hop_ball(seeds[t], 4)
+
+    times = pd.date_range("2021-01-01", periods=T, freq="D").to_numpy()
+    da = Field(
+        data,
+        ("time", "ncells"),
+        coords={"time": times, "lat": Coord("ncells", lat_c), "lon": Coord("ncells", lon_c)},
+        name="extreme_events",
+    )
+    mask = Field(np.ones(C, bool), ("ncells",), coords={"lat": Coord("ncells", lat_c), "lon": Coord("ncells", lon_c)})
+    nbf = Field(neighbours, ("nv", "ncells"), name="neighbours")
+    caf = Field(areas, ("ncells",), name="cell_areas")
+    return da, mask, nbf, caf
+
+
+class TestUnstructuredTracking:
+    def test_single_event_tracked(self):
+        da, mask, nb, ca = _mesh_blob_events(T=16)
+        tr = marEx.tracker(
+            da,
+            mask,
+            R_fill=1,
+            T_fill=0,
+            area_filter_absolute=2,
+            unstructured_grid=True,
+            coordinate_units="degrees",
+            dimensions={"x": "ncells"},
+            coordinates={"x": "lon", "y": "lat"},
+            neighbours=nb,
+            cell_areas=ca,
+            temp_dir="/tmp",
+        )
+        events = tr.run()
+        assert events.ID_field.dims == ("time", "ncells")
+        assert events.attrs["N_events_final"] >= 1
+        # dominant event covers most active cells
+        ids = events.ID_field.values
+        active = da.values
+        dominant = np.bincount(ids[active].ravel()).argmax()
+        frac = (ids[active] == dominant).mean()
+        assert frac > 0.7
+
+    def test_merging_events_on_mesh(self):
+        # two hop-balls that approach each other: seeds on opposite sides
+        lat_c, lon_c, neighbours, areas = make_unstructured_mesh(n_side=16)
+        C = len(lat_c)
+        T = 12
+        # use spatial positions: pick cells at lon ~ 90 and ~270 moving together
+        order = np.argsort(lon_c)
+        left = order[len(order) // 4]
+        right = order[3 * len(order) // 4]
+
+        nb0 = neighbours.astype(np.int64) - 1
+
+        def hop_ball(center, radius):
+            dist = np.full(C, 255, np.int16)
+            dist[center] = 0
+            frontier = [center]
+            for d in range(1, radius + 1):
+                nxt = []
+                for c in frontier:
+                    for k in range(3):
+                        nn = nb0[k, c]
+                        if nn >= 0 and dist[nn] == 255:
+                            dist[nn] = d
+                            nxt.append(nn)
+                frontier = nxt
+            return dist <= radius
+
+        data = np.zeros((T, C), bool)
+        for t in range(T):
+            r = 3 + t // 2  # balls grow until they touch
+            data[t] = hop_ball(left, r) | hop_ball(right, r)
+
+        times = pd.date_range("2021-06-01", periods=T, freq="D").to_numpy()
+        da = Field(
+            data,
+            ("time", "ncells"),
+            coords={"time": times, "lat": Coord("ncells", lat_c), "lon": Coord("ncells", lon_c)},
+        )
+        mask = Field(np.ones(C, bool), ("ncells",), coords={"lat": Coord("ncells", lat_c), "lon": Coord("ncells", lon_c)})
+        tr = marEx.tracker(
+            da,
+            mask,
+            R_fill=0,
+            T_fill=0,
+            area_filter_absolute=2,
+            unstructured_grid=True,
+            coordinate_units="degrees",
+            nn_partitioning=True,
+            dimensions={"x": "ncells"},
+            coordinates={"x": "lon", "y": "lat"},
+            neighbours=Field(neighbours, ("nv", "ncells")),
+            cell_areas=Field(areas, ("ncells",)),
+            temp_dir="/tmp",
+        )
+        events, merges = tr.run(return_merges=True)
+        assert events.attrs["N_events_final"] >= 1
+        # centroids are geographic (within lat/lon bounds)
+        clat = events.centroid.values[0]
+        assert np.nanmax(np.abs(clat)) <= 90.0
+
+    def test_neighbours_required(self):
+        da, mask, nb, ca = _mesh_blob_events(T=4)
+        with pytest.raises(marEx.DataValidationError):
+            marEx.tracker(
+                da,
+                mask,
+                R_fill=1,
+                unstructured_grid=True,
+                coordinate_units="degrees",
+                dimensions={"x": "ncells"},
+                coordinates={"x": "lon", "y": "lat"},
+                cell_areas=ca,
+                temp_dir="/tmp",
+            )
+
+    def test_cell_areas_required(self):
+        da, mask, nb, ca = _mesh_blob_events(T=4)
+        with pytest.raises(marEx.DataValidationError):
+            marEx.tracker(
+                da,
+                mask,
+                R_fill=1,
+                unstructured_grid=True,
+                coordinate_units="degrees",
+                dimensions={"x": "ncells"},
+                coordinates={"x": "lon", "y": "lat"},
+                neighbours=nb,
+                temp_dir="/tmp",
+            )
+
+    def test_bad_neighbour_shape_rejected(self):
+        da, mask, nb, ca = _mesh_blob_events(T=4)
+        bad_nb = Field(nb.values[:2], ("nv", "ncells"), name="neighbours")
+        with pytest.raises(marEx.DataValidationError):
+            marEx.tracker(
+                da,
+                mask,
+                R_fill=1,
+                unstructured_grid=True,
+                coordinate_units="degrees",
+                dimensions={"x": "ncells"},
+                coordinates={"x": "lon", "y": "lat"},
+                neighbours=bad_nb,
+                cell_areas=ca,
+                temp_dir="/tmp",
+            )
+
+    def test_area_is_physical(self):
+        da, mask, nb, ca = _mesh_blob_events(T=10)
+        tr = marEx.tracker(
+            da,
+            mask,
+            R_fill=0,
+            T_fill=0,
+            area_filter_absolute=2,
+            unstructured_grid=True,
+            coordinate_units="degrees",
+            dimensions={"x": "ncells"},
+            coordinates={"x": "lon", "y": "lat"},
+            neighbours=nb,
+            cell_areas=ca,
+            temp_dir="/tmp",
+        )
+        events = tr.run()
+        area = events.area.values
+        pres = events.presence.values
+        # physical areas = sums of cell areas (not cell counts)
+        mean_cell = float(ca.values.mean())
+        assert np.nanmean(area[pres]) > 2 * mean_cell
