@@ -19,6 +19,11 @@ Example
 ...                           R_fill=8, area_filter_quartile=0.5).run()
 """
 
+try:  # coverage bootstrap for subprocess measurement (must import first)
+    from . import _coverage_init  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
 from ._dependencies import (
     get_dependency_status,
     get_installation_profile,

@@ -31,6 +31,7 @@ from .exceptions import ConfigurationError, create_data_validation_error
 from .logging_config import configure_logging, get_logger, log_array_info, log_memory_usage, log_timing
 from .ops import climatology as _clim
 from .ops import detrend as _detrend
+from .ops import pipeline as _pipe
 from .ops import quantile as _quant
 
 logger = get_logger(__name__)
@@ -559,13 +560,22 @@ def _anomaly_shifting_baseline(
     window_year_baseline: int,
     smooth_days_baseline: int,
 ) -> FieldSet:
-    """Smoothed rolling climatology anomaly (cf. detect.py:1819-1850)."""
+    """Smoothed rolling climatology anomaly (cf. detect.py:1819-1850) —
+    one fused XLA program (smooth -> scatter -> prefix sums -> gather)."""
     staged = _Staged(da, dimensions, coordinates)
-    smoothed = _clim.centered_rolling_mean_time(staged.data, smooth_days_baseline)
-    ymd = scatter_to_year_doy(smoothed, staged.tinfo)
-    clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
-    clim_ts = gather_from_year_doy(clim_y, staged.tinfo)
-    anomalies = staged.data - clim_ts
+    anomalies = _pipe.anomaly_program(
+        staged.data,
+        jnp.asarray(staged.tinfo.year_index),
+        jnp.asarray(staged.tinfo.dayofyear - 1),
+        jnp.ones((staged.data.shape[0],), bool),
+        None,
+        None,
+        staged.tinfo.n_years,
+        "shifting_baseline",
+        window_year_baseline,
+        smooth_days_baseline,
+        False,
+    )
     return _assemble_anomaly_ds(staged, anomalies)
 
 
@@ -578,7 +588,6 @@ def _anomaly_fixed_baseline(
     """Fixed daily climatology anomaly (cf. detect.py:2299-2397)."""
     staged = _Staged(da, dimensions, coordinates)
 
-    data_for_clim = staged.data
     if reference_period is not None:
         start_year, end_year = reference_period
         if start_year > end_year:
@@ -598,13 +607,23 @@ def _anomaly_fixed_baseline(
                     "Set reference_period=None to use the full time series",
                 ],
             )
-        sel = jnp.asarray(in_period)[:, None]
-        data_for_clim = jnp.where(sel, staged.data, jnp.nan)
+        clim_mask = jnp.asarray(in_period)
+    else:
+        clim_mask = jnp.ones((staged.data.shape[0],), bool)
 
-    ymd = scatter_to_year_doy(data_for_clim, staged.tinfo)
-    clim = _clim.nanmean_over_years(ymd)  # (366, S)
-    doy_idx = jnp.asarray(staged.tinfo.dayofyear - 1)
-    anomalies = (staged.data - clim[doy_idx]).astype(jnp.float32)
+    anomalies = _pipe.anomaly_program(
+        staged.data,
+        jnp.asarray(staged.tinfo.year_index),
+        jnp.asarray(staged.tinfo.dayofyear - 1),
+        clim_mask,
+        None,
+        None,
+        staged.tinfo.n_years,
+        "fixed_baseline",
+        0,
+        0,
+        False,
+    )
     return _assemble_anomaly_ds(staged, anomalies)
 
 
@@ -644,11 +663,19 @@ def _anomaly_detrended(
 
     staged = _Staged(da, dimensions, coordinates)
     model, pmodel = _detrend.build_design_matrix(staged.tinfo, detrend_orders, remove_harmonics)
-    anomalies = _detrend.detrend_subtract(
-        staged.data, jnp.asarray(model, dtype=jnp.float32), jnp.asarray(pmodel, dtype=jnp.float32)
+    anomalies = _pipe.anomaly_program(
+        staged.data,
+        jnp.asarray(staged.tinfo.year_index),
+        jnp.asarray(staged.tinfo.dayofyear - 1),
+        jnp.ones((staged.data.shape[0],), bool),
+        jnp.asarray(model, dtype=jnp.float32),
+        jnp.asarray(pmodel, dtype=jnp.float32),
+        staged.tinfo.n_years,
+        "detrend_harmonic",
+        0,
+        0,
+        force_zero_mean,
     )
-    if force_zero_mean:
-        anomalies = _detrend.remove_time_mean(anomalies)
 
     extra: Dict[str, Field] = {}
     if std_normalise:
@@ -890,31 +917,26 @@ def identify_extremes(
         )
 
 
-def _apply_threshold_bounds(thr: jnp.ndarray, bin_edges: np.ndarray, max_anomaly: float) -> jnp.ndarray:
-    """Warn on out-of-range thresholds and clamp too-low values (detect.py:2707-2732)."""
+def _warn_threshold_bounds(pre_min: float, pre_max: float, bin_edges: np.ndarray, max_anomaly: float) -> None:
+    """Warn on out-of-range thresholds (the clamp itself happens on device,
+    detect.py:2707-2732)."""
     upper_bound = float(bin_edges[-2])
     lower_bound = float(bin_edges[3])
-    thr_np = np.asarray(thr)
-    with np.errstate(invalid="ignore"):
-        too_high = np.asarray(thr_np > upper_bound)
-        too_low = np.asarray(thr_np < lower_bound)
-    if too_high.any():
+    if np.isfinite(pre_max) and pre_max > upper_bound:
         warnings.warn(
-            f"Quantile values exceed expected range: max={np.nanmax(thr_np):.4f} > {upper_bound:.4f}. "
+            f"Quantile values exceed expected range: max={pre_max:.4f} > {upper_bound:.4f}. "
             f"Consider increasing max_anomaly parameter (currently {max_anomaly:.2f}) or using a lower percentile threshold.",
             UserWarning,
             stacklevel=2,
         )
-    if too_low.any():
+    if np.isfinite(pre_min) and pre_min < lower_bound:
         warnings.warn(
-            f"Quantile values below expected range in some locations: min={np.nanmin(thr_np):.4f} < {lower_bound:.4f}. "
+            f"Quantile values below expected range in some locations: min={pre_min:.4f} < {lower_bound:.4f}. "
             "This is likely due to a constant anomaly in certain regions (e.g. due to sea ice). "
             "Double check the computed threshold values are correct.",
             UserWarning,
             stacklevel=2,
         )
-        thr = jnp.where(jnp.asarray(too_low), lower_bound, thr)
-    return thr
 
 
 def _identify_extremes_hobday(
@@ -942,32 +964,30 @@ def _identify_extremes_hobday(
             "increasing the window_days_hobday, or using a larger window_spatial_hobday."
         )
 
-    ymd = staged.ymd()
+    bin_edges = _quant.make_bin_edges(precision, max_anomaly)
+    nbins = len(bin_edges) - 1
+    centers = jnp.asarray(_quant.make_bin_centers(bin_edges))
+    grid_shape = staged.spatial_shape if staged.is_gridded else None
+    exact = method_percentile == "exact"
 
-    if method_percentile == "exact":
-        thr = _quant.hobday_thresholds_exact(ymd, q, window_days_hobday)  # (366, S)
-    else:
-        bin_edges = _quant.make_bin_edges(precision, max_anomaly)
-        nbins = len(bin_edges) - 1
-        centers = jnp.asarray(_quant.make_bin_centers(bin_edges))
-        bins_ymd = _quant.digitize_anomalies(ymd, precision, nbins)
-        grid_shape = staged.spatial_shape if staged.is_gridded else None
-        thr = _quant.hobday_thresholds_approx(
-            bins_ymd,
-            q,
-            window_days_hobday,
-            nbins,
-            centers,
-            window_spatial=window_spatial_hobday,
-            grid_shape=grid_shape,
-        )
-        # NaN out land (points NaN at t=0), then bounds handling
-        land = ~jnp.isfinite(staged.data[0])
-        thr = jnp.where(land[None, :], jnp.nan, thr)
-        thr = _apply_threshold_bounds(thr, bin_edges, max_anomaly)
-
-    doy_idx = jnp.asarray(staged.tinfo.dayofyear - 1)
-    extremes_ts = staged.data >= thr[doy_idx]
+    extremes_ts, thr, pre_min, pre_max = _pipe.hobday_program(
+        staged.data,
+        jnp.asarray(staged.tinfo.year_index),
+        jnp.asarray(staged.tinfo.dayofyear - 1),
+        q,
+        precision,
+        centers,
+        float(bin_edges[3]),
+        nbins,
+        staged.tinfo.n_years,
+        window_days_hobday,
+        window_spatial_hobday,
+        grid_shape,
+        True,
+        exact,
+    )
+    if not exact:
+        _warn_threshold_bounds(float(pre_min), float(pre_max), bin_edges, max_anomaly)
 
     dims = (staged.timedim,) + staged.spatial_dims
     extremes = Field(
@@ -998,20 +1018,16 @@ def _identify_extremes_constant(
     staged = _Staged(da, dimensions, coordinates)
     q = threshold_percentile / 100.0
 
-    if method_percentile == "exact":
-        thr = _quant.exact_quantile_time(staged.data, q)  # (S,)
-    else:
-        bin_edges = _quant.make_bin_edges(precision, max_anomaly)
-        nbins = len(bin_edges) - 1
-        centers = jnp.asarray(_quant.make_bin_centers(bin_edges))
-        bins_ts = _quant.digitize_anomalies(staged.data, precision, nbins)
-        thr = _quant.global_thresholds_approx(bins_ts, q, nbins, centers)
-        # NaN where any timestep is NaN (detect.py:2834-2836)
-        nan_any = jnp.isnan(staged.data).any(axis=0)
-        thr = jnp.where(nan_any, jnp.nan, thr)
-        thr = _apply_threshold_bounds(thr, bin_edges, max_anomaly)
+    bin_edges = _quant.make_bin_edges(precision, max_anomaly)
+    nbins = len(bin_edges) - 1
+    centers = jnp.asarray(_quant.make_bin_centers(bin_edges))
+    exact = method_percentile == "exact"
 
-    extremes_ts = staged.data >= thr[None, :]
+    extremes_ts, thr, pre_min, pre_max = _pipe.global_extreme_program(
+        staged.data, q, precision, centers, float(bin_edges[3]), nbins, exact
+    )
+    if not exact:
+        _warn_threshold_bounds(float(pre_min), float(pre_max), bin_edges, max_anomaly)
 
     dims = (staged.timedim,) + staged.spatial_dims
     extremes = Field(

@@ -11,12 +11,14 @@ TPU-native replacement for the reference's labeling substrate:
 * per-timestep labeling over unstructured neighbour graphs
   <- scipy csgraph connected_components per slice (track.py:1947-1999)
 
-Algorithm: every active cell starts labeled with its own flat index; repeat
-{neighbourhood-min over the connectivity stencil; two pointer-jumping hops
-(label <- label[label])} until fixpoint.  Pointer jumping gives O(log D)
-convergence in component diameter D, so even globe-wrapping filaments settle
-in a few dozen fused XLA iterations.  Labels are then densified to 1..N by a
-rank-over-roots cumsum (still on device).
+Algorithm: every active cell starts labeled with its own flat index, then a
+fused 3x3(x3) neighbourhood-min stencil (one reduce_window, 7.8 ms per
+iteration on a 105M-cell block) iterates to a fixpoint inside one
+lax.while_loop. Every ``jump_every`` iterations a pointer-jumping pass
+(label <- label[label]) compresses paths so pathological long filaments
+converge in O(jump_every * log D) instead of O(D) — jumps are gathers,
+measured ~250x the stencil cost on TPU, so they stay off the common path.
+Labels are then densified to 1..N by a rank-over-roots cumsum (on device).
 """
 
 from __future__ import annotations
@@ -26,38 +28,68 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _BIG = jnp.int32(2**31 - 1)
 
 
-def _shift2d(lab: jax.Array, dy: int, dx: int, wrap_x: bool) -> jax.Array:
-    """Shift a (..., H, W) label map; out-of-range cells become _BIG."""
-    out = lab
-    if dy != 0:
-        out = jnp.roll(out, dy, axis=-2)
-        if dy > 0:
-            out = out.at[..., :dy, :].set(_BIG)
-        else:
-            out = out.at[..., dy:, :].set(_BIG)
-    if dx != 0:
-        out = jnp.roll(out, dx, axis=-1)
-        if not wrap_x:
-            if dx > 0:
-                out = out.at[..., :, :dx].set(_BIG)
-            else:
-                out = out.at[..., :, dx:].set(_BIG)
-    return out
+def _min_pool_3x3(lab: jax.Array, wrap_x: bool) -> jax.Array:
+    """
+    3x3 neighbourhood min over the trailing (H, W) axes of a (T, H, W) label
+    map (out-of-range = _BIG; periodic in x when ``wrap_x``).  One fused
+    reduce_window instead of eight shifted copies — this keeps the CCL
+    while-loop's working set at ~2 label buffers.
+    """
+    if wrap_x:
+        x = jnp.concatenate([lab[..., -1:], lab, lab[..., :1]], axis=-1)
+        pad_x = (0, 0)
+    else:
+        x = lab
+        pad_x = (1, 1)
+    return jax.lax.reduce_window(
+        x,
+        np.int32(2**31 - 1),
+        jax.lax.min,
+        window_dimensions=(1, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), pad_x),
+    )
+
+
+def _min_pool_3x3x3(lab: jax.Array, wrap_x: bool) -> jax.Array:
+    """Full 3x3x3 spatio-temporal neighbourhood min of a (T, H, W) map."""
+    if wrap_x:
+        x = jnp.concatenate([lab[..., -1:], lab, lab[..., :1]], axis=-1)
+        pad_x = (0, 0)
+    else:
+        x = lab
+        pad_x = (1, 1)
+    return jax.lax.reduce_window(
+        x,
+        np.int32(2**31 - 1),
+        jax.lax.min,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), pad_x),
+    )
 
 
 def _jump(lab_flat: jax.Array) -> jax.Array:
-    """One pointer-jumping hop on (..., N) flat labels (BIG = inactive)."""
+    """One pointer-jumping hop on (..., N) flat labels (BIG = inactive).
+
+    Gathers are ~250x more expensive than the stencil min on TPU (measured
+    1.95 s vs 7.8 ms per iteration on a 105M-cell block), so callers invoke
+    this only every ``jump_every`` iterations — a fast path for typical blob
+    diameters with a logarithmic escape hatch for pathological filaments."""
     idx = jnp.where(lab_flat == _BIG, 0, lab_flat)
     hopped = jnp.take_along_axis(lab_flat, idx, axis=-1)
     return jnp.where(lab_flat == _BIG, _BIG, jnp.minimum(lab_flat, hopped))
 
 
-@partial(jax.jit, static_argnames=("wrap_x", "max_iters"))
-def label_slices_grid(data: jax.Array, wrap_x: bool = True, max_iters: int = 512) -> Tuple[jax.Array, jax.Array]:
+@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
+def label_slices_grid(
+    data: jax.Array, wrap_x: bool = True, max_iters: int = 4096, jump_every: int = 128
+) -> Tuple[jax.Array, jax.Array]:
     """
     Per-timestep 2-D CCL with 8-connectivity.
 
@@ -75,16 +107,17 @@ def label_slices_grid(data: jax.Array, wrap_x: bool = True, max_iters: int = 512
     flat_idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
     lab = jnp.where(data, flat_idx, _BIG)
 
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
-
     def step(state):
         lab, _, it = state
-        m = lab
-        for dy, dx in offsets:
-            m = jnp.minimum(m, _shift2d(lab, dy, dx, wrap_x))
+        m = _min_pool_3x3(lab, wrap_x)
         m = jnp.where(data, m, _BIG)
         mf = m.reshape(T, H * W)
-        mf = _jump(_jump(mf))
+        mf = jax.lax.cond(
+            (it % jump_every) == jump_every - 1,
+            lambda x: _jump(_jump(x)),
+            lambda x: x,
+            mf,
+        )
         new = mf.reshape(T, H, W)
         return new, jnp.any(new != lab), it + 1
 
@@ -103,8 +136,10 @@ def label_slices_grid(data: jax.Array, wrap_x: bool = True, max_iters: int = 512
     return dense.reshape(T, H, W), counts
 
 
-@partial(jax.jit, static_argnames=("wrap_x", "max_iters"))
-def label_spacetime_grid(data: jax.Array, wrap_x: bool = True, max_iters: int = 1024) -> Tuple[jax.Array, jax.Array]:
+@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
+def label_spacetime_grid(
+    data: jax.Array, wrap_x: bool = True, max_iters: int = 8192, jump_every: int = 64
+) -> Tuple[jax.Array, jax.Array]:
     """
     Full 3-D (time, y, x) CCL with 3x3x3 connectivity — events connected
     across time including spatio-temporal diagonals, the
@@ -120,33 +155,17 @@ def label_spacetime_grid(data: jax.Array, wrap_x: bool = True, max_iters: int = 
     flat_idx = jnp.arange(N, dtype=jnp.int32).reshape(T, H, W)
     lab = jnp.where(data, flat_idx, _BIG)
 
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-
-    def spatial_min(x):
-        m = x
-        for dy, dx in offsets:
-            if (dy, dx) == (0, 0):
-                continue
-            m = jnp.minimum(m, _shift2d(x, dy, dx, wrap_x))
-        return m
-
-    def tshift(x, dt):
-        out = jnp.roll(x, dt, axis=0)
-        if dt > 0:
-            out = out.at[:dt].set(_BIG)
-        else:
-            out = out.at[dt:].set(_BIG)
-        return out
-
     def step(state):
         lab, _, it = state
-        # min over the full 3x3x3 neighbourhood = spatial 3x3 min of each of
-        # the t-1, t, t+1 planes
-        plane = jnp.minimum(lab, spatial_min(lab))
-        m = jnp.minimum(plane, jnp.minimum(tshift(plane, 1), tshift(plane, -1)))
+        m = _min_pool_3x3x3(lab, wrap_x)
         m = jnp.where(data, m, _BIG)
         mf = m.reshape(1, N)
-        mf = _jump(_jump(mf))
+        mf = jax.lax.cond(
+            (it % jump_every) == jump_every - 1,
+            lambda x: _jump(_jump(x)),
+            lambda x: x,
+            mf,
+        )
         new = mf.reshape(T, H, W)
         return new, jnp.any(new != lab), it + 1
 
@@ -164,9 +183,9 @@ def label_spacetime_grid(data: jax.Array, wrap_x: bool = True, max_iters: int = 
     return dense.reshape(T, H, W), rank[-1]
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "jump_every"))
 def label_slices_unstructured(
-    data: jax.Array, neighbours: jax.Array, max_iters: int = 512
+    data: jax.Array, neighbours: jax.Array, max_iters: int = 4096, jump_every: int = 16
 ) -> Tuple[jax.Array, jax.Array]:
     """
     Per-timestep CCL on an unstructured triangular mesh.
@@ -191,7 +210,12 @@ def label_slices_unstructured(
         g = jnp.where(nb_valid[None], g, _BIG)
         m = jnp.minimum(lab, jnp.min(g, axis=1))
         m = jnp.where(data, m, _BIG)
-        m = _jump(_jump(m))
+        m = jax.lax.cond(
+            (it % jump_every) == jump_every - 1,
+            lambda x: _jump(_jump(x)),
+            lambda x: x,
+            m,
+        )
         return m, jnp.any(m != lab), it + 1
 
     def cond(state):

@@ -1,0 +1,159 @@
+"""
+Fused end-to-end detect programs.
+
+Each public detect path (anomaly method x extreme method x percentile
+method) compiles into ONE XLA program over the staged ``(T, S)`` block +
+calendar index vectors: a single dispatch, full cross-stage fusion, no
+intermediate host round-trips. ``detect.py`` routes through these when the
+configuration is covered, falling back to the composable per-op kernels
+otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import climatology as _clim
+from . import detrend as _detrend
+from . import quantile as _quant
+
+
+def _scatter_ymd(data: jax.Array, year_idx: jax.Array, doy_idx: jax.Array, n_years: int) -> jax.Array:
+    S = data.shape[1]
+    out = jnp.full((n_years, 366, S), jnp.nan, dtype=data.dtype)
+    return out.at[year_idx, doy_idx].set(data)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_years",
+        "method_anomaly",
+        "window_year_baseline",
+        "smooth_days_baseline",
+        "force_zero_mean",
+    ),
+)
+def anomaly_program(
+    data: jax.Array,
+    year_idx: jax.Array,
+    doy_idx: jax.Array,
+    clim_time_mask: jax.Array,
+    model: Optional[jax.Array],
+    pmodel: Optional[jax.Array],
+    n_years: int,
+    method_anomaly: str,
+    window_year_baseline: int,
+    smooth_days_baseline: int,
+    force_zero_mean: bool,
+) -> jax.Array:
+    """
+    Fused anomaly computation for all four methods.
+
+    data : (T, S) float32; year_idx/doy_idx : (T,) int32 (doy 0-based)
+    clim_time_mask : (T,) bool — timesteps contributing to the fixed
+        climatology (reference_period support; all-True otherwise)
+    model/pmodel : design matrices for the detrending methods (None else)
+    """
+    if method_anomaly == "shifting_baseline":
+        smoothed = _clim.centered_rolling_mean_time(data, smooth_days_baseline)
+        ymd = _scatter_ymd(smoothed, year_idx, doy_idx, n_years)
+        clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
+        return data - clim_y[year_idx, doy_idx]
+
+    if method_anomaly == "fixed_baseline":
+        sel = jnp.where(clim_time_mask[:, None], data, jnp.nan)
+        ymd = _scatter_ymd(sel, year_idx, doy_idx, n_years)
+        clim = _clim.nanmean_over_years(ymd)
+        return (data - clim[doy_idx]).astype(jnp.float32)
+
+    if method_anomaly in ("detrend_harmonic", "detrend_fixed_baseline"):
+        anom = _detrend.detrend_subtract(data, model, pmodel)
+        if force_zero_mean:
+            anom = _detrend.remove_time_mean(anom)
+        if method_anomaly == "detrend_fixed_baseline":
+            sel = jnp.where(clim_time_mask[:, None], anom, jnp.nan)
+            ymd = _scatter_ymd(sel, year_idx, doy_idx, n_years)
+            clim = _clim.nanmean_over_years(ymd)
+            anom = (anom - clim[doy_idx]).astype(jnp.float32)
+        return anom
+
+    raise ValueError(method_anomaly)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nbins", "n_years", "window_days", "window_spatial", "grid_shape", "wrap_lon", "exact"),
+)
+def hobday_program(
+    anomalies: jax.Array,
+    year_idx: jax.Array,
+    doy_idx: jax.Array,
+    q: float,
+    precision: float,
+    bin_centers: jax.Array,
+    lower_bound: float,
+    nbins: int,
+    n_years: int,
+    window_days: int,
+    window_spatial: Optional[int],
+    grid_shape: Optional[Tuple[int, int]],
+    wrap_lon: bool,
+    exact: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """
+    Fused day-of-year threshold + comparison program.
+
+    Returns (extremes (T, S) bool, thresholds (366, S) float32).
+    Approximate path applies the land NaN-out and the lower-bound clamp
+    inside the program (warnings are emitted by the caller from the result).
+    """
+    ymd = _scatter_ymd(anomalies, year_idx, doy_idx, n_years)
+    if exact:
+        thr = _quant.hobday_thresholds_exact(ymd, q, window_days)
+        pre_min = jnp.nanmin(thr)
+        pre_max = jnp.nanmax(thr)
+    else:
+        bins = _quant.digitize_anomalies(ymd, precision, nbins)
+        thr = _quant.hobday_thresholds_approx(
+            bins, q, window_days, nbins, bin_centers,
+            window_spatial=window_spatial, grid_shape=grid_shape, wrap_lon=wrap_lon,
+        )
+        land = ~jnp.isfinite(anomalies[0])
+        thr = jnp.where(land[None, :], jnp.nan, thr)
+        pre_min = jnp.nanmin(thr)
+        pre_max = jnp.nanmax(thr)
+        thr = jnp.where(thr < lower_bound, lower_bound, thr)
+    extremes = anomalies >= thr[doy_idx]
+    return extremes, thr, pre_min, pre_max
+
+
+@partial(jax.jit, static_argnames=("nbins", "exact"))
+def global_extreme_program(
+    anomalies: jax.Array,
+    q: float,
+    precision: float,
+    bin_centers: jax.Array,
+    lower_bound: float,
+    nbins: int,
+    exact: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused global threshold + comparison. Returns (extremes, thresholds)."""
+    if exact:
+        thr = _quant.exact_quantile_time(anomalies, q)
+        pre_min = jnp.nanmin(thr)
+        pre_max = jnp.nanmax(thr)
+    else:
+        bins = _quant.digitize_anomalies(anomalies, precision, nbins)
+        thr = _quant.global_thresholds_approx(bins, q, nbins, bin_centers)
+        nan_any = jnp.isnan(anomalies).any(axis=0)
+        thr = jnp.where(nan_any, jnp.nan, thr)
+        pre_min = jnp.nanmin(thr)
+        pre_max = jnp.nanmax(thr)
+        thr = jnp.where(thr < lower_bound, lower_bound, thr)
+    extremes = anomalies >= thr[None, :]
+    return extremes, thr, pre_min, pre_max

@@ -265,6 +265,25 @@ def hobday_thresholds_exact(data_ymd: jax.Array, q: float, window_days: int, doy
 # ----------------------------------------------------------------------------
 
 
+# HBM budget for the (366, S_tile, nbins) histogram intermediate; above this
+# the space axis is processed in latitude tiles under lax.map.
+_HIST_TILE_BYTES = 1 << 30
+
+
+def _hobday_tile(bins_tile: jax.Array, q, window_days, nbins, bin_centers, window_spatial, tile_grid, wrap_lon):
+    """Thresholds for one spatial tile: histogram -> spatial pool -> doy
+    window -> count-space quantile."""
+    hist = histogram_doy_bins(bins_tile, nbins)  # (366, S_tile, nbins)
+    if window_spatial is not None and window_spatial > 1:
+        ty, nx = tile_grid
+        hist = hist.reshape(366, ty, nx, nbins)
+        hist = rolling_axis_sum(hist, window_spatial, axis=2, wrap=wrap_lon)
+        hist = rolling_axis_sum(hist, window_spatial, axis=1, wrap=False)
+        hist = hist.reshape(366, ty * nx, nbins)
+    hist_w = rolling_doy_window_sum(hist, window_days)
+    return histogram_quantile_counts(hist_w, q, bin_centers)
+
+
 def hobday_thresholds_approx(
     bins_ymd: jax.Array,
     q: float,
@@ -278,26 +297,63 @@ def hobday_thresholds_approx(
     """
     Approximate hobday thresholds from pre-binned data.
 
-    bins_ymd : (Y, 366, S) int32 bin indices
+    bins_ymd : (Y, 366, S) int32 bin indices (sentinel ``nbins`` = no sample)
     grid_shape : (ny, nx) when the flattened space axis is a regular grid and
         ``window_spatial`` smoothing is requested.
 
     Returns (366, S) float32 thresholds (land handling is done by the caller).
+
+    Memory: the (366, S, nbins) histogram is the peak intermediate (the
+    reference streams 16x16 Dask chunks for the same reason,
+    detect.py:2617-2631); when it exceeds ~1 GB the computation tiles over
+    latitude rows (or flat spans) under ``lax.map``, with halo rows carrying
+    the spatial window across tile boundaries (sentinel-padded rows at the
+    global edges reproduce the truncated-window edge semantics).
     """
-    hist = histogram_doy_bins(bins_ymd, nbins)  # (366, S, nbins)
+    Y, D, S = bins_ymd.shape
+    full_bytes = D * S * nbins * 4
+    if full_bytes <= _HIST_TILE_BYTES:
+        return _hobday_tile(bins_ymd, q, window_days, nbins, bin_centers, window_spatial, grid_shape, wrap_lon)
 
-    if window_spatial is not None and window_spatial > 1:
-        if grid_shape is None:
-            raise ValueError("window_spatial requires grid_shape for gridded data")
+    if grid_shape is not None:
         ny, nx = grid_shape
-        hist = hist.reshape(366, ny, nx, nbins)
-        # longitude: circular window sum; latitude: truncated-window sum
-        hist = rolling_axis_sum(hist, window_spatial, axis=2, wrap=wrap_lon)
-        hist = rolling_axis_sum(hist, window_spatial, axis=1, wrap=False)
-        hist = hist.reshape(366, ny * nx, nbins)
+        halo = (window_spatial // 2) if (window_spatial is not None and window_spatial > 1) else 0
+        tile_rows = max(1, _HIST_TILE_BYTES // (D * nx * nbins * 4))
+        n_tiles = -(-ny // tile_rows)
+        ny_pad = n_tiles * tile_rows
 
-    hist_w = rolling_doy_window_sum(hist, window_days)  # (366, S, nbins)
-    return histogram_quantile_counts(hist_w, q, bin_centers)
+        b = bins_ymd.reshape(Y, D, ny, nx)
+        # sentinel-pad: halo rows beyond the globe + rows up to the tile multiple
+        b = jnp.pad(b, ((0, 0), (0, 0), (halo, halo + (ny_pad - ny)), (0, 0)), constant_values=nbins)
+
+        starts = jnp.arange(n_tiles) * tile_rows
+
+        def per_tile(start):
+            tile = jax.lax.dynamic_slice_in_dim(b, start, tile_rows + 2 * halo, axis=2)
+            tile = tile.reshape(Y, D, (tile_rows + 2 * halo) * nx)
+            thr = _hobday_tile(
+                tile, q, window_days, nbins, bin_centers, window_spatial, (tile_rows + 2 * halo, nx), wrap_lon
+            )
+            thr = thr.reshape(D, tile_rows + 2 * halo, nx)
+            return jax.lax.dynamic_slice_in_dim(thr, halo, tile_rows, axis=1)
+
+        tiles = jax.lax.map(per_tile, starts)  # (n_tiles, D, tile_rows, nx)
+        out = jnp.moveaxis(tiles, 0, 1).reshape(D, ny_pad, nx)[:, :ny]
+        return out.reshape(D, ny * nx)
+
+    # unstructured: flat tiles (no spatial window by construction)
+    tile_s = max(1, _HIST_TILE_BYTES // (D * nbins * 4))
+    n_tiles = -(-S // tile_s)
+    s_pad = n_tiles * tile_s
+    b = jnp.pad(bins_ymd, ((0, 0), (0, 0), (0, s_pad - S)), constant_values=nbins)
+    starts = jnp.arange(n_tiles) * tile_s
+
+    def per_flat_tile(start):
+        tile = jax.lax.dynamic_slice_in_dim(b, start, tile_s, axis=2)
+        return _hobday_tile(tile, q, window_days, nbins, bin_centers, None, None, wrap_lon)
+
+    tiles = jax.lax.map(per_flat_tile, starts)  # (n_tiles, D, tile_s)
+    return jnp.moveaxis(tiles, 0, 1).reshape(D, s_pad)[:, :S]
 
 
 def global_thresholds_approx(

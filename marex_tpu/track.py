@@ -20,6 +20,7 @@ actually occur, dispatching device kernels for the heavy per-slice work.
 from __future__ import annotations
 
 import logging
+import os
 import warnings
 from typing import Any, Dict, List, Literal, Optional, Tuple, Union
 
@@ -588,8 +589,61 @@ class tracker:
 
         return filtered, area_threshold, stats_areas, N_prefiltered, N_filtered
 
+    def _checkpoint_paths(self) -> Tuple[str, str]:
+        import tempfile
+
+        base = self.temp_dir or tempfile.gettempdir()
+        return (
+            os.path.join(base, "marex_tpu_checkpoint_proc_bin.zarr"),
+            os.path.join(base, "marex_tpu_checkpoint_stats.npz"),
+        )
+
+    def _save_checkpoint(self, data_filtered: jnp.ndarray, object_stats: Tuple) -> None:
+        """Persist the preprocessed binary + stats (track.py:1316-1366)."""
+        from .io.zarr_lite import to_zarr
+
+        bin_path, stats_path = self._checkpoint_paths()
+        dims = (self.timedim,) + self._spatial_dims()
+        f = Field(np.asarray(data_filtered), dims, self.data_bin.coords, name="data_bin_preproc")
+        to_zarr(FieldSet({"data_bin_preproc": f}), bin_path)
+        keys = [
+            "total_area_IDed",
+            "N_objects_prefiltered",
+            "N_objects_filtered",
+            "area_threshold",
+            "accepted_area_fraction",
+            "preprocessed_area_fraction",
+        ]
+        np.savez(stats_path, **dict(zip(keys, object_stats)))
+        logger.info(f"Saved preprocessing checkpoint to {bin_path}")
+
+    def _load_checkpoint(self):
+        from .io.zarr_lite import open_zarr
+
+        bin_path, stats_path = self._checkpoint_paths()
+        ds = open_zarr(bin_path)
+        data = jnp.asarray(np.asarray(ds["data_bin_preproc"].values, dtype=bool))
+        npz = np.load(stats_path)
+        keys = [
+            "total_area_IDed",
+            "N_objects_prefiltered",
+            "N_objects_filtered",
+            "area_threshold",
+            "accepted_area_fraction",
+            "preprocessed_area_fraction",
+        ]
+        stats = tuple(float(npz[k]) if k != "N_objects_prefiltered" and k != "N_objects_filtered" else int(npz[k]) for k in keys)
+        logger.info(f"Loaded preprocessing checkpoint from {bin_path}")
+        return data, stats
+
     def run_preprocess(self, checkpoint: Optional[str] = None):
-        """Morphological fill + area filtering (track.py:1234-1368)."""
+        """Morphological fill + area filtering (track.py:1234-1368),
+        with 'save'/'load' stage checkpointing (track.py:1253-1366)."""
+        if not checkpoint:
+            checkpoint = self.checkpoint
+        if checkpoint == "load":
+            return self._load_checkpoint()
+
         data = jnp.asarray(np.asarray(self.data_bin.values, dtype=bool))
 
         raw_area = self.compute_area(data)
@@ -621,6 +675,10 @@ class tracker:
             accepted_area_fraction,
             preprocessed_area_fraction,
         )
+
+        if checkpoint and "save" in str(checkpoint):
+            self._save_checkpoint(data_filtered, object_stats)
+
         return data_filtered, object_stats
 
     # ------------------------------------------------------------------

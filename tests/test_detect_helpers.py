@@ -1,0 +1,197 @@
+"""Numerics tests for detect kernels vs numpy references.
+
+Mirrors the reference's tests/test_detect_helpers.py: decimal year (incl.
+leap years), 1-D/2-D histogram quantiles vs exact np.quantile, rolling-mean
+semantics, digitize parity.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from marex_tpu.core.timeaxis import decompose_time, doy_window_indices, scatter_to_year_doy
+from marex_tpu.ops import climatology as mclim
+from marex_tpu.ops import quantile as mquant
+
+
+class TestDecimalYear:
+    def test_regular_year(self):
+        times = pd.to_datetime(["2001-01-01", "2001-07-02", "2001-12-31"]).to_numpy()
+        dy = decompose_time(times).decimal_year
+        assert dy[0] == pytest.approx(2001.0)
+        assert dy[1] == pytest.approx(2001.0 + 182 / 365)
+        assert dy[2] == pytest.approx(2001.0 + 364 / 365)
+
+    def test_leap_year(self):
+        times = pd.to_datetime(["2000-02-29", "2000-12-31"]).to_numpy()
+        dy = decompose_time(times).decimal_year
+        assert dy[0] == pytest.approx(2000.0 + 59 / 366)
+        assert dy[1] == pytest.approx(2000.0 + 365 / 366)
+
+    def test_dayofyear_leap_semantics(self):
+        times = pd.to_datetime(["2000-03-01", "2001-03-01"]).to_numpy()
+        info = decompose_time(times)
+        assert info.dayofyear[0] == 61  # leap year
+        assert info.dayofyear[1] == 60  # non-leap
+
+    def test_dense_year_axis_with_gaps(self):
+        times = pd.to_datetime(["2000-06-01", "2003-06-01"]).to_numpy()
+        info = decompose_time(times)
+        assert info.n_years == 4  # 2000..2003 dense
+        assert info.year_index.tolist() == [0, 3]
+
+
+class TestDigitize:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_np_digitize(self, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(0, 1.5, 5000).astype(np.float32)
+        x[::97] = np.nan
+        edges = mquant.make_bin_edges(0.01, 5.0)
+        nbins = len(edges) - 1
+        got = np.asarray(mquant.digitize_anomalies(jnp.asarray(x), 0.01, nbins))
+        expected = np.digitize(x, edges) - 1
+        expected = np.where(np.isnan(x), nbins, expected)
+        expected = np.clip(expected, 0, nbins)
+        # float32 affine vs edge-array digitize: identical except at exact
+        # bin boundaries (measure, not proof)
+        mismatch = (got != expected).mean()
+        assert mismatch < 0.001
+
+
+class TestHistogramQuantile1D:
+    @pytest.mark.parametrize("q", [0.9, 0.95, 0.99])
+    def test_vs_exact_quantile(self, q):
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1.0, (3000, 32)).astype(np.float32)
+        edges = mquant.make_bin_edges(0.01, 5.0)
+        nbins = len(edges) - 1
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        bins = mquant.digitize_anomalies(jnp.asarray(x), 0.01, nbins)
+        thr = np.asarray(mquant.global_thresholds_approx(bins, q, nbins, centers))
+        exact = np.quantile(x, q, axis=0)
+        np.testing.assert_allclose(thr, exact, atol=0.03)
+
+    def test_nan_columns(self):
+        x = np.full((100, 3), np.nan, np.float32)
+        x[:, 0] = np.linspace(0, 2, 100)
+        edges = mquant.make_bin_edges()
+        nbins = len(edges) - 1
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        bins = mquant.digitize_anomalies(jnp.asarray(x), 0.01, nbins)
+        hist = mquant.histogram_bins_1d(bins, nbins)
+        assert int(np.asarray(hist)[1].sum()) == 0  # all-NaN column counts nothing
+
+
+class TestHistogramQuantile2D:
+    def test_hobday_vs_exact(self):
+        """Window histogram quantiles track exact windowed quantiles."""
+        rng = np.random.default_rng(7)
+        Y, S = 30, 16
+        ymd = rng.normal(0.5, 1.0, (Y, 366, S)).astype(np.float32)
+
+        q, window = 0.95, 11
+        edges = mquant.make_bin_edges(0.01, 5.0)
+        nbins = len(edges) - 1
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        bins = mquant.digitize_anomalies(jnp.asarray(ymd), 0.01, nbins)
+        thr = np.asarray(mquant.hobday_thresholds_approx(bins, q, window, nbins, centers))
+
+        win = doy_window_indices(window)
+        for d in [0, 100, 365]:
+            samples = ymd[:, win[d], :].reshape(-1, S)
+            exact = np.quantile(samples, q, axis=0)
+            np.testing.assert_allclose(thr[d], exact, atol=0.05)
+
+    def test_exact_hobday_matches_numpy(self):
+        rng = np.random.default_rng(11)
+        Y, S = 12, 8
+        ymd = rng.normal(0, 1, (Y, 366, S)).astype(np.float32)
+        ymd[2, 5, :] = np.nan  # missing day
+
+        thr = np.asarray(mquant.hobday_thresholds_exact(jnp.asarray(ymd), 0.9, 11))
+        win = doy_window_indices(11)
+        for d in [3, 200]:
+            samples = ymd[:, win[d], :].reshape(-1, S)
+            expected = np.nanquantile(samples, 0.9, axis=0)
+            np.testing.assert_allclose(thr[d], expected, rtol=1e-4, atol=1e-4)
+
+    def test_tiled_equals_untiled(self):
+        """Latitude-tiled hobday path is exact vs the single-tile path."""
+        rng = np.random.default_rng(17)
+        Y, ny, nx = 8, 12, 10
+        ymd = rng.normal(0, 1, (Y, 366, ny * nx)).astype(np.float32)
+        edges = mquant.make_bin_edges()
+        nbins = len(edges) - 1
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        bins = mquant.digitize_anomalies(jnp.asarray(ymd), 0.01, nbins)
+
+        ref = np.asarray(
+            mquant.hobday_thresholds_approx(bins, 0.9, 11, nbins, centers, window_spatial=3, grid_shape=(ny, nx))
+        )
+        old = mquant._HIST_TILE_BYTES
+        mquant._HIST_TILE_BYTES = 366 * 3 * nx * nbins * 4  # force ~3-row tiles
+        try:
+            tiled = np.asarray(
+                mquant.hobday_thresholds_approx(bins, 0.9, 11, nbins, centers, window_spatial=3, grid_shape=(ny, nx))
+            )
+        finally:
+            mquant._HIST_TILE_BYTES = old
+        np.testing.assert_allclose(tiled, ref, rtol=1e-6, atol=1e-6, equal_nan=True)
+
+        # unstructured flat tiling
+        ref_flat = np.asarray(mquant.hobday_thresholds_approx(bins, 0.9, 11, nbins, centers))
+        mquant._HIST_TILE_BYTES = 366 * 17 * nbins * 4
+        try:
+            tiled_flat = np.asarray(mquant.hobday_thresholds_approx(bins, 0.9, 11, nbins, centers))
+        finally:
+            mquant._HIST_TILE_BYTES = old
+        np.testing.assert_allclose(tiled_flat, ref_flat, rtol=1e-6, atol=1e-6, equal_nan=True)
+
+    def test_spatial_window_pooling(self):
+        """5x5 spatial pooling smooths thresholds across neighbouring cells."""
+        rng = np.random.default_rng(13)
+        Y, ny, nx = 20, 8, 16
+        ymd = rng.normal(0, 1, (Y, 366, ny * nx)).astype(np.float32)
+        edges = mquant.make_bin_edges()
+        nbins = len(edges) - 1
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        bins = mquant.digitize_anomalies(jnp.asarray(ymd), 0.01, nbins)
+        thr_pooled = np.asarray(
+            mquant.hobday_thresholds_approx(bins, 0.95, 11, nbins, centers, window_spatial=5, grid_shape=(ny, nx))
+        )
+        thr_plain = np.asarray(mquant.hobday_thresholds_approx(bins, 0.95, 11, nbins, centers))
+        # pooling reduces spatial variance of thresholds
+        assert thr_pooled.std(axis=1).mean() < thr_plain.std(axis=1).mean()
+
+
+class TestRollingMeans:
+    def test_centered_rolling_mean_matches_pandas(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(200, 4)).astype(np.float32)
+        x[50, 1] = np.nan
+        for w in (5, 21, 30):
+            got = np.asarray(mclim.centered_rolling_mean_time(jnp.asarray(x), w))
+            expected = pd.DataFrame(x).rolling(w, center=True).mean().to_numpy()
+            np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5, equal_nan=True)
+
+    def test_rolling_climatology_window_exclusive(self):
+        """clim at year y uses ONLY years [y-W, y-1]."""
+        Y, S = 10, 3
+        ymd = np.zeros((Y, 366, S), np.float32)
+        for y in range(Y):
+            ymd[y] = y  # year index as value
+        clim = np.asarray(mclim.rolling_climatology_ymd(jnp.asarray(ymd), 3))
+        # year 5: mean of {2, 3, 4} = 3
+        np.testing.assert_allclose(clim[5], 3.0)
+        # years < window -> NaN
+        assert np.isnan(clim[:3]).all()
+
+    def test_dayofyear_std(self):
+        rng = np.random.default_rng(5)
+        ymd = rng.normal(0, 2.0, (50, 366, 4)).astype(np.float32)
+        got = np.asarray(mclim.dayofyear_std(jnp.asarray(ymd)))
+        expected = np.nanstd(ymd, axis=0)
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
