@@ -33,45 +33,41 @@ import numpy as np
 _BIG = jnp.int32(2**31 - 1)
 
 
+def _pad_spatial(lab: jax.Array, wrap_x: bool) -> jax.Array:
+    """Pad (T, H, W) by one ring: BIG rows in y, wrap or BIG columns in x."""
+    if wrap_x:
+        x = jnp.concatenate([lab[..., -1:], lab, lab[..., :1]], axis=-1)
+    else:
+        x = jnp.pad(lab, ((0, 0), (0, 0), (1, 1)), constant_values=2**31 - 1)
+    return jnp.pad(x, ((0, 0), (1, 1), (0, 0)), constant_values=2**31 - 1)
+
+
 def _min_pool_3x3(lab: jax.Array, wrap_x: bool) -> jax.Array:
     """
     3x3 neighbourhood min over the trailing (H, W) axes of a (T, H, W) label
-    map (out-of-range = _BIG; periodic in x when ``wrap_x``).  One fused
-    reduce_window instead of eight shifted copies — this keeps the CCL
-    while-loop's working set at ~2 label buffers.
+    map (out-of-range = _BIG; periodic in x when ``wrap_x``) — expressed as a
+    9-way elementwise min of shifted views, which XLA fuses into one stencil
+    pass on TPU and vectorises on CPU (lax.reduce_window is scalar-slow on
+    the CPU backend).
     """
-    if wrap_x:
-        x = jnp.concatenate([lab[..., -1:], lab, lab[..., :1]], axis=-1)
-        pad_x = (0, 0)
-    else:
-        x = lab
-        pad_x = (1, 1)
-    return jax.lax.reduce_window(
-        x,
-        np.int32(2**31 - 1),
-        jax.lax.min,
-        window_dimensions=(1, 3, 3),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), pad_x),
-    )
+    T, H, W = lab.shape
+    x = _pad_spatial(lab, wrap_x)
+    m = x[:, 0:H, 0:W]
+    for dy in range(3):
+        for dx in range(3):
+            if (dy, dx) == (0, 0):
+                continue
+            m = jnp.minimum(m, x[:, dy : dy + H, dx : dx + W])
+    return m
 
 
 def _min_pool_3x3x3(lab: jax.Array, wrap_x: bool) -> jax.Array:
-    """Full 3x3x3 spatio-temporal neighbourhood min of a (T, H, W) map."""
-    if wrap_x:
-        x = jnp.concatenate([lab[..., -1:], lab, lab[..., :1]], axis=-1)
-        pad_x = (0, 0)
-    else:
-        x = lab
-        pad_x = (1, 1)
-    return jax.lax.reduce_window(
-        x,
-        np.int32(2**31 - 1),
-        jax.lax.min,
-        window_dimensions=(3, 3, 3),
-        window_strides=(1, 1, 1),
-        padding=((1, 1), (1, 1), pad_x),
-    )
+    """Full 3x3x3 spatio-temporal neighbourhood min of a (T, H, W) map:
+    spatial 9-way min, then a 3-way min over +-1 time shifts."""
+    T = lab.shape[0]
+    plane = _min_pool_3x3(lab, wrap_x)
+    tpad = jnp.pad(plane, ((1, 1), (0, 0), (0, 0)), constant_values=2**31 - 1)
+    return jnp.minimum(jnp.minimum(tpad[0:T], tpad[1 : T + 1]), tpad[2 : T + 2])
 
 
 def _jump(lab_flat: jax.Array) -> jax.Array:
