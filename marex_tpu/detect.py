@@ -413,7 +413,8 @@ def preprocess_data(
         ds.attrs["window_days_hobday"] = window_days_hobday
     ds.attrs.update({"method_percentile": method_percentile, "precision": precision, "max_anomaly": max_anomaly})
 
-    n_extremes = int(ds["extreme_events"].values.sum())
+    ev = ds["extreme_events"].data
+    n_extremes = int(jnp.sum(ev)) if type(ev).__module__.startswith("jax") else int(np.sum(ev))
     logger.info(f"Preprocessing completed successfully - {n_extremes} extreme events identified")
     return ds
 
@@ -540,8 +541,10 @@ def _assemble_anomaly_ds(
     """Wrap (T,S) anomalies + mask back into labeled Fields."""
     dims = (staged.timedim,) + staged.spatial_dims
     coords: Dict[str, Any] = dict(staged.field.coords)
+    # keep the payload device-resident; downloads happen only when a caller
+    # actually asks for .values
     anom = Field(
-        staged.unflatten(np.asarray(anomalies_ts), (staged.timedim,)),
+        anomalies_ts.reshape((anomalies_ts.shape[0],) + staged.spatial_shape),
         dims,
         coords,
         name="dat_anomaly",
@@ -991,13 +994,13 @@ def _identify_extremes_hobday(
 
     dims = (staged.timedim,) + staged.spatial_dims
     extremes = Field(
-        staged.unflatten(np.asarray(extremes_ts), (staged.timedim,)).astype(bool),
+        extremes_ts.reshape((extremes_ts.shape[0],) + staged.spatial_shape),
         dims,
         staged.field.coords,
         name="extreme_events",
     )
     thr_field = Field(
-        staged.unflatten(np.asarray(thr), ("dayofyear",)).astype(np.float32),
+        thr.reshape((366,) + staged.spatial_shape),
         ("dayofyear",) + staged.spatial_dims,
         {**staged.spatial_coords(), "dayofyear": Coord("dayofyear", np.arange(1, 367))},
         name="thresholds",
@@ -1031,13 +1034,13 @@ def _identify_extremes_constant(
 
     dims = (staged.timedim,) + staged.spatial_dims
     extremes = Field(
-        staged.unflatten(np.asarray(extremes_ts), (staged.timedim,)).astype(bool),
+        extremes_ts.reshape((extremes_ts.shape[0],) + staged.spatial_shape),
         dims,
         staged.field.coords,
         name="extreme_events",
     )
     thr_field = Field(
-        staged.unflatten(np.asarray(thr), ()).astype(np.float32),
+        thr.reshape(staged.spatial_shape),
         staged.spatial_dims,
         staged.spatial_coords(),
         name="thresholds",

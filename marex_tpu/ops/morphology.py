@@ -95,14 +95,23 @@ def binary_close_time(data: jax.Array, t_fill: int) -> jax.Array:
     if t_fill == 0:
         return data
     k = t_fill + 1
-    window = (k,) + (1,) * (data.ndim - 1)
-    ones = (1,) * data.ndim
+    lo, hi = k // 2, k - 1 - k // 2
+
+    def pool(x, combine, pad_value):
+        T = x.shape[0]
+        pads = [(lo, hi)] + [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x, pads, constant_values=pad_value)
+        out = xp[0:T]
+        for d in range(1, k):
+            out = combine(out, xp[d : d + T])
+        return out
 
     x = jnp.pad(data, [(k, k)] + [(0, 0)] * (data.ndim - 1), mode="constant", constant_values=False)
-    # dilation: max-pool; erosion: min-pool (SAME semantics via explicit pad)
-    pad_cfg = [(k // 2, k - 1 - k // 2)] + [(0, 0)] * (data.ndim - 1)
-    x = jax.lax.reduce_window(x, False, jax.lax.max, window, ones, pad_cfg)
-    x = jax.lax.reduce_window(x, True, jax.lax.min, window, ones, pad_cfg)
+    # dilation: k-way OR of shifted slices; erosion: k-way AND — XLA fuses
+    # these into one stencil pass (and they vectorise on the CPU backend,
+    # unlike lax.reduce_window)
+    x = pool(x, jnp.logical_or, False)
+    x = pool(x, jnp.logical_and, True)
     return x[k:-k]
 
 

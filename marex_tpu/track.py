@@ -491,7 +491,8 @@ class tracker:
     # ------------------------------------------------------------------
 
     def compute_area(self, data_bin: jnp.ndarray) -> np.ndarray:
-        """Total active area per timestep (track.py:1499-1518)."""
+        """Total active area per timestep (track.py:1499-1518); returns a
+        small (T,) host array."""
         if self.unstructured_grid:
             return np.asarray(jnp.sum(data_bin * jnp.asarray(self.cell_area)[None], axis=1))
         return np.asarray(jnp.sum(data_bin, axis=(1, 2)))
@@ -644,7 +645,11 @@ class tracker:
         if checkpoint == "load":
             return self._load_checkpoint()
 
-        data = jnp.asarray(np.asarray(self.data_bin.values, dtype=bool))
+        payload = self.data_bin.data
+        if type(payload).__module__.startswith("jax"):
+            data = payload.astype(bool)  # already device-resident
+        else:
+            data = jnp.asarray(np.asarray(payload, dtype=bool))
 
         raw_area = self.compute_area(data)
 
@@ -692,7 +697,8 @@ class tracker:
         else:
             labels, n = _label.label_spacetime_grid(data_bin_preprocessed, wrap_x=not self.regional_mode)
             N_events = int(n)
-            id_field = self._wrap_id_field(np.asarray(labels, dtype=np.int32))
+            # keep the labeled field device-resident (it is the largest output)
+            id_field = self._wrap_id_field(labels)
             events_ds = FieldSet({"ID_field": id_field})
             merges_ds = FieldSet()
         logger.info("Finished tracking all extreme events!")
@@ -701,7 +707,7 @@ class tracker:
     def _spatial_dims(self) -> Tuple[str, ...]:
         return (self.xdim,) if self.unstructured_grid else (self.ydim, self.xdim)
 
-    def _wrap_id_field(self, values: np.ndarray) -> Field:
+    def _wrap_id_field(self, values) -> Field:
         dims = (self.timedim,) + self._spatial_dims()
         return Field(values, dims, self.data_bin.coords, name="ID_field")
 

@@ -16,8 +16,9 @@ from .conftest import make_gridded_sst
 class TestGriddedPipeline:
     @pytest.fixture(scope="class")
     def sst(self):
-        # larger zonal grid so tracking has room (and EDGE_ZONE semantics hold)
-        return make_gridded_sst(n_years=8, ny=32, nx=256, seed=21)
+        # larger zonal grid so tracking has room (and EDGE_ZONE semantics
+        # hold); sized for the single-core CPU test backend
+        return make_gridded_sst(n_years=6, ny=24, nx=128, seed=21)
 
     def test_fixed_global_exact_to_tracker(self, sst):
         ds = marEx.preprocess_data(
@@ -50,6 +51,7 @@ class TestGriddedPipeline:
             method_anomaly="detrend_harmonic",
             method_extreme="hobday_extreme",
             method_percentile="approximate",
+            window_spatial_hobday=3,
             threshold_percentile=95,
         )
         tr = marEx.tracker(
