@@ -90,9 +90,11 @@ def main() -> None:
     except Exception:
         pass
 
+    # Default config sized so one bench run (compile + 2 timed runs) fits in
+    # a few minutes on a single v5e chip; throughput normalises by size.
     n_years = int(os.environ.get("MAREX_BENCH_YEARS", "10"))
-    ny = int(os.environ.get("MAREX_BENCH_NY", "180"))
-    nx = int(os.environ.get("MAREX_BENCH_NX", "360"))
+    ny = int(os.environ.get("MAREX_BENCH_NY", "120"))
+    nx = int(os.environ.get("MAREX_BENCH_NX", "240"))
 
     da = make_data(n_years, ny, nx)
     T = da.sizes["time"]

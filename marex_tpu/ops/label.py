@@ -32,6 +32,28 @@ import numpy as np
 
 _BIG = jnp.int32(2**31 - 1)
 
+_pallas_usable_cache = None
+
+
+def _pallas_usable() -> bool:
+    """Probe once whether the fused Pallas stencil lowers on this backend."""
+    global _pallas_usable_cache
+    if _pallas_usable_cache is None:
+        from .pallas_kernels import min_stencil_pallas, pallas_available
+
+        if not pallas_available():
+            _pallas_usable_cache = False
+        else:
+            try:
+                l = jnp.zeros((2, 8, 128), jnp.int32)
+                d = jnp.ones((2, 8, 128), bool)
+                min_stencil_pallas(l, d, masked=True).block_until_ready()
+                min_stencil_pallas(l, None, masked=False).block_until_ready()
+                _pallas_usable_cache = True
+            except Exception:  # pragma: no cover - lowering not supported
+                _pallas_usable_cache = False
+    return _pallas_usable_cache
+
 
 def _pad_spatial(lab: jax.Array, wrap_x: bool) -> jax.Array:
     """Pad (T, H, W) by one ring: BIG rows in y, wrap or BIG columns in x."""
@@ -103,10 +125,16 @@ def label_slices_grid(
     flat_idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
     lab = jnp.where(data, flat_idx, _BIG)
 
+    use_pallas = wrap_x and _pallas_usable()
+
     def step(state):
         lab, _, it = state
-        m = _min_pool_3x3(lab, wrap_x)
-        m = jnp.where(data, m, _BIG)
+        if use_pallas:
+            from .pallas_kernels import min_stencil_pallas
+
+            m = min_stencil_pallas(lab, data, masked=True)
+        else:
+            m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
         mf = m.reshape(T, H * W)
         mf = jax.lax.cond(
             (it % jump_every) == jump_every - 1,
@@ -151,9 +179,18 @@ def label_spacetime_grid(
     flat_idx = jnp.arange(N, dtype=jnp.int32).reshape(T, H, W)
     lab = jnp.where(data, flat_idx, _BIG)
 
+    use_pallas = wrap_x and _pallas_usable()
+
     def step(state):
         lab, _, it = state
-        m = _min_pool_3x3x3(lab, wrap_x)
+        if use_pallas:
+            from .pallas_kernels import min_stencil_pallas
+
+            plane = min_stencil_pallas(lab, None, masked=False)
+            tpad = jnp.pad(plane, ((1, 1), (0, 0), (0, 0)), constant_values=2**31 - 1)
+            m = jnp.minimum(jnp.minimum(tpad[0:T], tpad[1 : T + 1]), tpad[2 : T + 2])
+        else:
+            m = _min_pool_3x3x3(lab, wrap_x)
         m = jnp.where(data, m, _BIG)
         mf = m.reshape(1, N)
         mf = jax.lax.cond(

@@ -71,7 +71,7 @@ class UnstructuredPlotter(PlotterBase):
             # Delaunay triangulation of the cell centres (drop seam-crossing
             # triangles so the periodic wrap doesn't smear the plot)
             tri = Triangulation(lon, lat)
-            span = lon[tri.triangles].ptp(axis=1)
+            span = np.ptp(lon[tri.triangles], axis=1)
             tri.set_mask(span > 180.0)
         _GRID_CACHE[key] = tri
         return tri
