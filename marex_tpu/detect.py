@@ -199,8 +199,13 @@ class _Staged:
         self.spatial_shape = tuple(da.sizes[d] for d in self.spatial_dims)
         self.n_space = int(np.prod(self.spatial_shape))
 
-        vals = da.values.astype(np.float32)
-        self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
+        payload = da.data
+        if type(payload).__module__.startswith("jax"):
+            # already device-resident (e.g. chained from another detect stage)
+            self.data = payload.reshape(payload.shape[0], self.n_space).astype(jnp.float32)
+        else:
+            vals = np.asarray(payload, dtype=np.float32)
+            self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
         self.tinfo: TimeIndexInfo = decompose_time(da.coords[coordinates["time"]].values)
         self._ymd_cache: Dict[str, Any] = {}
 

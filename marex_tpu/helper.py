@@ -116,9 +116,12 @@ def start_local_cluster(
     testing sharded code without hardware).
     """
     if n_workers is not None and os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count={n_workers}".strip()
+        import jax
+
+        try:  # must run before the backend initialises
+            jax.config.update("jax_num_cpu_devices", int(n_workers))
+        except Exception:  # pragma: no cover - backend already up
+            pass
 
     configure_dask()
     import jax

@@ -89,10 +89,17 @@ def min_stencil_pallas(lab: jax.Array, data: jax.Array | None, masked: bool = Tr
 
 
 def pallas_available() -> bool:
-    """True when running on a TPU backend where these kernels lower."""
+    """
+    True when the fused Pallas stencil should be used.
+
+    Currently opt-in (MAREX_ENABLE_PALLAS=1) on the TPU backend: the XLA
+    9-slice stencil already fuses into a single pass, and kernel compile
+    time over remote-device links can dominate; flip the default once the
+    kernel is profiled on local TPU hosts.
+    """
     import os
 
-    if os.environ.get("MAREX_DISABLE_PALLAS", "").strip() in ("1", "true"):
+    if os.environ.get("MAREX_ENABLE_PALLAS", "").strip() not in ("1", "true"):
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -690,6 +690,93 @@ class tracker:
     # Stage 2: tracking
     # ------------------------------------------------------------------
 
+    # -- mid-level public API (parity with track.py:1912-2504) --------------
+
+    def identify_objects(self, data_bin, time_connectivity: bool = False):
+        """
+        Label connected regions (cf. track.py:1912-2048).
+
+        Returns (labels Field, None, N) — 3-D spatio-temporal labels when
+        ``time_connectivity`` (structured only), per-timestep labels
+        otherwise (globally unique via cumulative offsets).
+        """
+        if isinstance(data_bin, Field):
+            data_bin = data_bin.data
+        data = data_bin if type(data_bin).__module__.startswith("jax") else jnp.asarray(np.asarray(data_bin, dtype=bool))
+
+        if time_connectivity:
+            if self.unstructured_grid:
+                raise ConfigurationError(
+                    "Time connectivity not supported for unstructured grids",
+                    details="Automatic time connectivity computation requires regular grids",
+                    suggestions=["Set time_connectivity=False for unstructured data"],
+                )
+            labels, n = _label.label_spacetime_grid(data, wrap_x=not self.regional_mode)
+            return self._wrap_id_field(labels), None, int(n)
+
+        labels, counts = self._label_slices(data)
+        global_labels = _label.offset_labels_across_time(labels, jnp.asarray(counts.astype(np.int32)))
+        return self._wrap_id_field(global_labels), None, int(counts.sum())
+
+    def calculate_object_properties(self, object_id_field, properties: Optional[List[str]] = None) -> FieldSet:
+        """
+        Areas + centroids per object id (cf. track.py:2109-2390). Returns a
+        FieldSet indexed by the 'ID' dimension.
+        """
+        field = object_id_field.data if isinstance(object_id_field, Field) else object_id_field
+        labels = field if type(field).__module__.startswith("jax") else jnp.asarray(np.asarray(field, dtype=np.int32))
+        T = labels.shape[0]
+        flat = labels.reshape(T, -1)
+        n_labels = int(jnp.max(labels))
+        if n_labels == 0:
+            ids = np.array([], np.int32)
+            empty = np.array([], np.float32)
+            return FieldSet(
+                {
+                    "area": Field(empty, ("ID",), {"ID": Coord("ID", ids)}),
+                    "centroid": Field(np.zeros((2, 0), np.float32), ("component", "ID"), {"ID": Coord("ID", ids)}),
+                }
+            )
+        if self.unstructured_grid:
+            areas, c0, c1 = _props.unstructured_label_props(
+                flat, jnp.asarray(self.lat), jnp.asarray(self.lon), jnp.asarray(self.cell_area), n_labels
+            )
+        else:
+            areas, c0, c1 = _props.grid_label_props(labels, n_labels, wrap=not self.regional_mode)
+        # objects are unique across time -> reduce the (T, n+1) tables
+        areas = np.asarray(areas)
+        c0 = np.asarray(c0)
+        c1 = np.asarray(c1)
+        tot_area = areas[:, 1:].sum(axis=0)
+        present = tot_area > 0
+        t_of = np.argmax(areas[:, 1:], axis=0)
+        ids = np.nonzero(present)[0].astype(np.int32) + 1
+        area_v = tot_area[present].astype(np.float32)
+        c0_v = c0[t_of[present], ids].astype(np.float32)
+        c1_v = c1[t_of[present], ids].astype(np.float32)
+        idc = Coord("ID", ids)
+        out = FieldSet(
+            {
+                "area": Field(area_v, ("ID",), {"ID": idc}, name="area"),
+                "centroid": Field(
+                    np.stack([c0_v, c1_v]), ("component", "ID"), {"ID": idc, "component": Coord("component", np.array([0, 1]))},
+                    name="centroid",
+                ),
+            }
+        )
+        return out
+
+    def check_overlap_slice(self, ids_t0: np.ndarray, ids_next: np.ndarray) -> np.ndarray:
+        """Unique overlap (id0, id1, weight) triples for one slice pair
+        (cf. track.py:2396-2452)."""
+        w = self._cell_weights()
+        return _overlap_slice_host(np.asarray(ids_t0).reshape(-1), np.asarray(ids_next).reshape(-1), w)
+
+    def find_overlapping_objects(self, object_id_field) -> np.ndarray:
+        """All consecutive-timestep overlap triples (cf. track.py:2454-2504)."""
+        field = object_id_field.data if isinstance(object_id_field, Field) else object_id_field
+        return self._all_overlaps(np.asarray(field, dtype=np.int32))
+
     def run_tracking(self, data_bin_preprocessed: jnp.ndarray):
         """Track objects through time (track.py:1370-1412)."""
         if self.allow_merging or self.unstructured_grid:

@@ -286,3 +286,32 @@ class TestRegionalMode:
         m = Field(np.ones((NY, NX), bool), ("lat", "lon"), coords={"lat": da.coords["lat"].values, "lon": da.coords["lon"].values})
         with pytest.raises(marEx.CoordinateError):
             marEx.tracker(da, m, R_fill=2, area_filter_quartile=0.5)
+
+
+class TestMidLevelAPI:
+    def test_identify_objects_and_properties(self):
+        da = make_blob_field(T=6, path=lambda t: (20, 60 + 4 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=0, T_fill=0, area_filter_quartile=0.0, allow_merging=True)
+        labels, _, n = tr.identify_objects(da.values, time_connectivity=False)
+        assert n == 6  # one object per timestep, globally unique ids
+        props = tr.calculate_object_properties(labels)
+        assert len(props.area.values) == 6
+        assert np.allclose(props.area.values, 113.0)  # r=6 disk
+        # centroids near y=20
+        assert np.allclose(props.centroid.values[0], 20.0, atol=0.5)
+
+    def test_identify_objects_3d(self):
+        da = make_blob_field(T=6, path=lambda t: (20, 60 + 2 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=0, T_fill=0, area_filter_quartile=0.0, allow_merging=False)
+        labels, _, n = tr.identify_objects(da.values, time_connectivity=True)
+        assert n == 1
+
+    def test_overlap_methods(self):
+        da = make_blob_field(T=4, path=lambda t: (20, 60 + 2 * t))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=0, T_fill=0, area_filter_quartile=0.0, allow_merging=True)
+        labels, _, _ = tr.identify_objects(da.values)
+        lv = np.asarray(labels.values)
+        pairs = tr.check_overlap_slice(lv[0], lv[1])
+        assert pairs.shape[1] == 3 and len(pairs) == 1
+        allpairs = tr.find_overlapping_objects(lv)
+        assert len(allpairs) == 3  # 3 consecutive transitions
