@@ -365,12 +365,13 @@ class Field:
             data = np.transpose(self.data, axes)
         return Field(data, dims, self.coords, self.name, self.attrs)
 
-    def expand_dims(self, dim: Union[str, Mapping[str, int]], axis: int = 0) -> "Field":
+    def expand_dims(self, dim: Union[str, Mapping[str, int]]) -> "Field":
+        """Prepend new dims of the given sizes (broadcasting the data)."""
         if isinstance(dim, str):
             dim = {dim: 1}
         out = self
         for d, n in dim.items():
-            data = np.broadcast_to(np.expand_dims(out.values, axis), (n,) + out.shape if axis == 0 else None)
+            data = np.broadcast_to(out.values[None, ...], (n,) + out.shape)
             out = Field(np.ascontiguousarray(data), (d,) + out.dims, out.coords, out.name, out.attrs)
         return out
 
@@ -552,14 +553,13 @@ def broadcast(a: Field, b: Field) -> Tuple[Field, Field]:
     shape = tuple(sizes[d] for d in out_dims)
 
     def _expand(f: Field) -> ArrayLike:
-        # insert missing axes then broadcast
-        data = f.data
+        # reorder to the output dim order, insert missing axes, broadcast
+        data = _asnumpy(f.data)
         order = [f.dims.index(d) for d in out_dims if d in f.dims]
         if order != sorted(order):
-            data = np.transpose(_asnumpy(data), np.argsort(np.argsort(order)) if False else order)  # reorder
-            data = _asnumpy(f.data).transpose(order)
+            data = data.transpose(order)
         reshaped_shape = tuple(sizes[d] if d in f.dims else 1 for d in out_dims)
-        data = _asnumpy(data).reshape(reshaped_shape)
+        data = data.reshape(reshaped_shape)
         return np.broadcast_to(data, shape)
 
     coords: Dict[str, Coord] = {}
