@@ -12,12 +12,17 @@ TPU-native replacement for the reference's labeling substrate:
   <- scipy csgraph connected_components per slice (track.py:1947-1999)
 
 Algorithm: every active cell starts labeled with its own flat index, then a
-fused 3x3(x3) neighbourhood-min stencil (one reduce_window, 7.8 ms per
-iteration on a 105M-cell block) iterates to a fixpoint inside one
-lax.while_loop. Every ``jump_every`` iterations a pointer-jumping pass
-(label <- label[label]) compresses paths so pathological long filaments
-converge in O(jump_every * log D) instead of O(D) — jumps are gathers,
-measured ~250x the stencil cost on TPU, so they stay off the common path.
+fused 3x3(x3) neighbourhood-min stencil (7.8 ms per iteration on a 105M-cell
+block) iterates to a fixpoint inside one lax.while_loop, accelerated by two
+gather-free long-range mechanisms:
+
+* segmented-min sweeps (lax.associative_scan) flood whole active runs along
+  an axis in one O(log n) pass — along time every 3-D iteration (event
+  durations dominate diameters) and along y/x every 4th iteration;
+* every ``jump_every`` iterations a pointer-jumping pass
+  (label <- label[label]) compresses remaining pathological paths — jumps
+  are gathers, measured ~250x the stencil cost on TPU, so they stay rare.
+
 Labels are then densified to 1..N by a rank-over-roots cumsum (on device).
 """
 
@@ -92,6 +97,28 @@ def _min_pool_3x3x3(lab: jax.Array, wrap_x: bool) -> jax.Array:
     return jnp.minimum(jnp.minimum(tpad[0:T], tpad[1 : T + 1]), tpad[2 : T + 2])
 
 
+def _segmented_min_sweep(lab: jax.Array, active: jax.Array, axis: int) -> jax.Array:
+    """
+    Bidirectional segmented-min scan along ``axis``: every contiguous run of
+    active cells receives the run's minimum label in one O(log n) pass
+    (lax.associative_scan with a (value, reset-flag) monoid).  Runs of active
+    cells along an axis are connected, so this is always a sound propagation
+    step — it accelerates convergence from O(diameter) stencil iterations to
+    O(shape complexity), without any gathers.
+    """
+
+    def combine(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        v = jnp.where(f2, v2, jnp.minimum(v1, v2))
+        return v, jnp.logical_or(f1, f2)
+
+    flags = ~active
+    vf, _ = jax.lax.associative_scan(combine, (lab, flags), axis=axis)
+    vb, _ = jax.lax.associative_scan(combine, (lab, flags), axis=axis, reverse=True)
+    return jnp.where(active, jnp.minimum(vf, vb), _BIG)
+
+
 def _jump(lab_flat: jax.Array) -> jax.Array:
     """One pointer-jumping hop on (..., N) flat labels (BIG = inactive).
 
@@ -135,6 +162,15 @@ def label_slices_grid(
             m = min_stencil_pallas(lab, data, masked=True)
         else:
             m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
+        # long-range run sweeps: every 4th iteration, propagate along whole
+        # active rows/columns in one pass (bounds iterations by shape
+        # complexity instead of blob diameter)
+        m = jax.lax.cond(
+            (it % 4) == 3,
+            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: x,
+            m,
+        )
         mf = m.reshape(T, H * W)
         mf = jax.lax.cond(
             (it % jump_every) == jump_every - 1,
@@ -192,6 +228,15 @@ def label_spacetime_grid(
         else:
             m = _min_pool_3x3x3(lab, wrap_x)
         m = jnp.where(data, m, _BIG)
+        # event durations dominate diameters: sweep whole active runs along
+        # time every iteration, and along y/x every 4th
+        m = _segmented_min_sweep(m, data, 0)
+        m = jax.lax.cond(
+            (it % 4) == 3,
+            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: x,
+            m,
+        )
         mf = m.reshape(1, N)
         mf = jax.lax.cond(
             (it % jump_every) == jump_every - 1,
