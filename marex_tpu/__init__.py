@@ -126,21 +126,21 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # Lazy imports keep `import marex_tpu` light and avoid hard failures when
-    # optional plotting dependencies are absent.
+    # optional plotting dependencies are absent.  NB: must use
+    # importlib.import_module — a `from . import x` here re-enters this
+    # __getattr__ during the submodule import and recurses.
+    import importlib
+
     if name in ("tracker", "regional_tracker"):
-        from . import track as _track
-
-        return getattr(_track, name)
+        return getattr(importlib.import_module(".track", __name__), name)
     if name in ("specify_grid", "PlotConfig", "plotX"):
-        from . import plotX as _plotX
-
-        if name == "plotX":
-            return _plotX
-        return getattr(_plotX, name)
+        mod = importlib.import_module(".plotX", __name__)
+        return mod if name == "plotX" else getattr(mod, name)
     if name in ("configure_dask", "configure_devices", "start_local_cluster", "start_distributed_cluster", "helper"):
-        from . import helper as _helper
-
-        if name == "helper":
-            return _helper
-        return getattr(_helper, name)
+        mod = importlib.import_module(".helper", __name__)
+        return mod if name == "helper" else getattr(mod, name)
+    if name == "io":
+        return importlib.import_module(".io", __name__)
+    if name == "parallel":
+        return importlib.import_module(".parallel", __name__)
     raise AttributeError(f"module 'marex_tpu' has no attribute {name!r}")

@@ -393,3 +393,19 @@ class TestShardedDetect:
         sharded = jax.device_put(data, NamedSharding(mesh, P(("time", "space"), None, None)))
         got = np.asarray(morph.binary_close_time(sharded, 2))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestPackageSurface:
+    def test_lazy_attributes(self):
+        import marex_tpu as m
+
+        assert m.PlotConfig().cperc == [4, 96]
+        assert callable(m.tracker) and callable(m.regional_tracker)
+        assert callable(m.configure_dask) and callable(m.specify_grid)
+        assert hasattr(m.io, "open_zarr") and hasattr(m.parallel, "make_mesh")
+
+    def test_all_exports_resolve(self):
+        import marex_tpu as m
+
+        for name in m.__all__:
+            assert getattr(m, name) is not None, name
