@@ -243,21 +243,43 @@ def hobday_thresholds_exact(data_ymd: jax.Array, q: float, window_days: int, doy
 
     data_ymd : (Y, 366, S)
     returns  : (366, S)
+
+    Memory: the (Y, doy_chunk, W, S_tile) window gather is the peak
+    intermediate; the space axis tiles under an outer lax.map when the full
+    gather would exceed ~1 GB.
     """
     Y, D, S = data_ymd.shape
     half = window_days // 2
+    W = 2 * half + 1
     offsets = jnp.arange(-half, half + 1)
 
-    def per_doy_block(d0: jax.Array) -> jax.Array:
-        doys = (d0[:, None] + offsets[None, :]) % D  # (chunk, W)
-        # gather -> (Y, chunk, W, S)
-        win = data_ymd[:, doys, :]
-        win = jnp.moveaxis(win, 1, 0).reshape(doy_chunk, Y * (2 * half + 1), S)
-        return jnp.nanquantile(win, q, axis=1).astype(jnp.float32)
+    def block_for(data_tile, s_tile):
+        def per_doy_block(d0: jax.Array) -> jax.Array:
+            doys = (d0[:, None] + offsets[None, :]) % D  # (chunk, W)
+            win = data_tile[:, doys, :]  # (Y, chunk, W, s_tile)
+            win = jnp.moveaxis(win, 1, 0).reshape(doy_chunk, Y * W, s_tile)
+            return jnp.nanquantile(win, q, axis=1).astype(jnp.float32)
 
-    starts = jnp.arange(0, D, doy_chunk)
-    blocks = jax.lax.map(lambda s: per_doy_block(s + jnp.arange(doy_chunk)), starts)
-    return blocks.reshape(-1, S)[:D]
+        starts = jnp.arange(0, D, doy_chunk)
+        blocks = jax.lax.map(lambda s: per_doy_block(s + jnp.arange(doy_chunk)), starts)
+        return blocks.reshape(-1, s_tile)[:D]
+
+    full_bytes = Y * doy_chunk * W * S * 4
+    if full_bytes <= _HIST_TILE_BYTES:
+        return block_for(data_ymd, S)
+
+    tile_s = max(1, _HIST_TILE_BYTES // (Y * doy_chunk * W * 4))
+    n_tiles = -(-S // tile_s)
+    s_pad = n_tiles * tile_s
+    padded = jnp.pad(data_ymd, ((0, 0), (0, 0), (0, s_pad - S)), constant_values=jnp.nan)
+    starts = jnp.arange(n_tiles) * tile_s
+
+    def per_tile(start):
+        tile = jax.lax.dynamic_slice_in_dim(padded, start, tile_s, axis=2)
+        return block_for(tile, tile_s)
+
+    tiles = jax.lax.map(per_tile, starts)  # (n_tiles, D, tile_s)
+    return jnp.moveaxis(tiles, 0, 1).reshape(D, s_pad)[:, :S]
 
 
 # ----------------------------------------------------------------------------

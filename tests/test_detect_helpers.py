@@ -195,3 +195,18 @@ class TestRollingMeans:
         got = np.asarray(mclim.dayofyear_std(jnp.asarray(ymd)))
         expected = np.nanstd(ymd, axis=0)
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+class TestExactHobdayTiling:
+    def test_tiled_exact_equals_untiled(self):
+        rng = np.random.default_rng(23)
+        Y, S = 6, 40
+        ymd = rng.normal(0, 1, (Y, 366, S)).astype(np.float32)
+        ref = np.asarray(mquant.hobday_thresholds_exact(jnp.asarray(ymd), 0.9, 11))
+        old = mquant._HIST_TILE_BYTES
+        mquant._HIST_TILE_BYTES = Y * 6 * 11 * 7 * 4  # force ~7-point tiles
+        try:
+            tiled = np.asarray(mquant.hobday_thresholds_exact(jnp.asarray(ymd), 0.9, 11))
+        finally:
+            mquant._HIST_TILE_BYTES = old
+        np.testing.assert_allclose(tiled, ref, rtol=1e-5, atol=1e-5, equal_nan=True)
