@@ -22,6 +22,7 @@ import logging
 import warnings
 from typing import Any, Dict, List, Literal, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,10 +130,55 @@ def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
     """
     NaN/inf policy identical to the reference (detect.py:205-279): the spatial
     mask comes from time step 0; any non-finite value at a valid location at
-    any other time is an error.
+    any other time is an error.  The scan runs on device (one fused reduction)
+    when the payload is device-resident or large.
     """
-    vals = da.values
     tax = da.dims.index(dimensions["time"])
+    payload = da.data
+
+    if type(payload).__module__.startswith("jax") or getattr(payload, "size", 0) > 10_000_000:
+        v = jnp.moveaxis(jnp.asarray(payload), tax, 0)
+        finite = jnp.isfinite(v)
+        spatial_mask = finite[0]
+        invalid_per_location = jnp.sum(~finite, axis=0)
+        invalid_in_valid = jnp.where(spatial_mask, invalid_per_location, 0)
+        any_valid, max_invalid = jax.device_get((jnp.any(spatial_mask), jnp.max(invalid_in_valid)))
+        if not bool(any_valid):
+            raise create_data_validation_error(
+                "Dataset contains no valid (finite) data",
+                details="All values in the first time step are NaN or infinite",
+                suggestions=[
+                    "Check your input data for data quality issues",
+                    "Verify the data was loaded correctly",
+                ],
+                data_info={"total_values": int(v.size)},
+            )
+        if int(max_invalid) > 0:
+            total_invalid = int(jnp.sum(invalid_in_valid))
+            locations_affected = int(jnp.sum(invalid_in_valid > 0))
+            total_ocean = int(jnp.sum(spatial_mask))
+            raise create_data_validation_error(
+                f"Dataset contains {total_invalid} invalid values in {locations_affected} ocean locations",
+                details=(
+                    f"Found invalid data across time series. Worst location has {int(max_invalid)} "
+                    f"invalid time steps out of {v.shape[0]}."
+                ),
+                suggestions=[
+                    "Remove or interpolate NaN/infinite values before preprocessing",
+                    "Check data quality and loading procedures",
+                    "For ocean data, ensure land mask is properly applied before preprocessing",
+                ],
+                data_info={
+                    "total_invalid_values_in_ocean": total_invalid,
+                    "locations_affected": locations_affected,
+                    "total_ocean_locations": total_ocean,
+                    "max_invalid_at_one_location": int(max_invalid),
+                    "total_time_steps": int(v.shape[0]),
+                },
+            )
+        return
+
+    vals = da.values
     vals = np.moveaxis(vals, tax, 0)
     spatial_mask = np.isfinite(vals[0])
 
@@ -306,7 +352,7 @@ def preprocess_data(
 
     with log_timing(logger, f"Anomaly computation using {method_anomaly} method", log_memory=True):
         ds = compute_normalised_anomaly(
-            da.astype(np.float32),
+            da if da.dtype == np.float32 else da.astype(np.float32),
             method_anomaly,
             dimensions,
             coordinates,
