@@ -126,6 +126,26 @@ def _infer_dims_coords(
     return dimensions, coordinates
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("tax",))
+def _validation_stats_program(v: jnp.ndarray, tax: int):
+    """One fused program computing all NaN-policy statistics (5 scalars)."""
+    v = jnp.moveaxis(v, tax, 0)
+    finite = jnp.isfinite(v)
+    spatial_mask = finite[0]
+    invalid_per_location = jnp.sum(~finite, axis=0)
+    invalid_in_valid = jnp.where(spatial_mask, invalid_per_location, 0)
+    return (
+        jnp.any(spatial_mask).astype(jnp.int32),
+        jnp.max(invalid_in_valid).astype(jnp.int32),
+        jnp.sum(invalid_in_valid).astype(jnp.int32),
+        jnp.sum(invalid_in_valid > 0).astype(jnp.int32),
+        jnp.sum(spatial_mask).astype(jnp.int32),
+    )
+
+
 def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
     """
     NaN/inf policy identical to the reference (detect.py:205-279): the spatial
@@ -137,13 +157,9 @@ def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
     payload = da.data
 
     if type(payload).__module__.startswith("jax") or getattr(payload, "size", 0) > 10_000_000:
-        v = jnp.moveaxis(jnp.asarray(payload), tax, 0)
-        finite = jnp.isfinite(v)
-        spatial_mask = finite[0]
-        invalid_per_location = jnp.sum(~finite, axis=0)
-        invalid_in_valid = jnp.where(spatial_mask, invalid_per_location, 0)
-        any_valid, max_invalid = jax.device_get((jnp.any(spatial_mask), jnp.max(invalid_in_valid)))
-        if not bool(any_valid):
+        stats = jax.device_get(_validation_stats_program(jnp.asarray(payload), tax))
+        any_valid, max_invalid, total_invalid, locations_affected, total_ocean = map(int, stats)
+        if not any_valid:
             raise create_data_validation_error(
                 "Dataset contains no valid (finite) data",
                 details="All values in the first time step are NaN or infinite",
@@ -151,17 +167,14 @@ def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
                     "Check your input data for data quality issues",
                     "Verify the data was loaded correctly",
                 ],
-                data_info={"total_values": int(v.size)},
+                data_info={"total_values": int(payload.size)},
             )
-        if int(max_invalid) > 0:
-            total_invalid = int(jnp.sum(invalid_in_valid))
-            locations_affected = int(jnp.sum(invalid_in_valid > 0))
-            total_ocean = int(jnp.sum(spatial_mask))
+        if max_invalid > 0:
             raise create_data_validation_error(
                 f"Dataset contains {total_invalid} invalid values in {locations_affected} ocean locations",
                 details=(
-                    f"Found invalid data across time series. Worst location has {int(max_invalid)} "
-                    f"invalid time steps out of {v.shape[0]}."
+                    f"Found invalid data across time series. Worst location has {max_invalid} "
+                    f"invalid time steps out of {payload.shape[tax]}."
                 ),
                 suggestions=[
                     "Remove or interpolate NaN/infinite values before preprocessing",
@@ -172,8 +185,8 @@ def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
                     "total_invalid_values_in_ocean": total_invalid,
                     "locations_affected": locations_affected,
                     "total_ocean_locations": total_ocean,
-                    "max_invalid_at_one_location": int(max_invalid),
-                    "total_time_steps": int(v.shape[0]),
+                    "max_invalid_at_one_location": max_invalid,
+                    "total_time_steps": int(payload.shape[tax]),
                 },
             )
         return
@@ -337,6 +350,14 @@ def preprocess_data(
     log_memory_usage(logger, "Initial memory state", logging.DEBUG)
 
     dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
+
+    # Stage the payload to device ONCE up front (float32): validation and all
+    # subsequent compute reuse the same device buffer — host<->device traffic
+    # is the dominant cost at production sizes.
+    if not type(da.data).__module__.startswith("jax"):
+        da = Field(
+            jnp.asarray(np.asarray(da.data, dtype=np.float32)), da.dims, da.coords, da.name, da.attrs
+        )
 
     if reference_period is not None and method_anomaly not in ("fixed_baseline", "detrend_fixed_baseline"):
         raise ConfigurationError(
