@@ -24,6 +24,7 @@ import os
 import warnings
 from typing import Any, Dict, List, Literal, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,41 @@ def _replace_label(slice_arr: np.ndarray, old_id: int, new_id: int) -> int:
     from ._native import replace_value
 
     return replace_value(slice_arr.reshape(-1), int(old_id), int(new_id))
+
+
+class _SliceStore:
+    """
+    Lazy host view over a device-resident label field: the merge march only
+    materialises the time slices it actually touches (merge-candidate
+    neighbourhoods), and modified slices are scattered back to device in one
+    batch at the end — host<->device traffic scales with merge activity, not
+    with the dataset.
+    """
+
+    def __init__(self, labels_dev: jnp.ndarray):
+        self.dev = labels_dev
+        self._cache: Dict[int, np.ndarray] = {}
+        self._modified: set = set()
+
+    @property
+    def T(self) -> int:
+        return self.dev.shape[0]
+
+    def get(self, t: int) -> np.ndarray:
+        if t not in self._cache:
+            self._cache[t] = np.array(self.dev[t], dtype=np.int32)
+        return self._cache[t]
+
+    def mark(self, t: int) -> None:
+        self._modified.add(t)
+
+    def flush(self) -> jnp.ndarray:
+        if self._modified:
+            ts = np.array(sorted(self._modified), dtype=np.int32)
+            stacked = np.stack([self._cache[int(t)] for t in ts])
+            self.dev = self.dev.at[jnp.asarray(ts)].set(jnp.asarray(stacked))
+            self._modified.clear()
+        return self.dev
 
 
 class ObjectTable:
@@ -872,20 +908,22 @@ class tracker:
         return np.array(keep, dtype=np.float64).reshape(-1, 3)
 
     def track_objects(self, data_bin: jnp.ndarray):
-        """Full merge/split-aware tracking (track.py:2734-2807)."""
+        """Full merge/split-aware tracking (track.py:2734-2807). Labels stay
+        device-resident; the merge march materialises only the slices it
+        touches (see _SliceStore)."""
         labels_slices, counts = self._label_slices(data_bin)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-        global_labels = np.asarray(_label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32))))
+        labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
         logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
 
         object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
         logger.info("Finished calculating object properties")
 
-        labels_np = np.array(global_labels, dtype=np.int32)  # writable host copy
-        labels_np, object_table, overlap_list, merge_events = self._split_and_merge(labels_np, object_table)
+        store = _SliceStore(labels_dev)
+        labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
         logger.info("Finished splitting and merging objects")
 
-        events_ds, N_events = self._cluster_rename(labels_np, object_table, overlap_list, merge_events)
+        events_ds, N_events = self._cluster_rename(labels_dev, object_table, overlap_list, merge_events)
         logger.info("Finished clustering and renaming objects into coherent consistent events")
         return events_ds, merge_events, N_events
 
@@ -896,50 +934,67 @@ class tracker:
             return self.cell_area.reshape(-1).astype(np.float32)
         return None
 
-    def _all_overlaps(self, labels_np: np.ndarray) -> np.ndarray:
-        """Overlap pairs for all consecutive slices (device kernel + host merge)."""
-        T = labels_np.shape[0]
-        flat = labels_np.reshape(T, -1)
+    def _per_slice_pairs_device(self, labels) -> Optional[List[np.ndarray]]:
+        """(id_a, id_b, w) triples for every consecutive slice pair, computed
+        on device; None when label ids exceed the packed-key range."""
+        T = labels.shape[0]
+        flat = jnp.asarray(labels).reshape(T, -1)
         S = flat.shape[1]
         w = self._cell_weights()
         weights = jnp.asarray(w) if w is not None else jnp.ones((S,), jnp.float32)
-        max_label = int(labels_np.max())
+        max_label = int(jnp.max(flat))
         key_stride = max_label + 2
         if key_stride * key_stride >= 2**31:
-            # fall back to host for extreme label counts
-            out = []
-            wv = w
-            for t in range(T - 1):
-                out.append(_overlap_slice_host(flat[t], flat[t + 1], wv))
-            return _merge_pair_lists(out)
+            return None
         max_pairs = 256
         while True:
-            pa, pb, pw = _overlap.overlap_pairs_all(jnp.asarray(flat), weights, max_pairs, key_stride)
+            pa, pb, pw = _overlap.overlap_pairs_all(flat, weights, max_pairs, key_stride)
             pa = np.asarray(pa)
             # overflow check: every slice must have at least one free slot
             if (pa[:, -1] < 0).all() or max_pairs >= S:
                 break
             max_pairs *= 4
-        return _overlap.aggregate_pairs_host(pa, np.asarray(pb), np.asarray(pw))
+        pb = np.asarray(pb)
+        pw = np.asarray(pw)
+        out = []
+        for t in range(T - 1):
+            valid = pa[t] >= 0
+            out.append(
+                np.column_stack([pa[t][valid].astype(np.float64), pb[t][valid].astype(np.float64), pw[t][valid]])
+            )
+        return out
+
+    def _all_overlaps(self, labels) -> np.ndarray:
+        """Overlap pairs for all consecutive slices (device kernel + host merge)."""
+        per_slice = self._per_slice_pairs_device(labels)
+        if per_slice is not None:
+            return _merge_pair_lists(per_slice)
+        # fall back to host for extreme label counts
+        lab_np = np.asarray(labels)
+        T = lab_np.shape[0]
+        flat = lab_np.reshape(T, -1)
+        w = self._cell_weights()
+        return _merge_pair_lists([_overlap_slice_host(flat[t], flat[t + 1], w) for t in range(T - 1)])
 
     # -- split & merge march -------------------------------------------------
 
-    def _split_and_merge(self, labels_np: np.ndarray, table: ObjectTable):
+    def _split_and_merge(self, store: "_SliceStore", table: ObjectTable):
         """
         Sequential split/merge resolution (semantics of track.py:3337-3802):
         timestep march with (t-2, t-1) consolidation and iterative per-timestep
-        merge partitioning. Only timesteps with candidate merges do real work.
+        merge partitioning. Only timesteps with candidate merges do real work,
+        and only their slices are materialised host-side.
         """
-        T = labels_np.shape[0]
+        T = store.T
         w = self._cell_weights()
-        flatten = (lambda s: s) if self.unstructured_grid else (lambda s: s.reshape(-1))
 
-        # per-consecutive-slice overlap cache: index t holds pairs (t, t+1)
-        pair_cache: List[Optional[np.ndarray]] = [None] * max(T - 1, 0)
+        # per-consecutive-slice overlap cache: index t holds pairs (t, t+1),
+        # seeded in one device pass over the whole field
+        pair_cache: List[Optional[np.ndarray]] = self._per_slice_pairs_device(store.dev) or [None] * max(T - 1, 0)
 
         def get_pairs(t: int) -> np.ndarray:
             if pair_cache[t] is None:
-                pair_cache[t] = _overlap_slice_host(flatten(labels_np[t]), flatten(labels_np[t + 1]), w)
+                pair_cache[t] = _overlap_slice_host(store.get(t).reshape(-1), store.get(t + 1).reshape(-1), w)
             return pair_cache[t]
 
         def invalidate(t: int) -> None:
@@ -977,11 +1032,12 @@ class tracker:
                             child = int(child)
                             if child not in table:
                                 continue
-                            _replace_label(labels_np[t - 1], child, first)
+                            _replace_label(store.get(t - 1), child, first)
+                            store.mark(t - 1)
                             table.drop(child)
                             changed = True
                         if changed:
-                            props = self._slice_props_host(labels_np[t - 1], np.array([first]))
+                            props = self._slice_props_host(store.get(t - 1), np.array([first]))
                             if first in props:
                                 table.add(first, *props[first])
                             invalidate(t - 1)
@@ -1018,16 +1074,17 @@ class tracker:
                     merge_areas.append(rows[:, 2])
 
                     parent_centroids = np.array([table.centroid(int(p)) for p in parent_ids], dtype=np.float64)
+                    cur_slice = store.get(t)
                     assignment = self._partition_child(
-                        labels_np, t, child_id, parent_ids, parent_centroids, table
+                        store.get(t - 1), cur_slice, child_id, parent_ids, parent_centroids, table
                     )  # (n_child_cells,) index into parents
 
-                    child_mask = labels_np[t] == child_id
-                    new_labels_cells = child_ids[assignment]
-                    labels_np[t][child_mask] = new_labels_cells
+                    child_mask = cur_slice == child_id
+                    cur_slice[child_mask] = child_ids[assignment]
+                    store.mark(t)
                     invalidate(t)
 
-                    props = self._slice_props_host(labels_np[t], child_ids)
+                    props = self._slice_props_host(cur_slice, child_ids)
                     if child_id in props:
                         table.add(child_id, *props[child_id])
                     else:
@@ -1062,14 +1119,16 @@ class tracker:
                         child = int(child)
                         if child not in table:
                             continue
-                        _replace_label(labels_np[T - 1], child, first)
+                        _replace_label(store.get(T - 1), child, first)
+                        store.mark(T - 1)
                         table.drop(child)
-                    props = self._slice_props_host(labels_np[T - 1], np.array([first]))
+                    props = self._slice_props_host(store.get(T - 1), np.array([first]))
                     if first in props:
                         table.add(first, *props[first])
 
         # final overlap list over the (modified) fields (track.py:3641-3643)
-        overlap_list = self._enforce_threshold(self._all_overlaps(labels_np), table)
+        labels_dev = store.flush()
+        overlap_list = self._enforce_threshold(self._all_overlaps(labels_dev), table)
 
         # duplicate-children diagnostics (track.py:3646-3751, abbreviated)
         if len(overlap_list):
@@ -1082,19 +1141,20 @@ class tracker:
                 )
 
         merge_events = _build_merge_events(merge_times, merge_child_ids, merge_parent_ids, merge_areas)
-        return labels_np, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
+        return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
 
     def _partition_child(
         self,
-        labels_np: np.ndarray,
-        t: int,
+        prev: np.ndarray,
+        cur: np.ndarray,
         child_id: int,
         parent_ids: np.ndarray,
         parent_centroids: np.ndarray,
         table: ObjectTable,
     ) -> np.ndarray:
         """Partition the child's cells among parents; returns parent indices
-        for child cells in C-order (device kernels from ops.partition)."""
+        for child cells in C-order (device kernels from ops.partition).
+        ``prev``/``cur`` are the t-1 / t label slices."""
         n_parents = len(parent_ids)
         P = MAX_PARENTS
         valid = np.zeros(P, bool)
@@ -1102,8 +1162,7 @@ class tracker:
         cents = np.zeros((P, 2), np.float32)
         cents[:n_parents] = parent_centroids
 
-        prev = labels_np[t - 1]
-        child_mask = labels_np[t] == child_id
+        child_mask = cur == child_id
 
         if self.unstructured_grid:
             pmasks = np.zeros((P,) + prev.shape, bool)
@@ -1162,9 +1221,13 @@ class tracker:
         overlap_list: np.ndarray,
         merge_events: FieldSet,
     ):
-        """Cluster overlap pairs into events and relabel (track.py:2809-3331)."""
-        field_ids = np.unique(labels_np)
-        field_ids = field_ids[field_ids > 0]
+        """Cluster overlap pairs into events and relabel (track.py:2809-3331).
+        ``labels_np`` may be a device array; the remap, the global-ID scatter
+        and the event statistics all run on device."""
+        labels_dev = jnp.asarray(labels_np)
+        # alive object ids come from the table (the march keeps it in sync
+        # with the field), plus any ids referenced by the overlap graph
+        field_ids = table.ids()
         if len(overlap_list):
             overlap_ids = np.unique(overlap_list.astype(np.int64))
             overlap_ids = overlap_ids[overlap_ids > 0]
@@ -1179,23 +1242,24 @@ class tracker:
         n_events = int(comp.max()) + 1 if len(comp) else 0
         logger.info(f"Identified {n_events} connected components (events)")
 
-        max_id = int(max(labels_np.max(), all_ids.max() if len(all_ids) else 0))
+        max_id = int(max(int(jnp.max(labels_dev)), all_ids.max() if len(all_ids) else 0))
         lookup = np.zeros(max_id + 2, dtype=np.int32)
         lookup[all_ids] = comp.astype(np.int32) + 1
 
         # device remap of the full field
-        new_field = np.asarray(jnp.take(jnp.asarray(lookup), jnp.asarray(labels_np)))
+        new_field_dev = jnp.take(jnp.asarray(lookup), labels_dev)
 
-        T = labels_np.shape[0]
+        T = labels_dev.shape[0]
         N = n_events
 
-        # global_ID (time, ID): original id at each time for each event
-        global_id = np.zeros((T, N + 1), dtype=np.int32)
-        for t in range(T):
-            nf = new_field[t].reshape(-1)
-            of = labels_np[t].reshape(-1)
-            sel = nf > 0
-            global_id[t][nf[sel]] = of[sel]
+        # global_ID (time, ID): original id at each time for each event —
+        # one device scatter (deterministic max-combine), small download
+        nf = new_field_dev.reshape(T, -1)
+        of = labels_dev.reshape(T, -1)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, nf.shape, 0)
+        gid_dev = jnp.zeros((T, N + 2), jnp.int32).at[t_idx, jnp.where(nf > 0, nf, N + 1)].max(of)
+        global_id = np.asarray(gid_dev[:, : N + 1])
+        new_field = new_field_dev  # device-resident; downloaded only on .values
 
         presence = global_id > 0
         time_vals = np.asarray(self.data_bin.coords[self.timecoord].values)
@@ -1232,7 +1296,7 @@ class tracker:
 
         events_ds = FieldSet(
             {
-                "ID_field": Field(new_field.astype(np.int32), tdims + sdims, coords, name="ID_field"),
+                "ID_field": Field(new_field, tdims + sdims, coords, name="ID_field"),
                 "global_ID": Field(global_id[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="global_ID"),
                 "area": Field(areas[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="area"),
                 "centroid": Field(
