@@ -121,3 +121,22 @@ def union_find_components(pairs: np.ndarray, node_ids: np.ndarray) -> np.ndarray
 
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     return union_find(pairs, np.asarray(node_ids, dtype=np.int64))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_pairs(pair_a: jax.Array, pair_b: jax.Array, pair_w: jax.Array, cap: int):
+    """
+    Compact padded (T, max_pairs) pair buffers into dense (cap,) arrays in
+    row-major order (valid entries only). Keeps host downloads proportional to
+    the number of real pairs instead of the padded device capacity.
+    """
+    a = pair_a.reshape(-1)
+    b = pair_b.reshape(-1)
+    w = pair_w.reshape(-1)
+    valid = a >= 0
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idx = jnp.where(valid, pos, cap)
+    out_a = jnp.zeros((cap,), a.dtype).at[idx].set(a, mode="drop")
+    out_b = jnp.zeros((cap,), b.dtype).at[idx].set(b, mode="drop")
+    out_w = jnp.zeros((cap,), w.dtype).at[idx].set(w, mode="drop")
+    return out_a, out_b, out_w

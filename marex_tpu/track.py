@@ -936,7 +936,12 @@ class tracker:
 
     def _per_slice_pairs_device(self, labels) -> Optional[List[np.ndarray]]:
         """(id_a, id_b, w) triples for every consecutive slice pair, computed
-        on device; None when label ids exceed the packed-key range."""
+        on device; None when label ids exceed the packed-key range.
+
+        The padded (T-1, max_pairs) buffers are compacted ON DEVICE before
+        download, so the host transfer scales with the number of actual pairs
+        (kilobytes) rather than the padded capacity (hundreds of MB) — critical
+        when the device link is slow."""
         T = labels.shape[0]
         flat = jnp.asarray(labels).reshape(T, -1)
         S = flat.shape[1]
@@ -949,20 +954,27 @@ class tracker:
         max_pairs = 256
         while True:
             pa, pb, pw = _overlap.overlap_pairs_all(flat, weights, max_pairs, key_stride)
-            pa = np.asarray(pa)
-            # overflow check: every slice must have at least one free slot
-            if (pa[:, -1] < 0).all() or max_pairs >= S:
+            # overflow check on a single downloaded column: every slice must
+            # have at least one free slot in its padded row
+            last_col = np.asarray(pa[:, -1])
+            if (last_col < 0).all() or max_pairs >= S:
                 break
             max_pairs *= 4
-        pb = np.asarray(pb)
-        pw = np.asarray(pw)
-        out = []
-        for t in range(T - 1):
-            valid = pa[t] >= 0
-            out.append(
-                np.column_stack([pa[t][valid].astype(np.float64), pb[t][valid].astype(np.float64), pw[t][valid]])
-            )
-        return out
+
+        counts = np.asarray(jnp.sum(pa >= 0, axis=1).astype(jnp.int32))
+        cap = int(counts.sum())
+        if cap == 0:
+            return [np.empty((0, 3)) for _ in range(T - 1)]
+        ca, cb, cw = _overlap.compact_pairs(pa, pb, pw, cap)
+        triples = np.column_stack(
+            [
+                np.asarray(ca).astype(np.float64),
+                np.asarray(cb).astype(np.float64),
+                np.asarray(cw).astype(np.float64),
+            ]
+        )
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        return [triples[bounds[t] : bounds[t + 1]] for t in range(T - 1)]
 
     def _all_overlaps(self, labels) -> np.ndarray:
         """Overlap pairs for all consecutive slices (device kernel + host merge)."""
