@@ -18,7 +18,7 @@ gather-free long-range mechanisms:
 
 * segmented-min sweeps (lax.associative_scan) flood whole active runs along
   an axis in one O(log n) pass — along time every 3-D iteration (event
-  durations dominate diameters) and along y/x every 4th iteration;
+  durations dominate diameters) and along y/x every 2nd iteration;
 * every ``jump_every`` iterations a pointer-jumping pass
   (label <- label[label]) compresses remaining pathological paths — jumps
   are gathers, measured ~250x the stencil cost on TPU, so they stay rare.
@@ -162,11 +162,11 @@ def label_slices_grid(
             m = min_stencil_pallas(lab, data, masked=True)
         else:
             m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
-        # long-range run sweeps: every 4th iteration, propagate along whole
+        # long-range run sweeps: every 2nd iteration, propagate along whole
         # active rows/columns in one pass (bounds iterations by shape
-        # complexity instead of blob diameter)
+        # complexity instead of blob diameter; measured optimum on TPU)
         m = jax.lax.cond(
-            (it % 4) == 3,
+            (it % 2) == 1,
             lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
             lambda x: x,
             m,
@@ -229,10 +229,11 @@ def label_spacetime_grid(
             m = _min_pool_3x3x3(lab, wrap_x)
         m = jnp.where(data, m, _BIG)
         # event durations dominate diameters: sweep whole active runs along
-        # time every iteration, and along y/x every 4th
+        # time every iteration, and along y/x every 2nd (measured optimum on
+        # a 105M-cell block: 0.51s vs 0.74s at every 4th, 1.8s at every 1st)
         m = _segmented_min_sweep(m, data, 0)
         m = jax.lax.cond(
-            (it % 4) == 3,
+            (it % 2) == 1,
             lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
             lambda x: x,
             m,
@@ -321,3 +322,22 @@ def offset_labels_across_time(labels: jax.Array, counts: jax.Array) -> jax.Array
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
     shape = (labels.shape[0],) + (1,) * (labels.ndim - 1)
     return jnp.where(labels > 0, labels + offsets.reshape(shape), 0)
+
+
+@partial(jax.jit, static_argnames=("n_labels",))
+def select_labels(labels: jax.Array, keep: jax.Array, n_labels: int) -> jax.Array:
+    """
+    Per-slice label filter: ``out[t, c] = keep[t, labels[t, c]]`` computed as
+    an unrolled compare-OR over the (small) label range instead of a flat
+    gather — on TPU a 105M-element gather costs ~1.1 s while n_labels fused
+    elementwise passes cost ~5 ms each, so this wins whenever the per-slice
+    object count is modest (callers fall back to take_along_axis otherwise).
+
+    labels : (T, S) int32 per-slice dense labels (0 = background)
+    keep   : (T, n_labels + 1) bool
+    """
+    T, S = labels.shape
+    out = jnp.zeros((T, S), bool)
+    for lbl in range(1, n_labels + 1):
+        out = jnp.logical_or(out, jnp.logical_and(keep[:, lbl : lbl + 1], labels == lbl))
+    return out

