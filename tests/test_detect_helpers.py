@@ -210,3 +210,26 @@ class TestExactHobdayTiling:
         finally:
             mquant._HIST_TILE_BYTES = old
         np.testing.assert_allclose(tiled, ref, rtol=1e-5, atol=1e-5, equal_nan=True)
+
+
+class TestGlobalThresholdsBinarySearch:
+    """global_thresholds_approx computes the quantile by binary-search count
+    passes; it must equal the materialised-histogram CDF path bit-for-bit."""
+
+    def test_matches_histogram_cdf_path(self):
+        rng = np.random.default_rng(7)
+        edges = mquant.make_bin_edges(0.01, 5.0)
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        nbins = len(edges) - 1
+        x = rng.standard_normal((400, 96)).astype(np.float32) * 1.5
+        x[:, :4] = np.nan          # all-NaN columns
+        x[:100, 4:8] = np.nan      # partial NaN
+        x[:, 8] = 0.0              # constant column
+        x[:, 9] = 7.0              # all overflow -> sentinel bin
+        bins = mquant.digitize_anomalies(jnp.asarray(x), 0.01, nbins)
+        for q in (0.5, 0.9, 0.95, 0.99):
+            old = np.asarray(mquant.histogram_quantile_cdf(mquant.histogram_bins_1d(bins, nbins), q, centers))
+            new = np.asarray(mquant.global_thresholds_approx(bins, q, nbins, centers))
+            # same bin selections and interpolation up to FMA-fusion ULPs
+            assert np.isnan(old).tolist() == np.isnan(new).tolist()
+            np.testing.assert_allclose(new[~np.isnan(new)], old[~np.isnan(old)], rtol=0, atol=1e-6)
