@@ -341,3 +341,93 @@ def select_labels(labels: jax.Array, keep: jax.Array, n_labels: int) -> jax.Arra
     for lbl in range(1, n_labels + 1):
         out = jnp.logical_or(out, jnp.logical_and(keep[:, lbl : lbl + 1], labels == lbl))
     return out
+
+
+@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
+def label_slices_grid_roots(
+    data: jax.Array, wrap_x: bool = True, max_iters: int = 4096, jump_every: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """
+    Per-timestep 2-D CCL returning RAW root labels (each component labeled by
+    its minimum flat index; _BIG = background) plus per-slice counts — i.e.
+    :func:`label_slices_grid` without the densification pass, whose
+    rank-lookup is a flat 105M-element gather (~1.1 s on TPU). Callers that
+    only need per-object reductions can stay in root space (see
+    :func:`extract_root_areas` / :func:`apply_root_keep`).
+    """
+    T, H, W = data.shape
+    flat_idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
+    lab = jnp.where(data, flat_idx, _BIG)
+
+    def step(state):
+        lab, _, it = state
+        m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
+        m = jax.lax.cond(
+            (it % 2) == 1,
+            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: x,
+            m,
+        )
+        mf = m.reshape(T, H * W)
+        mf = jax.lax.cond(
+            (it % jump_every) == jump_every - 1,
+            lambda x: _jump(_jump(x)),
+            lambda x: x,
+            mf,
+        )
+        new = mf.reshape(T, H, W)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
+    labf = lab.reshape(T, H * W)
+    is_root = jnp.logical_and(data.reshape(T, H * W), labf == flat_idx.reshape(1, H * W))
+    counts = jnp.sum(is_root.astype(jnp.int32), axis=1)
+    return labf, counts
+
+
+@partial(jax.jit, static_argnames=("n_max",))
+def extract_root_areas(root_flat: jax.Array, n_max: int) -> Tuple[jax.Array, jax.Array]:
+    """
+    Enumerate each slice's root label ids in ascending order together with
+    their pixel areas, gather-free: the j-th root is the minimum label value
+    strictly greater than the (j-1)-th — one fused compare+reduce pass per
+    object slot, so 2*n_max bandwidth-bound passes total instead of a flat
+    gather + scatter.
+
+    root_flat : (T, S) int32 root labels (_BIG = background)
+    returns (root_ids (T, n_max) int32 with _BIG padding, areas (T, n_max) f32)
+    """
+    T, S = root_flat.shape
+    ids = []
+    areas = []
+    prev = jnp.full((T, 1), -1, jnp.int32)
+    for _ in range(n_max):
+        cand = jnp.where(root_flat > prev, root_flat, _BIG)
+        r = jnp.min(cand, axis=1, keepdims=True)  # (T, 1)
+        a = jnp.sum((root_flat == r).astype(jnp.float32), axis=1)
+        ids.append(r[:, 0])
+        areas.append(jnp.where(r[:, 0] == _BIG, 0.0, a))
+        prev = r
+    return jnp.stack(ids, axis=1), jnp.stack(areas, axis=1)
+
+
+@jax.jit
+def apply_root_keep(root_flat: jax.Array, root_ids: jax.Array, keep: jax.Array) -> jax.Array:
+    """
+    Filter in root space: ``out[t, c] = any_j (keep[t, j] and
+    root_flat[t, c] == root_ids[t, j])`` — unrolled compare-OR passes, the
+    root-space analogue of :func:`select_labels`.
+
+    root_flat : (T, S) int32; root_ids : (T, J) int32; keep : (T, J) bool
+    """
+    T, S = root_flat.shape
+    out = jnp.zeros((T, S), bool)
+    for j in range(root_ids.shape[1]):
+        out = jnp.logical_or(
+            out, jnp.logical_and(keep[:, j : j + 1], root_flat == root_ids[:, j : j + 1])
+        )
+    return out

@@ -566,6 +566,10 @@ class tracker:
 
     def filter_small_objects(self, data: jnp.ndarray):
         """Remove objects below the area threshold (track.py:1755-1906)."""
+        if not self.unstructured_grid:
+            fast = self._filter_small_objects_roots(data)
+            if fast is not None:
+                return fast
         labels, counts = self._label_slices(data)
         L = int(counts.max()) if counts.size else 0
         if L == 0:
@@ -630,6 +634,47 @@ class tracker:
             filtered = jnp.take_along_axis(keep_dev, flat, axis=1).reshape(data.shape)
 
         return filtered, area_threshold, stats_areas, N_prefiltered, N_filtered
+
+    def _filter_small_objects_roots(self, data: jnp.ndarray):
+        """
+        Gather-free grid area filter: per-slice CCL kept in root-label space,
+        per-object areas by iterative min-extraction, keep flags applied as
+        compare-OR passes. Avoids the dense-relabel flat gather (~1.1 s on a
+        105M-cell block). Returns None when a slice has too many objects for
+        the unrolled extraction (callers fall back to the dense path).
+        """
+        root_flat, counts_dev = _label.label_slices_grid_roots(data, wrap_x=not self.regional_mode)
+        counts = np.asarray(counts_dev)
+        L = int(counts.max()) if counts.size else 0
+        if L == 0:
+            raise TrackingError(
+                "No objects found for area-based filtering",
+                details={"objects_count": 0, "area_filter_quartile": self.area_filter_quartile},
+                suggestions=[
+                    "Check if input data contains any extreme events",
+                    "Verify that preprocessing parameters are appropriate",
+                    "Consider lowering the extreme threshold percentile",
+                ],
+            )
+        if L > 64:
+            return None
+
+        root_ids, areas_dev = _label.extract_root_areas(root_flat, L)
+        areas_tj = np.asarray(areas_dev)  # (T, L), ascending root order, 0-padded
+        T = counts.shape[0]
+        slot = np.arange(L)[None, :] < counts[:, None]  # valid object slots
+        object_areas = areas_tj[slot]
+
+        N_prefiltered = int(object_areas.size)
+        if self._use_absolute_filtering:
+            area_threshold = float(self.area_filter_absolute)
+        else:
+            area_threshold = float(np.percentile(object_areas, self.area_filter_quartile * 100.0))
+        keep = slot & (areas_tj >= area_threshold)
+        N_filtered = int(np.sum(object_areas >= area_threshold))
+
+        filtered = _label.apply_root_keep(root_flat, root_ids, jnp.asarray(keep)).reshape(data.shape)
+        return filtered, area_threshold, object_areas, N_prefiltered, N_filtered
 
     def _checkpoint_paths(self) -> Tuple[str, str]:
         import tempfile
