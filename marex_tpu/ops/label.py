@@ -431,3 +431,72 @@ def apply_root_keep(root_flat: jax.Array, root_ids: jax.Array, keep: jax.Array) 
             out, jnp.logical_and(keep[:, j : j + 1], root_flat == root_ids[:, j : j + 1])
         )
     return out
+
+
+@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
+def label_spacetime_roots(
+    data: jax.Array, wrap_x: bool = True, max_iters: int = 8192, jump_every: int = 64
+) -> Tuple[jax.Array, jax.Array]:
+    """
+    3-D spatio-temporal CCL returning RAW root labels (flat (T*H*W,) int32,
+    _BIG = background) plus the total component count — the fixpoint loop of
+    :func:`label_spacetime_grid` without the densification pass. Pair with
+    :func:`densify_spacetime_roots` for a gather-free dense relabel when the
+    event count is modest.
+    """
+    T, H, W = data.shape
+    N = T * H * W
+    flat_idx = jnp.arange(N, dtype=jnp.int32).reshape(T, H, W)
+    lab = jnp.where(data, flat_idx, _BIG)
+
+    def step(state):
+        lab, _, it = state
+        m = jnp.where(data, _min_pool_3x3x3(lab, wrap_x), _BIG)
+        m = _segmented_min_sweep(m, data, 0)
+        m = jax.lax.cond(
+            (it % 2) == 1,
+            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: x,
+            m,
+        )
+        mf = m.reshape(1, N)
+        mf = jax.lax.cond(
+            (it % jump_every) == jump_every - 1,
+            lambda x: _jump(_jump(x)),
+            lambda x: x,
+            mf,
+        )
+        new = mf.reshape(T, H, W)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
+    labf = lab.reshape(N)
+    is_root = jnp.logical_and(data.reshape(N), labf == jnp.arange(N, dtype=jnp.int32))
+    return labf, jnp.sum(is_root.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def densify_spacetime_roots(labf: jax.Array, n_pad: int) -> jax.Array:
+    """
+    Gather-free dense relabel of 3-D root labels: the component's dense id is
+    the number of root values <= its own root. The (<= n_pad) sorted roots
+    come from one top_k pass and the rank is a fused broadcast
+    compare+reduce — measured 0.48 s vs 1.67 s for the cumsum+flat-gather
+    densification on a 105M-cell block (n_pad = 256).
+
+    labf : (N,) int32 converged root labels (_BIG = background)
+    returns (N,) int32 dense labels in 1..n (0 = background)
+    """
+    N = labf.shape[0]
+    active = labf != _BIG
+    is_root = jnp.logical_and(active, labf == jnp.arange(N, dtype=jnp.int32))
+    top, _ = jax.lax.top_k(jnp.where(is_root, -labf, -_BIG), n_pad)
+    roots = -top  # ascending, padded with _BIG
+    dense = jnp.sum(
+        (labf[:, None] >= roots[None, :]) & (roots[None, :] != _BIG), axis=1, dtype=jnp.int32
+    )
+    return jnp.where(active, dense, 0)

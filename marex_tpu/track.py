@@ -868,8 +868,18 @@ class tracker:
         if self.allow_merging or self.unstructured_grid:
             events_ds, merges_ds, N_events = self.track_objects(data_bin_preprocessed)
         else:
-            labels, n = _label.label_spacetime_grid(data_bin_preprocessed, wrap_x=not self.regional_mode)
-            N_events = int(n)
+            # two-step: fixpoint loop first, then a gather-free dense relabel
+            # sized to the actual event count (top_k + broadcast-compare);
+            # falls back to the fused cumsum+gather program for huge counts
+            labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
+            N_events = int(n_dev)
+            if 0 < N_events <= 512:
+                n_pad = max(64, 1 << (N_events - 1).bit_length())
+                labels = _label.densify_spacetime_roots(labf, n_pad).reshape(data_bin_preprocessed.shape)
+                n = N_events
+            else:
+                labels, n = _label.label_spacetime_grid(data_bin_preprocessed, wrap_x=not self.regional_mode)
+                N_events = int(n)
             # keep the labeled field device-resident (it is the largest output)
             id_field = self._wrap_id_field(labels)
             events_ds = FieldSet({"ID_field": id_field})
