@@ -140,3 +140,34 @@ def compact_pairs(pair_a: jax.Array, pair_b: jax.Array, pair_w: jax.Array, cap: 
     out_b = jnp.zeros((cap,), b.dtype).at[idx].set(b, mode="drop")
     out_w = jnp.zeros((cap,), w.dtype).at[idx].set(w, mode="drop")
     return out_a, out_b, out_w
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+def overlap_pairs_all_extract(
+    labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Sort-free variant of :func:`overlap_pairs_all` for modest per-slice pair
+    counts: distinct packed keys are enumerated per row by iterative
+    min-extraction (one fused compare+reduce pass per pair slot), avoiding
+    the 105M-key argsort entirely. Same padded output contract (ascending
+    keys, -1 padding), so the caller's overflow check (last column occupied)
+    works unchanged.
+    """
+    a, b = labels[:-1], labels[1:]
+    both = jnp.logical_and(a > 0, b > 0)
+    key = jnp.where(both, a * key_stride + b, _INVALID)  # (T-1, S)
+    w = jnp.where(both, jnp.broadcast_to(weights[None, :], key.shape), 0.0)
+
+    prev = jnp.full((key.shape[0], 1), -1, jnp.int32)
+    pa, pb, pw = [], [], []
+    for _ in range(max_pairs):
+        cand = jnp.where(key > prev, key, _INVALID)
+        k = jnp.min(cand, axis=1, keepdims=True)  # (T-1, 1)
+        s = jnp.sum(jnp.where(key == k, w, 0.0), axis=1)
+        valid = k[:, 0] != _INVALID
+        pa.append(jnp.where(valid, k[:, 0] // key_stride, -1))
+        pb.append(jnp.where(valid, k[:, 0] % key_stride, -1))
+        pw.append(jnp.where(valid, s, 0.0))
+        prev = k
+    return jnp.stack(pa, axis=1), jnp.stack(pb, axis=1), jnp.stack(pw, axis=1)

@@ -1011,9 +1011,14 @@ class tracker:
         key_stride = max_label + 2
         if key_stride * key_stride >= 2**31:
             return None
-        max_pairs = 256
+        max_pairs = 32
         while True:
-            pa, pb, pw = _overlap.overlap_pairs_all(flat, weights, max_pairs, key_stride)
+            if max_pairs <= 64:
+                # sort-free iterative min-extraction (typical case: a handful
+                # of overlap pairs per slice)
+                pa, pb, pw = _overlap.overlap_pairs_all_extract(flat, weights, max_pairs, key_stride)
+            else:
+                pa, pb, pw = _overlap.overlap_pairs_all(flat, weights, max_pairs, key_stride)
             # overflow check on a single downloaded column: every slice must
             # have at least one free slot in its padded row
             last_col = np.asarray(pa[:, -1])
@@ -1330,13 +1335,14 @@ class tracker:
         of = labels_dev.reshape(T, -1)
         t_idx = jax.lax.broadcasted_iota(jnp.int32, nf.shape, 0)
         gid_dev = jnp.zeros((T, N + 2), jnp.int32).at[t_idx, jnp.where(nf > 0, nf, N + 1)].max(of)
-        global_id = np.asarray(gid_dev[:, : N + 1])
+        global_id = gid_dev[:, : N + 1]  # device-resident (time, ID) output
         new_field = new_field_dev  # device-resident; downloaded only on .values
 
         presence = global_id > 0
         time_vals = np.asarray(self.data_bin.coords[self.timecoord].values)
-        first_idx = presence.argmax(axis=0)
-        last_idx = T - 1 - presence[::-1].argmax(axis=0)
+        # first/last presence indices: tiny (N+1,) downloads, argmax on device
+        first_idx = np.asarray(jnp.argmax(presence, axis=0))
+        last_idx = T - 1 - np.asarray(jnp.argmax(presence[::-1], axis=0))
         time_start = time_vals[first_idx]
         time_end = time_vals[last_idx]
 
@@ -1372,7 +1378,7 @@ class tracker:
                 "global_ID": Field(global_id[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="global_ID"),
                 "area": Field(areas[:, 1:], (self.timedim, "ID"), {**coords, "ID": id_coord}, name="area"),
                 "centroid": Field(
-                    np.stack([clat[:, 1:], clon[:, 1:]], axis=0),
+                    jnp.stack([clat[:, 1:], clon[:, 1:]], axis=0),
                     ("component", self.timedim, "ID"),
                     {**coords, "ID": id_coord, "component": Coord("component", np.array([0, 1]))},
                     name="centroid",
@@ -1403,18 +1409,18 @@ class tracker:
             areas, clat, clon = _props.unstructured_label_props(
                 labels, jnp.asarray(self.lat), jnp.asarray(self.lon), jnp.asarray(self.cell_area), n_events
             )
-            areas, clat, clon = map(np.asarray, (areas, clat, clon))
         else:
             areas, cy, cx = _props.grid_label_props(
                 labels, n_events, wrap=not self.regional_mode, cell_weights=jnp.asarray(self.cell_area)
             )
-            areas = np.asarray(areas)
-            cy = np.asarray(_props.interp_coord(cy, jnp.asarray(self.lat.astype(np.float32))))
-            cx = np.asarray(_props.interp_coord(cx, jnp.asarray(self.lon.astype(np.float32))))
+            cy = _props.interp_coord(cy, jnp.asarray(self.lat.astype(np.float32)))
+            cx = _props.interp_coord(cx, jnp.asarray(self.lon.astype(np.float32)))
             present = areas > 0
-            clat = np.where(present, cy, np.nan).astype(np.float32)
-            clon = np.where(present, cx, np.nan).astype(np.float32)
-        areas = np.where(areas > 0, areas, np.nan).astype(np.float32)
+            clat = jnp.where(present, cy, jnp.nan).astype(jnp.float32)
+            clon = jnp.where(present, cx, jnp.nan).astype(jnp.float32)
+        # stay device-resident: these (time, ID) tables are outputs; forcing
+        # them through the host costs a large download for no benefit
+        areas = jnp.where(areas > 0, areas, jnp.nan).astype(jnp.float32)
         return areas, clat, clon
 
     # ------------------------------------------------------------------
@@ -1482,7 +1488,9 @@ class tracker:
         events_ds.coords[self.xcoord] = Coord(xdims, self.lon_init)
 
         if "centroid" in events_ds.data_vars:
-            cent = events_ds["centroid"].values.copy()
+            cent = events_ds["centroid"].values
+            on_device = type(cent).__module__.startswith("jax")
+            xp = jnp if on_device else np
             clat, clon = cent[0], cent[1]
             lon_min = float(np.min(self.lon_init))
             lon_max = float(np.max(self.lon_init))
@@ -1490,11 +1498,11 @@ class tracker:
                 clat = clat * np.pi / 180.0
                 clon = clon * np.pi / 180.0
                 if lon_min >= 0 and lon_max > np.pi:
-                    clon = np.where(clon < 0, clon + 2 * np.pi, clon)
+                    clon = xp.where(clon < 0, clon + 2 * np.pi, clon)
             else:
                 if lon_min >= 0 and lon_max > 180:
-                    clon = np.where(clon < 0, clon + 360, clon)
-            cent[0], cent[1] = clat, clon
+                    clon = xp.where(clon < 0, clon + 360, clon)
+            cent = xp.stack([clat, clon], axis=0).astype(xp.float32)
             f = events_ds["centroid"]
             events_ds["centroid"] = Field(cent, f.dims, f.coords, name="centroid")
         return events_ds
