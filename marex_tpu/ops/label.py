@@ -500,3 +500,20 @@ def densify_spacetime_roots(labf: jax.Array, n_pad: int) -> jax.Array:
         (labf[:, None] >= roots[None, :]) & (roots[None, :] != _BIG), axis=1, dtype=jnp.int32
     )
     return jnp.where(active, dense, 0)
+
+
+@jax.jit
+def densify_slice_roots(root_flat: jax.Array, root_ids: jax.Array) -> jax.Array:
+    """
+    Gather-free per-slice dense relabel: ``out[t, c] = j + 1`` where
+    ``root_flat[t, c] == root_ids[t, j]`` (0 elsewhere). ``root_ids`` comes
+    from :func:`extract_root_areas` (ascending, _BIG-padded), so the dense
+    ids match :func:`label_slices_grid`'s rank order exactly — one fused
+    compare+select pass per object slot instead of a flat gather.
+    """
+    dense = jnp.zeros(root_flat.shape, jnp.int32)
+    for j in range(root_ids.shape[1]):
+        rid = root_ids[:, j : j + 1]
+        hit = jnp.logical_and(rid != _BIG, root_flat == rid)
+        dense = jnp.where(hit, jnp.int32(j + 1), dense)
+    return dense

@@ -560,9 +560,18 @@ class tracker:
         if self.unstructured_grid:
             masked = jnp.logical_and(data, jnp.asarray(self.mask_values)[None])
             labels, counts = _label.label_slices_unstructured(masked, jnp.asarray(self.neighbours_int))
-        else:
-            labels, counts = _label.label_slices_grid(data, wrap_x=not self.regional_mode)
-        return labels, np.asarray(counts)
+            return labels, np.asarray(counts)
+        # gather-free fast path: roots + compare-pass densify (identical rank
+        # order to label_slices_grid) whenever per-slice counts are modest
+        root_flat, counts_dev = _label.label_slices_grid_roots(data, wrap_x=not self.regional_mode)
+        counts = np.asarray(counts_dev)
+        L = int(counts.max()) if counts.size else 0
+        if 0 < L <= 64:
+            root_ids, _ = _label.extract_root_areas(root_flat, L)
+            labels = _label.densify_slice_roots(root_flat, root_ids).reshape(data.shape)
+            return labels, counts
+        labels, counts_dev = _label.label_slices_grid(data, wrap_x=not self.regional_mode)
+        return labels, np.asarray(counts_dev)
 
     def filter_small_objects(self, data: jnp.ndarray):
         """Remove objects below the area threshold (track.py:1755-1906)."""
