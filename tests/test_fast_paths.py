@@ -1,0 +1,135 @@
+"""
+Direct equivalence tests for the gather/scatter-free fast-path kernels
+against their dense/sort reference implementations.
+
+Each fast path replaces a TPU-hostile random-access pattern (flat gather,
+scatter-add, argsort) with fused compare/reduce passes; these tests pin the
+exact output contract so the fast paths can never drift from the reference
+formulations they shadow.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from marex_tpu.ops import label as mlabel
+from marex_tpu.ops import overlap as moverlap
+from marex_tpu.ops import properties as mprops
+
+
+def _random_blobs(rng, T=6, H=24, W=48, p=0.12):
+    """Sparse random field with a few seeded blobs per slice."""
+    data = rng.random((T, H, W)) < p
+    for t in range(T):
+        y, x = rng.integers(4, H - 4), rng.integers(4, W - 4)
+        data[t, y - 2 : y + 2, x - 2 : x + 2] = True
+    return data
+
+
+class TestRootSpaceSliceLabeling:
+    def test_roots_match_dense_labels(self):
+        rng = np.random.default_rng(0)
+        data = _random_blobs(rng)
+        dense, counts_d = mlabel.label_slices_grid(jnp.asarray(data), True)
+        roots, counts_r = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
+        assert np.array_equal(np.asarray(counts_d), np.asarray(counts_r))
+        # densify via compare passes reproduces the dense labels exactly
+        L = int(np.asarray(counts_r).max())
+        ids, _ = mlabel.extract_root_areas(roots, L)
+        redense = mlabel.densify_slice_roots(roots, ids)
+        assert np.array_equal(np.asarray(redense).reshape(data.shape), np.asarray(dense))
+
+    def test_extract_root_areas_matches_label_sums(self):
+        rng = np.random.default_rng(1)
+        data = _random_blobs(rng)
+        dense, counts = mlabel.label_slices_grid(jnp.asarray(data), True)
+        T = data.shape[0]
+        L = int(np.asarray(counts).max())
+        flat = dense.reshape(T, -1)
+        ones = jnp.ones((flat.shape[1],), jnp.float32)
+        areas_tl = np.asarray(mprops.label_sums(flat, ones, L))  # (T, L+1)
+        roots, _ = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
+        _, areas_tj = mlabel.extract_root_areas(roots, L)
+        areas_tj = np.asarray(areas_tj)
+        for t in range(T):
+            n = int(np.asarray(counts)[t])
+            np.testing.assert_array_equal(areas_tj[t, :n], areas_tl[t, 1 : n + 1])
+
+    def test_apply_root_keep_matches_gather_filter(self):
+        rng = np.random.default_rng(2)
+        data = _random_blobs(rng)
+        dense, counts = mlabel.label_slices_grid(jnp.asarray(data), True)
+        T = data.shape[0]
+        L = int(np.asarray(counts).max())
+        keep_tl = rng.random((T, L + 1)) < 0.5
+        keep_tl[:, 0] = False
+        ref = np.take_along_axis(keep_tl, np.asarray(dense).reshape(T, -1), axis=1)
+        roots, _ = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
+        ids, _ = mlabel.extract_root_areas(roots, L)
+        keep_tj = np.zeros((T, L), bool)
+        for t in range(T):
+            n = int(np.asarray(counts)[t])
+            keep_tj[t, :n] = keep_tl[t, 1 : n + 1]
+        got = np.asarray(mlabel.apply_root_keep(roots, ids, jnp.asarray(keep_tj)))
+        assert np.array_equal(got, ref)
+
+    def test_select_labels_matches_gather(self):
+        rng = np.random.default_rng(3)
+        T, S, L = 5, 200, 7
+        labels = jnp.asarray(rng.integers(0, L + 1, (T, S)).astype(np.int32))
+        keep = rng.random((T, L + 1)) < 0.5
+        keep[:, 0] = False
+        ref = np.take_along_axis(keep, np.asarray(labels), axis=1)
+        got = np.asarray(mlabel.select_labels(labels, jnp.asarray(keep), L))
+        assert np.array_equal(got, ref)
+
+
+class TestSpacetimeDensify:
+    def test_topk_densify_matches_fused_program(self):
+        rng = np.random.default_rng(4)
+        data = _random_blobs(rng, T=8)
+        dense, n = mlabel.label_spacetime_grid(jnp.asarray(data), True)
+        labf, n2 = mlabel.label_spacetime_roots(jnp.asarray(data), True)
+        assert int(n) == int(n2)
+        # n_pad must cover the event count (the tracker sizes it from n)
+        n_pad = max(64, 1 << (int(n) - 1).bit_length())
+        got = mlabel.densify_spacetime_roots(labf, n_pad)
+        assert np.array_equal(np.asarray(got).reshape(data.shape), np.asarray(dense))
+
+
+class TestSortFreeOverlap:
+    def test_extract_matches_sort_kernel(self):
+        rng = np.random.default_rng(5)
+        T, S = 7, 300
+        labels = rng.integers(0, 9, (T, S)).astype(np.int32)
+        weights = rng.random(S).astype(np.float32)
+        stride = 16
+        a_sort = moverlap.overlap_pairs_all(jnp.asarray(labels), jnp.asarray(weights), 32, stride)
+        a_ext = moverlap.overlap_pairs_all_extract(jnp.asarray(labels), jnp.asarray(weights), 32, stride)
+        for t in range(T - 1):
+            def triples(pa, pb, pw):
+                pa, pb, pw = np.asarray(pa[t]), np.asarray(pb[t]), np.asarray(pw[t])
+                v = pa >= 0
+                order = np.lexsort((pb[v], pa[v]))
+                return pa[v][order], pb[v][order], pw[v][order]
+            sa, sb, sw = triples(*a_sort)
+            ea, eb, ew = triples(*a_ext)
+            np.testing.assert_array_equal(sa, ea)
+            np.testing.assert_array_equal(sb, eb)
+            np.testing.assert_allclose(sw, ew, rtol=1e-6)
+
+    def test_compact_pairs_roundtrip(self):
+        rng = np.random.default_rng(6)
+        T, S = 5, 120
+        labels = rng.integers(0, 5, (T, S)).astype(np.int32)
+        weights = np.ones(S, np.float32)
+        pa, pb, pw = moverlap.overlap_pairs_all_extract(jnp.asarray(labels), jnp.asarray(weights), 16, 8)
+        counts = np.asarray(jnp.sum(pa >= 0, axis=1))
+        cap = int(counts.sum())
+        ca, cb, cw = moverlap.compact_pairs(pa, pb, pw, cap)
+        ca, cb, cw = map(np.asarray, (ca, cb, cw))
+        # row-major valid entries
+        exp_a = np.asarray(pa)[np.asarray(pa) >= 0]
+        assert np.array_equal(ca, exp_a)
+        assert cb.shape == (cap,) and cw.shape == (cap,)
