@@ -21,8 +21,9 @@
 extern "C" {
 
 // Aggregate unique (a, b) pairs with summed weights over cells where both
-// labels are positive. Returns the number of unique pairs written (capped at
-// `capacity`); out arrays must have `capacity` elements.
+// labels are positive. Writes at most `capacity` pairs but always returns the
+// TOTAL number of unique pairs found, so callers can detect overflow, grow
+// the buffer, and retry.
 int64_t marex_overlap_pairs(const int32_t* a, const int32_t* b, const float* w,
                             int64_t n, int64_t capacity, int64_t* out_a,
                             int64_t* out_b, double* out_w) {
@@ -47,7 +48,7 @@ int64_t marex_overlap_pairs(const int32_t* a, const int32_t* b, const float* w,
     out_w[count] = kv.second;
     ++count;
   }
-  return count;
+  return static_cast<int64_t>(items.size());
 }
 
 // Path-compressed union-find over an edge list. node_ids must be sorted

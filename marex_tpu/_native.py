@@ -128,19 +128,24 @@ def overlap_pairs(ids_a: np.ndarray, ids_b: np.ndarray, weights: Optional[np.nda
     if lib is not None:
         w = None if weights is None else np.ascontiguousarray(weights.reshape(-1), dtype=np.float32)
         cap = int(min(len(a), 4 * 1024 * 1024)) + 1
-        out_a = np.empty(cap, np.int64)
-        out_b = np.empty(cap, np.int64)
-        out_w = np.empty(cap, np.float64)
-        n = lib.marex_overlap_pairs(
-            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            None if w is None else w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            len(a),
-            cap,
-            out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            out_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        )
+        while True:
+            out_a = np.empty(cap, np.int64)
+            out_b = np.empty(cap, np.int64)
+            out_w = np.empty(cap, np.float64)
+            # returns the TOTAL unique-pair count (may exceed cap): grow & retry
+            n = lib.marex_overlap_pairs(
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                None if w is None else w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(a),
+                cap,
+                out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            if n <= cap:
+                break
+            cap = int(n)
         return np.column_stack([out_a[:n].astype(np.float64), out_b[:n].astype(np.float64), out_w[:n]])
 
     # numpy fallback

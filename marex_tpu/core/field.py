@@ -336,7 +336,12 @@ class Field:
                     pos[d] = int(matches[0])
                 else:
                     sorter = np.argsort(cv)
-                    pos[d] = sorter[np.searchsorted(cv, lab, sorter=sorter)]
+                    locs = np.clip(np.searchsorted(cv, lab, sorter=sorter), 0, len(cv) - 1)
+                    taken = sorter[locs]
+                    missing = cv[taken] != lab
+                    if missing.any():
+                        raise KeyError(list(np.asarray(lab)[missing]))
+                    pos[d] = taken
         return self.isel(pos)
 
     def squeeze(self, dim: Optional[str] = None) -> "Field":

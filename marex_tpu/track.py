@@ -1242,6 +1242,16 @@ class tracker:
         for child cells in C-order (device kernels from ops.partition).
         ``prev``/``cur`` are the t-1 / t label slices."""
         n_parents = len(parent_ids)
+        if n_parents > MAX_PARENTS:
+            raise TrackingError(
+                "Too many parent objects for tracking",
+                details=f"Child {child_id} has {n_parents} parents (limit: {MAX_PARENTS})",
+                suggestions=[
+                    "Increase overlap_threshold to reduce fragmentation",
+                    "Apply stronger area filtering",
+                ],
+                context={"child_id": int(child_id), "n_parents": int(n_parents), "limit": MAX_PARENTS},
+            )
         P = MAX_PARENTS
         valid = np.zeros(P, bool)
         valid[:n_parents] = True
