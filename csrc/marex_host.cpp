@@ -101,6 +101,60 @@ void marex_union_find(const int64_t* edge_a, const int64_t* edge_b,
   }
 }
 
+// LZ4 block-format decompression (safe: bounds-checked). Used by the
+// zarr-lite reader to decode blosc/lz4 chunks (the reference ecosystem's
+// default codec) without external compression libraries. Returns the number
+// of bytes written to dst, or -1 on malformed input.
+int64_t marex_lz4_decompress(const uint8_t* src, int64_t src_len,
+                             uint8_t* dst, int64_t dst_capacity) {
+  int64_t si = 0;
+  int64_t di = 0;
+  while (si < src_len) {
+    const uint8_t token = src[si++];
+    // literals
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t x;
+      do {
+        if (si >= src_len) return -1;
+        x = src[si++];
+        lit += x;
+      } while (x == 255);
+    }
+    if (si + lit > src_len || di + lit > dst_capacity) return -1;
+    std::memcpy(dst + di, src + si, static_cast<size_t>(lit));
+    si += lit;
+    di += lit;
+    if (si >= src_len) break;  // last sequence has no match part
+    // match
+    if (si + 2 > src_len) return -1;
+    const int64_t offset = static_cast<int64_t>(src[si]) |
+                           (static_cast<int64_t>(src[si + 1]) << 8);
+    si += 2;
+    if (offset == 0 || offset > di) return -1;
+    int64_t mlen = token & 15;
+    if (mlen == 15) {
+      uint8_t x;
+      do {
+        if (si >= src_len) return -1;
+        x = src[si++];
+        mlen += x;
+      } while (x == 255);
+    }
+    mlen += 4;
+    if (di + mlen > dst_capacity) return -1;
+    int64_t from = di - offset;
+    if (offset >= mlen) {
+      std::memcpy(dst + di, dst + from, static_cast<size_t>(mlen));
+      di += mlen;
+    } else {
+      for (int64_t k = 0; k < mlen; ++k) dst[di + k] = dst[from + k];
+      di += mlen;
+    }
+  }
+  return di;
+}
+
 // Replace every occurrence of `old_val` with `new_val`; returns #replaced.
 int64_t marex_replace_value(int32_t* arr, int64_t n, int32_t old_val,
                             int32_t new_val) {

@@ -103,6 +103,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.marex_lz4_decompress.restype = ctypes.c_int64
+        lib.marex_lz4_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
         _lib = lib
         logger.debug("native host runtime loaded")
     except Exception as e:  # pragma: no cover
@@ -206,6 +213,72 @@ def union_find(edges: np.ndarray, node_ids: np.ndarray) -> np.ndarray:
     roots = np.array([find(i) for i in range(len(node_ids))])
     _, comp = np.unique(roots, return_inverse=True)
     return comp.astype(np.int32)
+
+
+def lz4_decompress(src: bytes, dst_size: int) -> bytes:
+    """
+    LZ4 block-format decompression (the payload format inside blosc frames,
+    the reference ecosystem's default zarr codec). Native C++ fast path with
+    a pure-Python fallback.
+    """
+    lib = get_lib()
+    if lib is not None:
+        sbuf = np.frombuffer(src, dtype=np.uint8)
+        dbuf = np.empty(dst_size, dtype=np.uint8)
+        n = lib.marex_lz4_decompress(
+            sbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(sbuf),
+            dbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dst_size,
+        )
+        if n < 0:
+            raise ValueError("malformed LZ4 block")
+        return dbuf[:n].tobytes()
+    return _lz4_decompress_py(src, dst_size)
+
+
+def _lz4_decompress_py(src: bytes, dst_size: int) -> bytes:
+    """Pure-Python LZ4 block decoder (fallback when no C++ toolchain)."""
+    dst = bytearray(dst_size)
+    si, di, n = 0, 0, len(src)
+    while si < n:
+        token = src[si]
+        si += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                x = src[si]
+                si += 1
+                lit += x
+                if x != 255:
+                    break
+        if lit:
+            dst[di : di + lit] = src[si : si + lit]
+            si += lit
+            di += lit
+        if si >= n:
+            break
+        offset = src[si] | (src[si + 1] << 8)
+        si += 2
+        if offset == 0 or offset > di:
+            raise ValueError("malformed LZ4 block")
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                x = src[si]
+                si += 1
+                mlen += x
+                if x != 255:
+                    break
+        mlen += 4
+        if offset >= mlen:
+            dst[di : di + mlen] = dst[di - offset : di - offset + mlen]
+            di += mlen
+        else:
+            for _ in range(mlen):
+                dst[di] = dst[di - offset]
+                di += 1
+    return bytes(dst[:di])
 
 
 def replace_value(arr: np.ndarray, old_val: int, new_val: int) -> int:

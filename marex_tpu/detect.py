@@ -265,6 +265,15 @@ class _Staged:
         else:
             vals = np.asarray(payload, dtype=np.float32)
             self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
+
+        # multi-device: place the payload space-sharded on the active mesh
+        # (the detect stage is pointwise over space — no collectives; mirrors
+        # the reference's spatial-chunk data parallelism, detect.py:1944-1953)
+        from .parallel import detect_sharding, get_default_mesh, shard_if_divisible
+
+        mesh = get_default_mesh()
+        if mesh is not None:
+            self.data = shard_if_divisible(self.data, detect_sharding(mesh))
         self.tinfo: TimeIndexInfo = decompose_time(da.coords[coordinates["time"]].values)
         self._ymd_cache: Dict[str, Any] = {}
 
@@ -321,6 +330,7 @@ def preprocess_data(
     use_temp_checkpoints: bool = False,
     verbose: Optional[bool] = None,
     quiet: Optional[bool] = None,
+    mesh: Optional[Any] = None,
 ) -> FieldSet:
     """
     Complete preprocessing pipeline: anomalies + extreme identification.
@@ -330,6 +340,13 @@ def preprocess_data(
     anything duck-typed like one. ``dask_chunks`` / ``use_temp_checkpoints``
     are accepted for compatibility (no task graph exists to checkpoint).
 
+    ``mesh`` (a ``jax.sharding.Mesh``, or True for an auto mesh over all
+    devices) runs the whole stage multi-device: payloads are placed
+    space-sharded (``parallel.detect_sharding``) and every kernel executes
+    SPMD — the TPU equivalent of the reference's Dask cluster scale-out
+    (helper.py:414-639). Equivalent to wrapping the call in
+    ``parallel.use_mesh(mesh)``.
+
     Returns
     -------
     FieldSet with ``dat_anomaly``, ``mask``, ``extreme_events``,
@@ -337,6 +354,37 @@ def preprocess_data(
     ``thresholds_stn`` when ``std_normalise`` and ``neighbours``/
     ``cell_areas`` passthrough), and provenance attrs.
     """
+    if mesh is not None:
+        from .parallel import make_mesh, use_mesh
+
+        with use_mesh(make_mesh() if mesh is True else mesh):
+            return preprocess_data(
+                da,
+                method_anomaly=method_anomaly,
+                method_extreme=method_extreme,
+                threshold_percentile=threshold_percentile,
+                window_year_baseline=window_year_baseline,
+                smooth_days_baseline=smooth_days_baseline,
+                window_days_hobday=window_days_hobday,
+                window_spatial_hobday=window_spatial_hobday,
+                std_normalise=std_normalise,
+                detrend_orders=detrend_orders,
+                force_zero_mean=force_zero_mean,
+                reference_period=reference_period,
+                method_percentile=method_percentile,
+                precision=precision,
+                max_anomaly=max_anomaly,
+                dask_chunks=dask_chunks,
+                dimensions=dimensions,
+                coordinates=coordinates,
+                neighbours=neighbours,
+                cell_areas=cell_areas,
+                use_temp_checkpoints=use_temp_checkpoints,
+                verbose=verbose,
+                quiet=quiet,
+                mesh=None,
+            )
+
     if detrend_orders is None:
         detrend_orders = [1]
     if verbose is not None or quiet is not None:

@@ -134,6 +134,118 @@ def to_zarr(data: Union[Field, FieldSet], path: str, mode: str = "w") -> None:
 # ----------------------------------------------------------------------------
 
 
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    """Undo blosc's byte-shuffle filter on one block (trailing bytes that do
+    not fill a whole element are stored unshuffled, matching c-blosc)."""
+    nelem = len(buf) // typesize
+    main = nelem * typesize
+    arr = np.frombuffer(buf, dtype=np.uint8, count=main)
+    out = arr.reshape(typesize, nelem).T.tobytes()
+    if main != len(buf):
+        out += buf[main:]
+    return out
+
+
+def _bitunshuffle(buf: bytes, typesize: int) -> bytes:
+    """Undo blosc's bit-shuffle filter on one block (bitshuffle library
+    semantics: bit b of byte-lane j of all elements stored contiguously;
+    the non-multiple-of-8-elements tail is stored unshuffled)."""
+    nelem = len(buf) // typesize
+    n8 = nelem - nelem % 8
+    main = n8 * typesize
+    if n8 == 0:
+        return buf
+    # stored layout: (typesize, 8 bit positions, n8/8 bytes)
+    arr = np.frombuffer(buf, dtype=np.uint8, count=main).reshape(typesize * 8, n8 // 8)
+    bits = np.unpackbits(arr, axis=1, bitorder="little")  # (T*8, n8)
+    bits = bits.reshape(typesize, 8, n8).transpose(2, 0, 1)  # (n8, T, 8)
+    out = np.packbits(bits, axis=2, bitorder="little").reshape(n8, typesize).tobytes()
+    if main != len(buf):
+        out += buf[main:]
+    return out
+
+
+def _decode_blosc(raw: bytes) -> bytes:
+    """
+    Decode a c-blosc1 frame (the default codec of every zarr store the
+    reference ecosystem writes, numcodecs.Blosc). Frame layout
+    (c-blosc blosc.c): 16-byte header [version, versionlz, flags, typesize,
+    nbytes u32, blocksize u32, cbytes u32], then (unless memcpyed) one u32
+    start offset per block; each block holds `nsplits` sub-streams, each
+    prefixed by an i32 compressed size (== stream size means stored raw).
+    Byte-shuffle is undone per block after stream reassembly.
+    """
+    import struct
+
+    from .._native import lz4_decompress
+
+    if len(raw) < 16:
+        raise DataValidationError("truncated blosc frame")
+    flags, typesize = raw[2], raw[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", raw, 4)
+    if nbytes == 0:
+        return b""
+    doshuffle = bool(flags & 0x1)
+    memcpyed = bool(flags & 0x2)
+    bitshuffle = bool(flags & 0x4)
+    dont_split = bool(flags & 0x10)
+    compcode = (flags & 0xE0) >> 5  # 0 blosclz 1 lz4 2 snappy 3 zlib 4 zstd
+    if memcpyed:
+        return raw[16 : 16 + nbytes]
+
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    leftover = nbytes % blocksize
+    bstarts = struct.unpack_from("<%dI" % nblocks, raw, 16)
+
+    def _stream(chunk: bytes, out_size: int) -> bytes:
+        if compcode == 1:  # lz4 / lz4hc share the block format
+            return lz4_decompress(chunk, out_size)
+        if compcode == 3:
+            return zlib.decompress(chunk)
+        if compcode == 4:
+            import zstandard
+
+            return zstandard.ZstdDecompressor().decompress(chunk, max_output_size=out_size)
+        raise DependencyError(
+            f"blosc inner compressor code {compcode} not supported by zarr-lite",
+            details="supported: lz4/lz4hc, zlib, zstd",
+            suggestions=["Install the 'zarr' package to read this store"],
+        )
+
+    out = bytearray(nbytes)
+    pos = 0
+    for j in range(nblocks):
+        leftoverblock = j == nblocks - 1 and leftover != 0
+        bsize = leftover if leftoverblock else blocksize
+        # split rule mirrors c-blosc1 blosc_d: the compressor records
+        # non-splitting codecs via the dont_split header bit
+        if 0 < typesize <= 16 and blocksize // max(typesize, 1) >= 128 and not leftoverblock and not dont_split:
+            nsplits = typesize
+        else:
+            nsplits = 1
+        neblock = bsize // nsplits
+        off = int(bstarts[j])
+        block = bytearray(bsize)
+        tpos = 0
+        for _ in range(nsplits):
+            (cb,) = struct.unpack_from("<i", raw, off)
+            off += 4
+            if cb == neblock:
+                block[tpos : tpos + neblock] = raw[off : off + neblock]
+            else:
+                block[tpos : tpos + neblock] = _stream(raw[off : off + cb], neblock)
+            off += cb
+            tpos += neblock
+        if doshuffle and typesize > 1:
+            out[pos : pos + bsize] = _unshuffle(bytes(block), typesize)
+        elif bitshuffle:
+            out[pos : pos + bsize] = _bitunshuffle(bytes(block), typesize)
+        else:
+            out[pos : pos + bsize] = block
+        pos += bsize
+    return bytes(out)
+
+
 def _decompress(raw: bytes, compressor: Optional[Dict[str, Any]]) -> bytes:
     if compressor is None:
         return raw
@@ -144,13 +256,19 @@ def _decompress(raw: bytes, compressor: Optional[Dict[str, Any]]) -> bytes:
         import gzip
 
         return gzip.decompress(raw)
-    if cid == "blosc" and has_dependency("zarr"):
+    if cid == "blosc":
+        return _decode_blosc(raw)
+    if cid == "zstd":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(raw)
+    if has_dependency("zarr"):
         import numcodecs  # type: ignore
 
         return numcodecs.get_codec(compressor).decode(raw)
     raise DependencyError(
         f"Unsupported zarr compressor '{cid}'",
-        details="zarr-lite decodes zlib/gzip/raw chunks natively",
+        details="zarr-lite decodes zlib/gzip/blosc(lz4,zlib,zstd)/zstd/raw chunks natively",
         suggestions=["Install the 'zarr' package to read this store", "Re-write the store with zlib compression"],
         context={"compressor": compressor},
     )
@@ -258,6 +376,13 @@ def open_zarr(path: str, chunks: Optional[Dict[str, int]] = None) -> FieldSet:
             coords[name] = Coord(tuple(dims), arr)
         else:
             data_vars[name] = Field(arr, tuple(dims), name=name, attrs=attrs)
+
+    # attach group coords to each variable whose dims cover them (xarray behaviour)
+    for name, fld in data_vars.items():
+        fld_dims = set(fld.dims)
+        for cname, coord in coords.items():
+            if set(coord.dims) <= fld_dims:
+                fld.coords.setdefault(cname, coord)
 
     fs = FieldSet(data_vars, coords, group_attrs)
     return fs

@@ -73,6 +73,65 @@ def shard_put(x, sharding: NamedSharding) -> jax.Array:
     return jax.device_put(x, sharding)
 
 
+# ----------------------------------------------------------------------------
+# Default-mesh context: lets the public pipeline (preprocess_data, tracker)
+# run multi-device without threading a mesh through every internal call —
+# the TPU analogue of the reference's ambient Dask client
+# (helper.py:232-411: a started cluster is process-global).
+# ----------------------------------------------------------------------------
+
+_default_mesh: Optional[Mesh] = None
+
+
+def set_default_mesh(mesh: Optional[Mesh]) -> None:
+    """Set (or clear, with None) the process-global default mesh."""
+    global _default_mesh
+    _default_mesh = mesh
+
+
+def get_default_mesh() -> Optional[Mesh]:
+    return _default_mesh
+
+
+class use_mesh:
+    """Context manager scoping the default mesh: every pipeline stage entered
+    inside places its arrays with the detect/track shardings of this mesh."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+        self._prev: Optional[Mesh] = None
+
+    def __enter__(self):
+        global _default_mesh
+        self._prev = _default_mesh
+        _default_mesh = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _default_mesh
+        _default_mesh = self._prev
+        return False
+
+
+def shard_if_divisible(x, sharding: NamedSharding):
+    """
+    Place ``x`` with ``sharding`` when every sharded dimension divides evenly
+    across its mesh axes; otherwise leave placement to the default device
+    (XLA requires even shards for device_put, and the pipeline must accept
+    arbitrary shapes).
+    """
+    spec = sharding.spec
+    mesh = sharding.mesh
+    for dim, names in enumerate(spec):
+        if names is None:
+            continue
+        names = (names,) if isinstance(names, str) else tuple(names)
+        extent = int(np.prod([mesh.shape[n] for n in names]))
+        if x.shape[dim] % extent != 0:
+            return jax.device_put(x)
+    return jax.device_put(x, sharding)
+
+
 def pad_to_multiple(x: np.ndarray, axis: int, multiple: int, fill=0) -> Tuple[np.ndarray, int]:
     """
     Pad ``axis`` up to a multiple of the mesh extent so shards are equal

@@ -35,6 +35,35 @@ def _check_plotting_dependencies() -> None:
     require_dependencies(["matplotlib"], "Plotting functionality")
 
 
+def _render_frame_task(payload):
+    """Render ONE animation frame from a picklable payload (runs in a worker
+    process of the batched animate pool, or inline on the serial fallback)."""
+    plotter_cls, da_np, dimensions, coordinates, grid_attrs, cfg_kwargs, centroid, out_path = payload
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    panel = plotter_cls(da_np, dimensions, coordinates)
+    for attr, val in grid_attrs.items():
+        setattr(panel, attr, val)
+    panel_config = PlotConfig(**cfg_kwargs)
+    fig, ax, _ = panel.single_plot(panel_config)
+    if centroid is not None:
+        try:
+            kw = (
+                {"transform": panel._ccrs.PlateCarree()}
+                if (getattr(panel, "_ccrs", None) and panel_config.projection is not None)
+                else {}
+            )
+            ax.scatter(centroid[1], centroid[0], s=30, c="red", marker="x", zorder=10, **kw)
+        except Exception:  # pragma: no cover
+            pass
+    fig.savefig(out_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def _get_cartopy():
     if has_dependency("cartopy"):
         import cartopy.crs as ccrs
@@ -66,6 +95,9 @@ class PlotConfig:
     quiet: Optional[bool] = None
     projection: Optional[Any] = None
     framerate: int = 10
+    # frames rendered (and pickled to the pool) per batch — the reference
+    # computes dask.delayed frames in batches of 200 (plotX/base.py:516-524)
+    frame_batch_size: int = 200
 
     def __post_init__(self) -> None:
         if self.cperc is None:
@@ -333,13 +365,24 @@ class PlotterBase:
         plot_dir.mkdir(parents=True, exist_ok=True)
         tmpdir = Path(tempfile.mkdtemp(prefix="marex_frames_"))
 
-        frame_paths = []
-        for t in range(T):
-            panel = type(self)(self.da.isel({time_dim: t}), self.dimensions, self.coordinates)
-            for attr in ("fpath_tgrid", "fpath_ckdtree", "_tri_cache"):
-                if hasattr(self, attr):
-                    setattr(panel, attr, getattr(self, attr))
-            panel_config = PlotConfig(
+        # Batched frame rendering (the reference renders dask.delayed frames
+        # in batches of 200, plotX/base.py:479-524; here a process pool plays
+        # the worker role — rendering is host-side matplotlib work). Batches
+        # bound the pickled payload volume; a non-picklable config or a
+        # single-core host degrades gracefully to the serial path.
+        batch = max(int(getattr(config, "frame_batch_size", 0) or 200), 1)
+        n_workers = min(os.cpu_count() or 1, 8)
+
+        def _panel_payload(t):
+            sl = self.da.isel({time_dim: t})
+            vals = np.asarray(sl.values)
+            da_np = Field(vals, sl.dims, sl.coords, name=sl.name, attrs=sl.attrs)
+            grid_attrs = {
+                attr: getattr(self, attr)
+                for attr in ("fpath_tgrid", "fpath_ckdtree")
+                if hasattr(self, attr)
+            }
+            cfg_kwargs = dict(
                 title=self._get_title(t, time_dim),
                 cmap=cmap,
                 clim=clim,
@@ -352,19 +395,42 @@ class PlotterBase:
                 coordinates=config.coordinates,
                 projection=config.projection,
             )
-            fig, ax, _ = panel.single_plot(panel_config)
+            centroid = None
             if centroids is not None:
                 try:
-                    clat = centroids.isel({time_dim: t}).values[0]
-                    clon = centroids.isel({time_dim: t}).values[1]
-                    kw = {"transform": self._ccrs.PlateCarree()} if (self._ccrs and config.projection is not None) else {}
-                    ax.scatter(clon, clat, s=30, c="red", marker="x", zorder=10, **kw)
+                    cvals = np.asarray(centroids.isel({time_dim: t}).values)
+                    centroid = (float(cvals[0]), float(cvals[1]))
                 except Exception:  # pragma: no cover
-                    logger.debug("Could not overlay centroids for frame %d", t)
+                    centroid = None
             fp = tmpdir / f"frame_{t:06d}.jpg"
-            fig.savefig(fp, dpi=100, bbox_inches="tight")
-            plt.close(fig)
-            frame_paths.append(fp)
+            return (type(self), da_np, dict(self.dimensions), dict(self.coordinates), grid_attrs, cfg_kwargs, centroid, str(fp))
+
+        frame_paths = []
+        pool = None
+        if n_workers > 1 and T > 1:
+            try:
+                import multiprocessing as mp
+
+                pool = mp.get_context("fork").Pool(processes=n_workers)
+            except Exception:  # pragma: no cover - platform without fork
+                pool = None
+        try:
+            for start in range(0, T, batch):
+                payloads = [_panel_payload(t) for t in range(start, min(start + batch, T))]
+                if pool is not None:
+                    try:
+                        frame_paths.extend(pool.map(_render_frame_task, payloads))
+                        continue
+                    except Exception:  # pragma: no cover - unpicklable config
+                        logger.debug("parallel frame rendering failed; falling back to serial")
+                        pool.terminate()
+                        pool = None
+                frame_paths.extend(_render_frame_task(p) for p in payloads)
+        finally:
+            if pool is not None:
+                pool.close()
+                pool.join()
+        frame_paths = [Path(p) for p in frame_paths]
 
         name = file_name or (self.da.name or "animation")
         out_mp4 = plot_dir / f"{name}.mp4"

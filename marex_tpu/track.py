@@ -59,6 +59,31 @@ def _overlap_slice_host(ids_a: np.ndarray, ids_b: np.ndarray, weights: Optional[
     return overlap_pairs(np.asarray(ids_a), np.asarray(ids_b), weights)
 
 
+def _symmetrize_neighbours(nb: np.ndarray) -> np.ndarray:
+    """
+    Symmetrized neighbour table: every directed edge (i -> j) of the (K, C)
+    0-based table gains its reverse, grouped back into a fixed-width
+    (K', C) table (-1 padded). Mesh files routinely carry asymmetric entries
+    (81 of 1079 edges in the reference's own test mesh); labeling must treat
+    them as undirected like the reference's csgraph components
+    (track.py:1978, directed=False).
+    """
+    K, C = nb.shape
+    src = np.repeat(np.arange(C, dtype=np.int64)[None, :], K, axis=0).ravel()
+    dst = nb.astype(np.int64).ravel()
+    valid = dst >= 0
+    a = np.concatenate([src[valid], dst[valid]])
+    b = np.concatenate([dst[valid], src[valid]])
+    edges = np.unique(np.stack([a, b], axis=1), axis=0)  # sorted by (a, b)
+    deg = np.bincount(edges[:, 0], minlength=C)
+    Kp = max(int(deg.max()) if len(edges) else 1, 1)
+    out = np.full((Kp, C), -1, np.int32)
+    slot = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    pos = np.arange(len(edges)) - slot[edges[:, 0]]
+    out[pos, edges[:, 0]] = edges[:, 1].astype(np.int32)
+    return out
+
+
 def _replace_label(slice_arr: np.ndarray, old_id: int, new_id: int) -> int:
     """In-place label rename on one time slice (native C++ when available)."""
     from ._native import replace_value
@@ -170,9 +195,21 @@ class tracker:
         quiet: Optional[bool] = None,
         regional_mode: bool = False,
         coordinate_units: Optional[Literal["degrees", "radians"]] = None,
+        mesh: Optional[Any] = None,
     ) -> None:
         if verbose is not None or quiet is not None:
             configure_logging(verbose=verbose, quiet=quiet)
+
+        # multi-device execution: place the binary field time-sharded on the
+        # mesh (parallel.track_sharding) so morphology/CCL run SPMD with halo
+        # exchange over ICI — the tracker analogue of the reference's Dask
+        # time-chunk parallelism (track.py:1585-1606). mesh=True builds an
+        # auto mesh over all devices; None inherits parallel.use_mesh scope.
+        from .parallel import get_default_mesh, make_mesh
+
+        if mesh is True:
+            mesh = make_mesh()
+        self.mesh = mesh if mesh is not None else get_default_mesh()
 
         logger.info("Initialising MarEx-TPU tracker")
         logger.info(f"Grid type: {'unstructured' if unstructured_grid else 'structured'}")
@@ -291,8 +328,15 @@ class tracker:
                     data_info={"actual_dims": nb.dims, "expected_dims": ("nv", self.xdim)},
                 )
             self.neighbours_int = nb_vals - 1  # 0-based, -1 = missing (track.py:1060)
+            # labeling must join components across asymmetric neighbour
+            # entries: the reference labels on the SYMMETRIZED graph
+            # (csgraph.connected_components(directed=False), track.py:1978);
+            # morphology keeps the directed table (sparse_bool_power uses the
+            # asymmetric matrix as-is, track.py:5422-5468)
+            self.neighbours_sym = _symmetrize_neighbours(self.neighbours_int)
         else:
             self.neighbours_int = None
+            self.neighbours_sym = None
 
     # ------------------------------------------------------------------
     # Validation & coordinates
@@ -559,10 +603,11 @@ class tracker:
         """Per-timestep CCL returning dense per-slice labels + counts."""
         if self.unstructured_grid:
             masked = jnp.logical_and(data, jnp.asarray(self.mask_values)[None])
-            labels, counts = _label.label_slices_unstructured(masked, jnp.asarray(self.neighbours_int))
+            labels, counts = _label.label_slices_unstructured(masked, jnp.asarray(self.neighbours_sym))
             return labels, np.asarray(counts)
         # gather-free fast path: roots + compare-pass densify (identical rank
-        # order to label_slices_grid) whenever per-slice counts are modest
+        # order to label_slices_grid) whenever per-slice counts are modest;
+        # count-robust sorted densify (O(S log S), no cap) otherwise
         root_flat, counts_dev = _label.label_slices_grid_roots(data, wrap_x=not self.regional_mode)
         counts = np.asarray(counts_dev)
         L = int(counts.max()) if counts.size else 0
@@ -570,8 +615,9 @@ class tracker:
             root_ids, _ = _label.extract_root_areas(root_flat, L)
             labels = _label.densify_slice_roots(root_flat, root_ids).reshape(data.shape)
             return labels, counts
-        labels, counts_dev = _label.label_slices_grid(data, wrap_x=not self.regional_mode)
-        return labels, np.asarray(counts_dev)
+        n_max = max(64, 1 << max(L - 1, 1).bit_length())
+        _, _, _, dense, _ = _label.slice_root_stats_sorted(root_flat, n_max)
+        return dense.reshape(data.shape), counts
 
     def filter_small_objects(self, data: jnp.ndarray):
         """Remove objects below the area threshold (track.py:1755-1906)."""
@@ -646,11 +692,13 @@ class tracker:
 
     def _filter_small_objects_roots(self, data: jnp.ndarray):
         """
-        Gather-free grid area filter: per-slice CCL kept in root-label space,
-        per-object areas by iterative min-extraction, keep flags applied as
-        compare-OR passes. Avoids the dense-relabel flat gather (~1.1 s on a
-        105M-cell block). Returns None when a slice has too many objects for
-        the unrolled extraction (callers fall back to the dense path).
+        Gather-free grid area filter: per-slice CCL kept in root-label space.
+        Modest per-slice counts (<= 64) use the unrolled min-extraction +
+        compare-OR passes; larger counts switch to the count-robust sorted
+        kernel (one per-row sort + scans, program size independent of the
+        object count) and apply the filter as a pure elementwise compare on
+        the per-cell component-area map. Either way the dense-relabel flat
+        gather (~1.1 s on a 105M-cell block) never runs.
         """
         root_flat, counts_dev = _label.label_slices_grid_roots(data, wrap_x=not self.regional_mode)
         counts = np.asarray(counts_dev)
@@ -665,13 +713,36 @@ class tracker:
                     "Consider lowering the extreme threshold percentile",
                 ],
             )
-        if L > 64:
-            return None
-
-        root_ids, areas_dev = _label.extract_root_areas(root_flat, L)
-        areas_tj = np.asarray(areas_dev)  # (T, L), ascending root order, 0-padded
         T = counts.shape[0]
-        slot = np.arange(L)[None, :] < counts[:, None]  # valid object slots
+        # The reference unconditionally drops the globally-first object
+        # (object_ids_keep[0] = -1, track.py:1890-1891 — the comment says
+        # "Don't keep ID=0" but ID 0 is never in the list, so the first real
+        # object is removed). Event-ID parity requires replicating it.
+        t_first = int(np.argmax(counts > 0)) if (counts > 0).any() else -1
+        if L <= 64:
+            root_ids, areas_dev = _label.extract_root_areas(root_flat, L)
+            areas_tj = np.asarray(areas_dev)  # (T, L), ascending root order, 0-padded
+            slot = np.arange(L)[None, :] < counts[:, None]  # valid object slots
+            object_areas = areas_tj[slot]
+
+            N_prefiltered = int(object_areas.size)
+            if self._use_absolute_filtering:
+                area_threshold = float(self.area_filter_absolute)
+            else:
+                area_threshold = float(np.percentile(object_areas, self.area_filter_quartile * 100.0))
+            keep = slot & (areas_tj >= area_threshold)
+            if t_first >= 0:
+                keep[t_first, 0] = False
+            N_filtered = int(keep.sum())
+
+            filtered = _label.apply_root_keep(root_flat, root_ids, jnp.asarray(keep)).reshape(data.shape)
+            return filtered, area_threshold, object_areas, N_prefiltered, N_filtered
+
+        # count-robust sorted path (no object-count cap)
+        n_max = max(64, 1 << max(L - 1, 1).bit_length())
+        _, areas_dev, area_cell, dense, _ = _label.slice_root_stats_sorted(root_flat, n_max)
+        areas_tj = np.asarray(areas_dev)  # (T, n_max) ascending root order, 0-padded
+        slot = np.arange(n_max)[None, :] < counts[:, None]
         object_areas = areas_tj[slot]
 
         N_prefiltered = int(object_areas.size)
@@ -679,11 +750,15 @@ class tracker:
             area_threshold = float(self.area_filter_absolute)
         else:
             area_threshold = float(np.percentile(object_areas, self.area_filter_quartile * 100.0))
-        keep = slot & (areas_tj >= area_threshold)
-        N_filtered = int(np.sum(object_areas >= area_threshold))
+        keep_first = t_first >= 0 and areas_tj[t_first, 0] >= area_threshold
+        N_filtered = int(np.sum(object_areas >= area_threshold)) - int(keep_first)
 
-        filtered = _label.apply_root_keep(root_flat, root_ids, jnp.asarray(keep)).reshape(data.shape)
-        return filtered, area_threshold, object_areas, N_prefiltered, N_filtered
+        filtered = area_cell >= jnp.float32(area_threshold)
+        if t_first >= 0:
+            # clear the first object's cells (dense rank 1 in its slice)
+            first_mask = jnp.zeros(filtered.shape, bool).at[t_first].set(dense[t_first] == 1)
+            filtered = jnp.logical_and(filtered, jnp.logical_not(first_mask))
+        return filtered.reshape(data.shape), area_threshold, object_areas, N_prefiltered, N_filtered
 
     def _checkpoint_paths(self) -> Tuple[str, str]:
         import tempfile
@@ -745,6 +820,11 @@ class tracker:
             data = payload.astype(bool)  # already device-resident
         else:
             data = jnp.asarray(np.asarray(payload, dtype=bool))
+
+        if self.mesh is not None:
+            from .parallel import shard_if_divisible, track_sharding
+
+            data = shard_if_divisible(data, track_sharding(self.mesh, spatial_ndim=data.ndim - 1))
 
         raw_area = self.compute_area(data)
 
@@ -879,15 +959,15 @@ class tracker:
         else:
             # two-step: fixpoint loop first, then a gather-free dense relabel
             # sized to the actual event count (top_k + broadcast-compare);
-            # falls back to the fused cumsum+gather program for huge counts
+            # count-robust sorted relabel (O(N log N), no cap) beyond that
             labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
             N_events = int(n_dev)
             if 0 < N_events <= 512:
                 n_pad = max(64, 1 << (N_events - 1).bit_length())
                 labels = _label.densify_spacetime_roots(labf, n_pad).reshape(data_bin_preprocessed.shape)
-                n = N_events
             else:
-                labels, n = _label.label_spacetime_grid(data_bin_preprocessed, wrap_x=not self.regional_mode)
+                dense, n = _label.densify_spacetime_sorted(labf)
+                labels = dense.reshape(data_bin_preprocessed.shape)
                 N_events = int(n)
             # keep the labeled field device-resident (it is the largest output)
             id_field = self._wrap_id_field(labels)
@@ -1132,6 +1212,12 @@ class tracker:
                 continue
 
             # -- per-timestep merge resolution (track.py:3438-3597) ---------
+            # Overlap pairs are computed ONCE per iteration; within an
+            # iteration the list is rewired IN PLACE as children are
+            # partitioned (the reference's exact update discipline,
+            # track.py:3471-3474 — also removes an O(S) host pair-recompute
+            # per merge event), then recomputed from the modified field for
+            # the next iteration to catch newly viable merges.
             for iteration in range(10):
                 cur = self._enforce_threshold(get_pairs(t - 1), table)
                 if len(cur) == 0:
@@ -1143,8 +1229,8 @@ class tracker:
 
                 for child_id in merging:
                     child_id = int(child_id)
-                    cur = self._enforce_threshold(get_pairs(t - 1), table)
-                    rows = cur[cur[:, 1] == child_id]
+                    rows_idx = np.nonzero(cur[:, 1] == child_id)[0]
+                    rows = cur[rows_idx]
                     if len(rows) < 2:
                         continue
                     parent_ids = rows[:, 0].astype(np.int64)
@@ -1153,6 +1239,9 @@ class tracker:
                     new_ids = np.arange(next_new_id, next_new_id + n_parents - 1, dtype=np.int64)
                     next_new_id += n_parents - 1
                     child_ids = np.concatenate([[child_id], new_ids]).astype(np.int64)
+
+                    # rewire the remaining rows onto the new piece ids
+                    cur[rows_idx[1:], 1] = new_ids
 
                     merge_times.append(time_values[t])
                     merge_child_ids.append(child_ids)
@@ -1168,7 +1257,6 @@ class tracker:
                     child_mask = cur_slice == child_id
                     cur_slice[child_mask] = child_ids[assignment]
                     store.mark(t)
-                    invalidate(t)
 
                     props = self._slice_props_host(cur_slice, child_ids)
                     if child_id in props:
@@ -1184,6 +1272,7 @@ class tracker:
                             logger.warning(
                                 f"Missing newly created child_id {nid} because parents have split/morphed"
                             )
+                invalidate(t)
             else:
                 logger.warning(f"Resolving mergers at timestep {t} did not converge after 10 iterations")
 

@@ -85,6 +85,59 @@ class TestRootSpaceSliceLabeling:
         assert np.array_equal(got, ref)
 
 
+class TestSortedRootStats:
+    """Count-robust sorted kernels: exact equivalence with the dense path and
+    no-cap behaviour at high object counts (VERDICT item 4)."""
+
+    def test_sorted_stats_match_dense_labels(self):
+        rng = np.random.default_rng(7)
+        data = _random_blobs(rng)
+        dense, counts_d = mlabel.label_slices_grid(jnp.asarray(data), True)
+        roots, _ = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
+        L = int(np.asarray(counts_d).max())
+        n_max = max(8, L)
+        ids, areas, area_cell, dense2, counts2 = mlabel.slice_root_stats_sorted(roots, n_max)
+        assert np.array_equal(np.asarray(counts2), np.asarray(counts_d))
+        assert np.array_equal(np.asarray(dense2).reshape(data.shape), np.asarray(dense))
+        # tables match the unrolled extraction
+        ids_u, areas_u = mlabel.extract_root_areas(roots, n_max)
+        assert np.array_equal(np.asarray(ids), np.asarray(ids_u))
+        np.testing.assert_array_equal(np.asarray(areas), np.asarray(areas_u))
+        # per-cell component area: gather from the per-object table
+        T = data.shape[0]
+        flat_dense = np.asarray(dense).reshape(T, -1)
+        areas_np = np.asarray(areas)
+        expect = np.zeros_like(flat_dense, dtype=np.float32)
+        for t in range(T):
+            lab = flat_dense[t]
+            expect[t][lab > 0] = areas_np[t][lab[lab > 0] - 1]
+        np.testing.assert_array_equal(np.asarray(area_cell), expect)
+
+    def test_high_object_count_no_cap(self):
+        # ~2000 isolated objects per slice: far beyond the unrolled 64-cap
+        T, H, W = 2, 90, 90
+        data = np.zeros((T, H, W), bool)
+        data[:, ::2, ::2] = True  # 45*45 = 2025 single-cell objects
+        roots, counts = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
+        assert int(np.asarray(counts)[0]) == 2025
+        ids, areas, area_cell, dense, counts2 = mlabel.slice_root_stats_sorted(roots, 2048)
+        assert int(np.asarray(counts2)[0]) == 2025
+        d = np.asarray(dense).reshape(T, H, W)
+        assert d.max() == 2025
+        # every object has area 1 and a unique dense id per slice
+        np.testing.assert_array_equal(np.asarray(areas)[:, :2025], 1.0)
+        assert np.asarray(area_cell).sum() == data.sum()
+
+    def test_densify_spacetime_sorted_matches(self):
+        rng = np.random.default_rng(8)
+        data = _random_blobs(rng, T=8)
+        dense, n = mlabel.label_spacetime_grid(jnp.asarray(data), True)
+        labf, n2 = mlabel.label_spacetime_roots(jnp.asarray(data), True)
+        got, n3 = mlabel.densify_spacetime_sorted(labf)
+        assert int(n) == int(n3)
+        assert np.array_equal(np.asarray(got).reshape(data.shape), np.asarray(dense))
+
+
 class TestSpacetimeDensify:
     def test_topk_densify_matches_fused_program(self):
         rng = np.random.default_rng(4)

@@ -94,7 +94,14 @@ class TestDegenerateInputs:
             tr.run()
 
     def test_single_timestep(self):
+        # two blobs: the globally-first object is always dropped by the area
+        # filter (reference quirk object_ids_keep[0] = -1, track.py:1890-1891,
+        # replicated for event parity), so the second blob survives alone
         da = blob_field(T=1)
+        vals = np.array(da.values, copy=True)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        vals[0] |= (yy - 15) ** 2 + (xx - 120) ** 2 <= 25
+        da = Field(vals, da.dims, da.coords, name="extreme_events")
         m = simple_mask()
         tr = marEx.tracker(da, m, R_fill=2, T_fill=0, area_filter_quartile=0.0, allow_merging=True)
         events = tr.run()

@@ -36,13 +36,24 @@ def make_blob_field(T=30, r=6, path=None):
     return Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
 
 
+def with_decoy(field):
+    """Add a tiny first-labeled object at the top-left of t=0: the tracker
+    replicates the reference's drop-first-object quirk (object_ids_keep[0]
+    = -1, track.py:1890-1891), so single-blob tests seed a sacrificial decoy
+    that absorbs it (the decoy is below the area threshold anyway)."""
+    vals = np.array(field.values, copy=True)
+    # 6x6: survives the R_fill=2 opening but stays below the r=6 blobs' area
+    vals[0, 0:6, 0:6] = True
+    return Field(vals, field.dims, field.coords, name=field.name)
+
+
 def ocean_mask():
     return Field(np.ones((NY, NX), bool), ("lat", "lon"), coords={"lat": np.linspace(-40, 40, NY), "lon": np.linspace(0, 360, NX, endpoint=False)}, name="mask")
 
 
 class TestBasicTracking:
     def test_single_moving_blob_no_merging(self):
-        da = make_blob_field(T=30, path=lambda t: (20, 30 + 3 * t))
+        da = with_decoy(make_blob_field(T=30, path=lambda t: (20, 30 + 3 * t)))
         tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=False)
         events = tr.run()
         assert "ID_field" in events
@@ -53,14 +64,18 @@ class TestBasicTracking:
         assert (ids.reshape(30, -1).max(axis=1) == 1).all()
 
     def test_blob_wraps_through_lon_boundary(self):
-        # blob crosses the periodic boundary mid-track
-        da = make_blob_field(T=30, path=lambda t: (20, (225 + 3 * t) % NX))
-        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=False)
+        # blob crosses the periodic boundary mid-track; quartile 0 so the
+        # reference-faithful seam nibbling (2R-pad morphology, see
+        # ops/morphology.binary_close_open_grid) cannot drop the thinner
+        # seam-crossing slices below the area threshold — this asserts the
+        # periodic continuity of the labeling itself
+        da = with_decoy(make_blob_field(T=30, path=lambda t: (20, (225 + 3 * t) % NX)))
+        tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.0, T_fill=0, allow_merging=False)
         events = tr.run()
         assert events.ID_field.values.max() == 1
 
     def test_single_blob_with_merging_enabled(self):
-        da = make_blob_field(T=24, path=lambda t: (20, 40 + 2 * t))
+        da = with_decoy(make_blob_field(T=24, path=lambda t: (20, 40 + 2 * t)))
         tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=True)
         events, merges = tr.run(return_merges=True)
         for var in ("ID_field", "global_ID", "area", "centroid", "presence", "time_start", "time_end", "merge_ledger"):
@@ -75,7 +90,7 @@ class TestBasicTracking:
         assert np.isfinite(area).all() and (area > 0).all()
 
     def test_centroid_tracks_blob(self):
-        da = make_blob_field(T=20, path=lambda t: (20, 60 + 4 * t))
+        da = with_decoy(make_blob_field(T=20, path=lambda t: (20, 60 + 4 * t)))
         tr = marEx.tracker(da, ocean_mask(), R_fill=2, area_filter_quartile=0.5, T_fill=0, allow_merging=True)
         events = tr.run()
         clon = events.centroid.values[1, :, 0]  # component 1 = lon
