@@ -65,12 +65,17 @@ def make_data(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 8
     # heatwaves are spatially coherent, and the R_fill opening should never
     # annihilate every event regardless of the bench scale
     yy, xx = np.mgrid[0:ny, 0:nx]
-    r = max(min(ny, nx) // 8, 3)
+    r = max(min(ny, nx) // 8, 12)  # must survive the R_fill=8 opening at smoke sizes
+    years = pd.DatetimeIndex(times).year.to_numpy()
+    y0 = years.min()
     for t in range(T):
         d = int(doy[t])
         if 60 <= d <= 140:
-            cy = ny // 2
-            cx = (nx // 4 + (d - 60)) % nx
+            # position drifts with the YEAR so a shifting-baseline
+            # climatology can never absorb the event
+            yr = int(years[t] - y0)
+            cy = ny // 2 + ((yr % 3) - 1) * (ny // 6)
+            cx = (nx // 4 + yr * (nx // 5) + (d - 60)) % nx
             dx = np.minimum(np.abs(xx - cx), nx - np.abs(xx - cx))
             blob = (yy - cy) ** 2 + dx**2 <= r * r
             sst[t][blob] += 4.0
@@ -124,12 +129,16 @@ def make_unstructured(n_years: int, n_cells: int, seed: int = 1):
         noise[k] = 0.8 * noise[k - 1] + 0.6 * noise[k]
     sst = (15.0 + seasonal + noise).astype(np.float32)
     # coherent drifting warm patch each year (see make_data)
+    years = pd.DatetimeIndex(times).year.to_numpy()
+    y0 = years.min()
     for t in range(T):
         d = int(doy[t])
         if 60 <= d <= 140:
-            clon = (30.0 + (d - 60) * 1.5) % 360.0
+            clon = (30.0 + (years[t] - y0) * 73.0 + (d - 60) * 1.5) % 360.0
             dlon = np.minimum(np.abs(lon_c - clon), 360.0 - np.abs(lon_c - clon))
-            patch = (np.abs(lat_c) < 15.0) & (dlon < 12.0)
+            # sized to stay well above the 50-cell quartile pre-filter even
+            # at smoke-test mesh sizes
+            patch = (np.abs(lat_c) < 25.0) & (dlon < 40.0)
             sst[t][patch] += 4.0
 
     coords = {"time": times, "lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}
@@ -342,7 +351,7 @@ def main() -> None:
         }
 
     if "2" in which:
-        wall, ev, gpd2 = config2_hobday_shifting(n_years, max(ny // 2, 32), max(nx // 2, 64))
+        wall, ev, gpd2 = config2_hobday_shifting(max(n_years, 6), max(ny // 2, 32), max(nx // 2, 64))
         detail["configs"]["2_shifting_hobday"] = {
             "wall_s": round(wall, 2),
             "gpd_per_s": round(gpd2 / wall, 1),

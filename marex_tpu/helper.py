@@ -146,12 +146,24 @@ def start_distributed_cluster(
     """
     import jax
 
-    if jax.process_count() == 1 and (coordinator_address or os.environ.get("COORDINATOR_ADDRESS")):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    # NOTE: jax.process_count() (or any other backend query) must NOT run
+    # before jax.distributed.initialize — it initialises XLA and makes
+    # initialize() raise. Decide from the arguments/environment alone.
+    should_init = bool(
+        coordinator_address or os.environ.get("COORDINATOR_ADDRESS") or num_processes is not None
+    )
+    if should_init:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+            logger.info(
+                f"jax.distributed initialised: process {jax.process_index()} of {jax.process_count()}"
+            )
+        except RuntimeError as e:  # already initialised (or backend touched)
+            logger.warning(f"jax.distributed.initialize skipped: {e}")
     configure_dask()
     return get_cluster_info()
 
@@ -176,7 +188,13 @@ def checkpoint_to_zarr(
 
     from .io.zarr_lite import open_zarr, to_zarr
 
-    base = temp_dir or tempfile.gettempdir()
+    if temp_dir is not None:
+        base = temp_dir
+        os.makedirs(base, exist_ok=True)
+    else:
+        # unique per call: a fixed $TMPDIR path would collide across
+        # concurrent runs (the reference takes an explicit directory)
+        base = tempfile.mkdtemp(prefix="marex_tpu_ckpt_")
     path = os.path.join(base, f"marex_tpu_{name}.zarr")
     to_zarr(data, path, mode="w")
     reloaded = open_zarr(path)

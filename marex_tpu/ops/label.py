@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG = jnp.int32(2**31 - 1)
+_BIG = np.int32(2**31 - 1)
 
 _pallas_usable_cache = None
 

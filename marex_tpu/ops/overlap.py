@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_INVALID = jnp.int32(2**31 - 1)
+_INVALID = np.int32(2**31 - 1)
 
 
 @partial(jax.jit, static_argnames=("max_pairs", "key_stride"))

@@ -102,6 +102,7 @@ def pallas_available() -> bool:
     if os.environ.get("MAREX_ENABLE_PALLAS", "").strip() not in ("1", "true"):
         return False
     try:
-        return jax.default_backend() == "tpu"
+        # "axon" is a tunneled TPU backend (dev harness); same Mosaic target
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False

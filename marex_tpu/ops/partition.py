@@ -26,9 +26,10 @@ from functools import partial
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)
 
 
 # ----------------------------------------------------------------------------
