@@ -22,8 +22,9 @@ Dask workers in 39 min (detect, examples/batch jobs/run_detect.py:29-33) plus
 ~40*365*1036800 / 13080 s ~= 1.16e6 gridpoint-days/s on 128 cores.
 
 Size knobs (defaults sized for one v5e chip, ~10 min all-in):
-  MAREX_BENCH_YEARS (10), MAREX_BENCH_NY (360), MAREX_BENCH_NX (720),
-  MAREX_BENCH_CELLS (98304), MAREX_BENCH_CONFIGS (comma list, default all).
+  MAREX_BENCH_YEARS (6), MAREX_BENCH_NY (360), MAREX_BENCH_NX (720),
+  MAREX_BENCH_CELLS (98304), MAREX_BENCH_CONFIGS (comma list, default all;
+  config 6 = merge-dense stress reporting the merge-mode overhead factor).
 """
 
 from __future__ import annotations
@@ -316,6 +317,53 @@ def config5_unstructured(n_years, n_cells):
     return wall, out, da.sizes["time"] * da.sizes["ncells"]
 
 
+def merge_dense_stress(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
+    """Merge-dense synthetic (VERDICT done-criterion: ~10% merging events
+    without wall blowup): n_pairs blob pairs converge and merge mid-series.
+    Returns (no_merge_wall, merge_wall, total_merges)."""
+    import jax.numpy as jnp
+
+    import marex_tpu as marEx
+    from marex_tpu.core.field import Field
+
+    data = np.zeros((T, ny, nx), bool)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    rng = np.random.default_rng(9)
+    centers = [
+        (rng.integers(ny // 6, 5 * ny // 6), rng.integers(0, nx))
+        for _ in range(n_pairs)
+    ]
+    r = max(min(ny, nx) // 30, 5)
+    for t in range(T):
+        phase = (t % 50) / 50.0  # approach, merge, separate every 50 steps
+        sep = int((1.0 - min(phase * 2, 1.0)) * 3 * r) + r
+        for cy, cx0 in centers:
+            for s in (-sep, sep):
+                cx = (cx0 + s) % nx
+                dx = np.minimum(np.abs(xx - cx), nx - np.abs(xx - cx))
+                data[t] |= (yy - cy) ** 2 + dx**2 <= r * r
+    coords = {
+        "time": pd.date_range("2015-01-01", periods=T, freq="D").to_numpy(),
+        "lat": np.linspace(-60, 60, ny),
+        "lon": np.linspace(0, 360, nx, endpoint=False),
+    }
+    daf = Field(jnp.asarray(data), ("time", "lat", "lon"), coords=coords, name="extreme_events")
+    mask = Field(np.ones((ny, nx), bool), ("lat", "lon"),
+                 coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+
+    def run(merging):
+        tr = marEx.tracker(
+            daf, mask, R_fill=2, T_fill=0, area_filter_quartile=0.0,
+            allow_merging=merging, nn_partitioning=True, overlap_threshold=0.3,
+            quiet=True,
+        )
+        return tr.run()
+
+    w_plain, _ = _timed(lambda: run(False))
+    w_merge, ev = _timed(lambda: run(True))
+    return w_plain, w_merge, int(ev.attrs["total_merges"])
+
+
 def main() -> None:
     import jax
 
@@ -327,11 +375,11 @@ def main() -> None:
     except Exception:
         pass
 
-    n_years = int(os.environ.get("MAREX_BENCH_YEARS", "10"))
+    n_years = int(os.environ.get("MAREX_BENCH_YEARS", "6"))
     ny = int(os.environ.get("MAREX_BENCH_NY", "360"))
     nx = int(os.environ.get("MAREX_BENCH_NX", "720"))
     n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "98304"))
-    which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5").split(","))
+    which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6").split(","))
 
     da = _stage(make_data(n_years, ny, nx))
     T = da.sizes["time"]
@@ -396,6 +444,15 @@ def main() -> None:
             "wall_s": round(wall, 2),
             "gpd_per_s": round(cell_days / wall, 1),
             "n_events": int(ev.attrs["N_events_final"]),
+        }
+
+    if "6" in which or "merge_dense" in which:
+        w_plain, w_merge, n_merges = merge_dense_stress(max(ny // 2, 60), max(nx // 2, 120))
+        detail["configs"]["6_merge_dense"] = {
+            "no_merge_wall_s": round(w_plain, 2),
+            "merge_wall_s": round(w_merge, 2),
+            "merge_overhead_x": round(w_merge / max(w_plain, 1e-9), 2),
+            "total_merges": n_merges,
         }
 
     if headline_wall is None:  # headline fallback when config 4 disabled

@@ -653,6 +653,16 @@ def compute_normalised_anomaly(
         )
 
 
+def _device_reshape(x: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Zero-copy device reshape: a bare ``x.reshape`` dispatches a program
+    that ALLOCATES a new buffer (3.8 GB extra for a century of 0.25 deg
+    anomalies — enough to OOM a 16 GB chip); donating the operand lets XLA
+    alias input and output for the contiguous row-major case."""
+    if type(x).__module__.startswith("jax"):
+        return jax.jit(lambda a: a.reshape(shape), donate_argnums=0)(x)
+    return np.asarray(x).reshape(shape)
+
+
 def _assemble_anomaly_ds(
     staged: _Staged,
     anomalies_ts: jnp.ndarray,
@@ -664,7 +674,7 @@ def _assemble_anomaly_ds(
     # keep the payload device-resident; downloads happen only when a caller
     # actually asks for .values
     anom = Field(
-        anomalies_ts.reshape((anomalies_ts.shape[0],) + staged.spatial_shape),
+        _device_reshape(anomalies_ts, (anomalies_ts.shape[0],) + staged.spatial_shape),
         dims,
         coords,
         name="dat_anomaly",
@@ -1114,13 +1124,13 @@ def _identify_extremes_hobday(
 
     dims = (staged.timedim,) + staged.spatial_dims
     extremes = Field(
-        extremes_ts.reshape((extremes_ts.shape[0],) + staged.spatial_shape),
+        _device_reshape(extremes_ts, (extremes_ts.shape[0],) + staged.spatial_shape),
         dims,
         staged.field.coords,
         name="extreme_events",
     )
     thr_field = Field(
-        thr.reshape((366,) + staged.spatial_shape),
+        _device_reshape(thr, (366,) + staged.spatial_shape),
         ("dayofyear",) + staged.spatial_dims,
         {**staged.spatial_coords(), "dayofyear": Coord("dayofyear", np.arange(1, 367))},
         name="thresholds",
@@ -1154,13 +1164,13 @@ def _identify_extremes_constant(
 
     dims = (staged.timedim,) + staged.spatial_dims
     extremes = Field(
-        extremes_ts.reshape((extremes_ts.shape[0],) + staged.spatial_shape),
+        _device_reshape(extremes_ts, (extremes_ts.shape[0],) + staged.spatial_shape),
         dims,
         staged.field.coords,
         name="extreme_events",
     )
     thr_field = Field(
-        thr.reshape(staged.spatial_shape),
+        _device_reshape(thr, staged.spatial_shape),
         staged.spatial_dims,
         staged.spatial_coords(),
         name="thresholds",

@@ -502,18 +502,37 @@ def densify_spacetime_roots(labf: jax.Array, n_pad: int) -> jax.Array:
     return jnp.where(active, dense, 0)
 
 
-@partial(jax.jit, static_argnames=("n_max",))
-def slice_root_stats_sorted(root_flat: jax.Array, n_max: int):
+def _sorted_row_core(row: jax.Array):
+    """Shared per-row machinery of the count-robust sorted kernels: stable
+    sort of (root, column) pairs, run boundaries by neighbour compare, run
+    lengths by cummax/cummin scans, dense ranks by cumsum. ``row`` is one
+    (S,) slice of root labels; designed to be vmapped in time tiles."""
+    S = row.shape[0]
+    col = jnp.arange(S, dtype=jnp.int32)
+    sv, si = jax.lax.sort((row, col), dimension=0, num_keys=1)
+    active = sv != _BIG
+    prev = jnp.concatenate([jnp.full((1,), -1, sv.dtype), sv[:-1]])
+    is_start = active & (sv != prev)
+    nxt = jnp.concatenate([sv[1:], jnp.full((1,), -2, sv.dtype)])
+    is_end = active & (sv != nxt)
+    sp = jax.lax.cummax(jnp.where(is_start, col, -1))
+    ne = jax.lax.cummin(jnp.where(is_end, col + 1, S), reverse=True)
+    area_sorted = jnp.where(active, (ne - sp).astype(jnp.float32), 0.0)
+    rank = jnp.cumsum(is_start.astype(jnp.int32))  # dense id at sorted pos
+    return sv, si, active, is_start, area_sorted, rank
+
+
+@partial(jax.jit, static_argnames=("n_max", "time_block"))
+def slice_root_stats_sorted(root_flat: jax.Array, n_max: int, time_block: int = 128):
     """
-    Count-robust per-slice object statistics in O(S log S): one stable
-    per-row sort of (root, column) pairs, run boundaries by neighbour
-    compare, run lengths by cummax/cummin scans, dense ranks by cumsum, and
-    a scatter back through the sort permutation. Replaces the trace-time
-    unrolled :func:`extract_root_areas`/:func:`densify_slice_roots`/
-    :func:`apply_root_keep` chain beyond its ~64-object sweet spot: program
-    size is independent of the object count, and any count <= n_max per
-    slice is exact (the reference's np.unique path, track.py:1785-1806,
-    at TPU-native cost).
+    Count-robust per-slice object statistics in O(S log S) — the
+    no-object-cap replacement for the trace-time unrolled
+    :func:`extract_root_areas`/:func:`apply_root_keep` chain beyond its
+    ~64-object sweet spot (the reference's np.unique path,
+    track.py:1785-1806, at TPU-native cost). Processed in ``time_block``
+    row tiles via lax.map so intermediate memory stays bounded at
+    production scale (a full-width sort of a century of 0.25 deg labels
+    would hold ~6 full-size temporaries and OOM a 16 GB chip).
 
     root_flat : (T, S) int32 converged root labels (_BIG = background)
 
@@ -522,36 +541,40 @@ def slice_root_stats_sorted(root_flat: jax.Array, n_max: int):
     root_ids  : (T, n_max) int32 ascending per-slice root ids, _BIG padded
     areas     : (T, n_max) float32 object pixel areas, 0 padded
     area_cell : (T, S) float32 per-cell component area (0 = background)
-    dense     : (T, S) int32 per-slice dense labels 1..n_t (0 = background),
-                rank order identical to :func:`label_slices_grid`
     counts    : (T,) int32 per-slice object counts
     """
     T, S = root_flat.shape
-    col = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (T, S))
-    sv, si = jax.lax.sort((root_flat, col), dimension=1, num_keys=1)
-    active = sv != _BIG
-    prev = jnp.concatenate([jnp.full((T, 1), -1, sv.dtype), sv[:, :-1]], axis=1)
-    is_start = active & (sv != prev)
-    nxt = jnp.concatenate([sv[:, 1:], jnp.full((T, 1), -2, sv.dtype)], axis=1)
-    is_end = active & (sv != nxt)
-    # run extents: start position via forward cummax, end via reverse cummin
-    sp = jax.lax.cummax(jnp.where(is_start, col, -1), axis=1)
-    ne = jax.lax.cummin(jnp.where(is_end, col + 1, S), axis=1, reverse=True)
-    area_sorted = jnp.where(active, (ne - sp).astype(jnp.float32), 0.0)
-    rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1)  # dense id at sorted pos
-    dense_sorted = jnp.where(active, rank, 0)
-    counts = rank[:, -1]
 
-    row = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, S))
-    dense = jnp.zeros((T, S), jnp.int32).at[row, si].set(dense_sorted)
-    area_cell = jnp.zeros((T, S), jnp.float32).at[row, si].set(area_sorted)
+    def per_row(row):
+        sv, si, active, is_start, area_sorted, rank = _sorted_row_core(row)
+        area_cell = jnp.zeros((S,), jnp.float32).at[si].set(area_sorted)
+        slot = jnp.where(is_start & (rank <= n_max), rank - 1, n_max)
+        ids = jnp.full((n_max + 1,), _BIG, jnp.int32).at[slot].set(jnp.where(is_start, sv, _BIG))[:n_max]
+        areas = jnp.zeros((n_max + 1,), jnp.float32).at[slot].set(jnp.where(is_start, area_sorted, 0.0))[:n_max]
+        return ids, areas, area_cell, rank[-1]
 
-    # per-object tables: scatter the run-start rows into rank-indexed slots
-    # (out-of-range / non-start rows land in a dumped extra column)
-    slot = jnp.where(is_start & (rank <= n_max), rank - 1, n_max)
-    ids = jnp.full((T, n_max + 1), _BIG, jnp.int32).at[row, slot].set(jnp.where(is_start, sv, _BIG))[:, :n_max]
-    areas = jnp.zeros((T, n_max + 1), jnp.float32).at[row, slot].set(jnp.where(is_start, area_sorted, 0.0))[:, :n_max]
-    return ids, areas, area_cell, dense, counts
+    ids, areas, area_cell, counts = jax.lax.map(per_row, root_flat, batch_size=min(time_block, T))
+    return ids, areas, area_cell, counts
+
+
+@partial(jax.jit, static_argnames=("time_block",))
+def densify_slices_sorted(root_flat: jax.Array, time_block: int = 128):
+    """
+    Count-robust per-slice dense relabel (rank order identical to
+    :func:`label_slices_grid`) in O(S log S), tiled over time rows like
+    :func:`slice_root_stats_sorted`.
+
+    root_flat : (T, S) int32 converged root labels (_BIG = background)
+    returns (dense (T, S) int32 labels 1..n_t per slice, counts (T,) int32)
+    """
+    T, S = root_flat.shape
+
+    def per_row(row):
+        sv, si, active, is_start, area_sorted, rank = _sorted_row_core(row)
+        dense = jnp.zeros((S,), jnp.int32).at[si].set(jnp.where(active, rank, 0))
+        return dense, rank[-1]
+
+    return jax.lax.map(per_row, root_flat, batch_size=min(time_block, T))
 
 
 @jax.jit

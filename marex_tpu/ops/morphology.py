@@ -120,16 +120,22 @@ def binary_close_open_grid(data: jax.Array, radius: int, mask: jax.Array, mode: 
         return jnp.logical_and(data, mask[None])
 
     d = 2 * radius
-
     pad_mode = "wrap" if mode == "wrap" else "edge"
-    x = jnp.pad(data, ((0, 0), (d, d), (d, d)), mode=pad_mode)
 
-    x = _dilate_disk(x, radius)  # closing
-    x = _erode_disk(x, radius, outside=False)
-    x = _erode_disk(x, radius, outside=False)  # opening
-    x = _dilate_disk(x, radius)
+    # Per-slice op -> tile over time (lax.map batches) so the padded
+    # intermediate chain stays bounded: at century/0.25deg scale the
+    # full-width chain holds ~10 padded bool temporaries (~7 GB) and
+    # OOMs alongside the resident detect outputs.
+    def one_slice(sl):
+        x = jnp.pad(sl[None], ((0, 0), (d, d), (d, d)), mode=pad_mode)
+        x = _dilate_disk(x, radius)  # closing
+        x = _erode_disk(x, radius, outside=False)
+        x = _erode_disk(x, radius, outside=False)  # opening
+        x = _dilate_disk(x, radius)
+        return x[0, d:-d, d:-d]
 
-    x = x[:, d:-d, d:-d]
+    T = data.shape[0]
+    x = jax.lax.map(one_slice, data, batch_size=min(128, T))
     return jnp.logical_and(x, mask[None])
 
 

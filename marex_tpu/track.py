@@ -615,8 +615,7 @@ class tracker:
             root_ids, _ = _label.extract_root_areas(root_flat, L)
             labels = _label.densify_slice_roots(root_flat, root_ids).reshape(data.shape)
             return labels, counts
-        n_max = max(64, 1 << max(L - 1, 1).bit_length())
-        _, _, _, dense, _ = _label.slice_root_stats_sorted(root_flat, n_max)
+        dense, _ = _label.densify_slices_sorted(root_flat)
         return dense.reshape(data.shape), counts
 
     def filter_small_objects(self, data: jnp.ndarray):
@@ -740,7 +739,7 @@ class tracker:
 
         # count-robust sorted path (no object-count cap)
         n_max = max(64, 1 << max(L - 1, 1).bit_length())
-        _, areas_dev, area_cell, dense, _ = _label.slice_root_stats_sorted(root_flat, n_max)
+        root_ids, areas_dev, area_cell, _ = _label.slice_root_stats_sorted(root_flat, n_max)
         areas_tj = np.asarray(areas_dev)  # (T, n_max) ascending root order, 0-padded
         slot = np.arange(n_max)[None, :] < counts[:, None]
         object_areas = areas_tj[slot]
@@ -755,8 +754,10 @@ class tracker:
 
         filtered = area_cell >= jnp.float32(area_threshold)
         if t_first >= 0:
-            # clear the first object's cells (dense rank 1 in its slice)
-            first_mask = jnp.zeros(filtered.shape, bool).at[t_first].set(dense[t_first] == 1)
+            # clear the first object's cells (smallest root of its slice)
+            first_mask = jnp.zeros(filtered.shape, bool).at[t_first].set(
+                root_flat[t_first] == root_ids[t_first, 0]
+            )
             filtered = jnp.logical_and(filtered, jnp.logical_not(first_mask))
         return filtered.reshape(data.shape), area_threshold, object_areas, N_prefiltered, N_filtered
 

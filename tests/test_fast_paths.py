@@ -96,8 +96,10 @@ class TestSortedRootStats:
         roots, _ = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
         L = int(np.asarray(counts_d).max())
         n_max = max(8, L)
-        ids, areas, area_cell, dense2, counts2 = mlabel.slice_root_stats_sorted(roots, n_max)
+        ids, areas, area_cell, counts2 = mlabel.slice_root_stats_sorted(roots, n_max)
+        dense2, counts3 = mlabel.densify_slices_sorted(roots)
         assert np.array_equal(np.asarray(counts2), np.asarray(counts_d))
+        assert np.array_equal(np.asarray(counts3), np.asarray(counts_d))
         assert np.array_equal(np.asarray(dense2).reshape(data.shape), np.asarray(dense))
         # tables match the unrolled extraction
         ids_u, areas_u = mlabel.extract_root_areas(roots, n_max)
@@ -120,7 +122,8 @@ class TestSortedRootStats:
         data[:, ::2, ::2] = True  # 45*45 = 2025 single-cell objects
         roots, counts = mlabel.label_slices_grid_roots(jnp.asarray(data), True)
         assert int(np.asarray(counts)[0]) == 2025
-        ids, areas, area_cell, dense, counts2 = mlabel.slice_root_stats_sorted(roots, 2048)
+        ids, areas, area_cell, counts2 = mlabel.slice_root_stats_sorted(roots, 2048)
+        dense, _ = mlabel.densify_slices_sorted(roots)
         assert int(np.asarray(counts2)[0]) == 2025
         d = np.asarray(dense).reshape(T, H, W)
         assert d.max() == 2025
@@ -136,6 +139,50 @@ class TestSortedRootStats:
         got, n3 = mlabel.densify_spacetime_sorted(labf)
         assert int(n) == int(n3)
         assert np.array_equal(np.asarray(got).reshape(data.shape), np.asarray(dense))
+
+
+class TestSortedFilterIntegration:
+    def test_tracker_filter_high_object_count(self):
+        """Full tracker area filter through the count-robust sorted path
+        (>64 objects/slice) agrees with a numpy reference filter."""
+        import pandas as pd
+
+        import marex_tpu as marEx
+        from marex_tpu.core.field import Field
+
+        T, H, W = 4, 60, 120
+        data = np.zeros((T, H, W), bool)
+        rng = np.random.default_rng(11)
+        # ~90 objects per slice with mixed sizes (no morphology: R_fill=0)
+        for t in range(T):
+            for k in range(90):
+                y, x = rng.integers(1, H - 4), rng.integers(1, W - 4)
+                s = int(rng.integers(1, 4))
+                data[t, y : y + s, x : x + s] = True
+        coords = {
+            "time": pd.date_range("2019-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(-30, 30, H),
+            "lon": np.linspace(0, 360, W, endpoint=False),
+        }
+        da = Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+        mask = Field(np.ones((H, W), bool), ("lat", "lon"),
+                     coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+        tr = marEx.tracker(da, mask, R_fill=0, T_fill=0, area_filter_absolute=3,
+                           allow_merging=False, quiet=True)
+        filtered, thr, object_areas, n_pre, n_post = tr.filter_small_objects(jnp.asarray(data))
+        assert n_pre > 64 * T / 2  # the sorted path really engaged
+        # numpy reference: label 8-connected w/ wrap, keep area >= 3, drop first
+        from scipy import ndimage
+
+        got = np.asarray(filtered)
+        for t in range(T):
+            lab, n = ndimage.label(data[t], structure=np.ones((3, 3), int))
+            ids, areas = np.unique(lab[lab > 0], return_counts=True)
+            keep = set(ids[areas >= 3].tolist())
+            if t == 0 and len(ids):
+                keep.discard(int(ids[0]))  # replicated reference quirk
+            expect = np.isin(lab, sorted(keep))
+            np.testing.assert_array_equal(got[t], expect)
 
 
 class TestSpacetimeDensify:

@@ -1,0 +1,186 @@
+"""Logging-system depth tests, mirroring the reference's
+tests/test_logging_system.py coverage: env-var resolution order, the three
+verbosity modes and their formats, rotating file handler behaviour,
+log_timing (duration + memory), the log_function_call decorator,
+ProgressLogger throttling, and idempotent reconfiguration.
+"""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from marex_tpu import logging_config as LC
+from marex_tpu.logging_config import (
+    ProgressLogger,
+    configure_logging,
+    get_logger,
+    get_verbosity_level,
+    is_quiet_mode,
+    is_verbose_mode,
+    log_dask_info,
+    log_function_call,
+    log_memory_usage,
+    log_timing,
+    set_normal_logging,
+    set_quiet_mode,
+    set_verbose_mode,
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_logging():
+    # the package logger is non-propagating by design (own stderr handler);
+    # caplog captures at the root, so propagate for the test duration
+    logging.getLogger("marex_tpu").propagate = True
+    yield
+    for var in ("MAREX_VERBOSE", "MAREX_QUIET", "MAREX_LOG_LEVEL", "MAREX_LOG_FILE"):
+        os.environ.pop(var, None)
+    configure_logging()
+
+
+class TestModes:
+    def test_three_modes(self):
+        set_verbose_mode()
+        assert is_verbose_mode() and get_verbosity_level() == "verbose"
+        set_quiet_mode()
+        assert is_quiet_mode() and get_verbosity_level() == "quiet"
+        set_normal_logging()
+        assert get_verbosity_level() == "normal"
+        assert not is_verbose_mode() and not is_quiet_mode()
+
+    def test_quiet_wins_over_verbose(self):
+        configure_logging(verbose=True, quiet=True)
+        assert get_verbosity_level() == "quiet"
+
+    def test_mode_levels(self):
+        lg = configure_logging(verbose=True)
+        assert lg.level == logging.DEBUG
+        lg = configure_logging(quiet=True)
+        assert lg.level >= logging.WARNING
+        lg = configure_logging()
+        assert lg.level == logging.INFO
+
+    def test_explicit_level_overrides_mode(self):
+        lg = configure_logging(verbose=True, level=logging.ERROR)
+        assert lg.level == logging.ERROR
+
+
+class TestEnvVars:
+    def test_env_verbose(self, monkeypatch):
+        monkeypatch.setenv("MAREX_VERBOSE", "1")
+        configure_logging()
+        assert is_verbose_mode()
+
+    def test_env_quiet_precedence(self, monkeypatch):
+        monkeypatch.setenv("MAREX_VERBOSE", "1")
+        monkeypatch.setenv("MAREX_QUIET", "true")
+        configure_logging()
+        assert is_quiet_mode()
+
+    def test_env_level(self, monkeypatch):
+        monkeypatch.setenv("MAREX_LOG_LEVEL", "warning")
+        lg = configure_logging()
+        assert lg.level == logging.WARNING
+
+    def test_explicit_args_beat_env(self, monkeypatch):
+        monkeypatch.setenv("MAREX_QUIET", "1")
+        configure_logging(quiet=False, verbose=True)
+        assert is_verbose_mode()
+
+    def test_env_log_file(self, monkeypatch, tmp_path):
+        path = tmp_path / "env.log"
+        monkeypatch.setenv("MAREX_LOG_FILE", str(path))
+        lg = configure_logging()
+        lg.info("hello from env file")
+        for h in lg.handlers:
+            h.flush()
+        assert path.exists() and "hello from env file" in path.read_text()
+
+
+class TestFileHandler:
+    def test_rotating_handler_params(self, tmp_path):
+        path = tmp_path / "rot.log"
+        lg = configure_logging(log_file=str(path), max_file_size_mb=1, backup_count=2)
+        fhs = [h for h in lg.handlers if isinstance(h, logging.handlers.RotatingFileHandler)]
+        assert len(fhs) == 1
+        assert fhs[0].maxBytes == 1 * 1024 * 1024
+        assert fhs[0].backupCount == 2
+
+    def test_reconfiguration_is_idempotent(self, tmp_path):
+        lg1 = configure_logging(log_file=str(tmp_path / "a.log"))
+        n1 = len(lg1.handlers)
+        lg2 = configure_logging(log_file=str(tmp_path / "a.log"))
+        assert len(lg2.handlers) == n1  # handlers reset, not accumulated
+
+    def test_file_gets_verbose_format(self, tmp_path):
+        path = tmp_path / "fmt.log"
+        lg = configure_logging(quiet=True, log_file=str(path))
+        lg.error("formatted entry")
+        for h in lg.handlers:
+            h.flush()
+        text = path.read_text()
+        assert "formatted entry" in text
+
+
+class TestTimingAndMemory:
+    def test_log_timing_records_duration(self, caplog):
+        lg = get_logger("marex_tpu.test_timing")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            with log_timing(lg, "unit-op"):
+                sum(range(1000))
+        joined = " ".join(r.message for r in caplog.records)
+        assert "unit-op" in joined
+
+    def test_log_memory_usage(self, caplog):
+        lg = get_logger("marex_tpu.test_mem")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            log_memory_usage(lg, "checkpoint")
+        assert any("checkpoint" in r.message for r in caplog.records)
+
+    def test_log_function_call_decorator(self, caplog):
+        lg = get_logger("marex_tpu.test_decor")
+
+        @log_function_call(lg, level=logging.INFO)
+        def add(a, b):
+            return a + b
+
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            assert add(2, 3) == 5
+        assert any("add" in r.message for r in caplog.records)
+
+    def test_log_dask_info_reports_shape(self, caplog):
+        from marex_tpu.core.field import Field
+
+        lg = get_logger("marex_tpu.test_arr")
+        f = Field(np.zeros((4, 5)), ("a", "b"), name="probe")
+        with caplog.at_level(logging.DEBUG, logger="marex_tpu"):
+            log_dask_info(lg, f, "probe")
+        joined = " ".join(r.message for r in caplog.records)
+        assert "probe" in joined
+
+
+class TestProgressLogger:
+    def test_progress_throttles(self, caplog):
+        set_normal_logging()
+        logging.getLogger("marex_tpu").propagate = True
+        lg = get_logger("marex_tpu.test_prog")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            p = ProgressLogger(lg, total=100, label="work", every=50)
+            for _ in range(100):
+                p.update()
+        msgs = [r.message for r in caplog.records if "work" in r.message]
+        assert len(msgs) == 2  # at 50 and 100
+        assert "100/100" in msgs[-1]
+
+    def test_progress_quiet_suppressed(self, caplog):
+        set_quiet_mode()
+        logging.getLogger("marex_tpu").propagate = True
+        lg = get_logger("marex_tpu.test_prog2")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            p = ProgressLogger(lg, total=10, label="silent", every=1)
+            for _ in range(10):
+                p.update()
+        assert not any("silent" in r.message for r in caplog.records)
+        set_normal_logging()
