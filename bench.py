@@ -22,7 +22,7 @@ Dask workers in 39 min (detect, examples/batch jobs/run_detect.py:29-33) plus
 ~40*365*1036800 / 13080 s ~= 1.16e6 gridpoint-days/s on 128 cores.
 
 Size knobs (defaults sized for one v5e chip, ~10 min all-in):
-  MAREX_BENCH_YEARS (6), MAREX_BENCH_NY (360), MAREX_BENCH_NX (720),
+  MAREX_BENCH_YEARS (3), MAREX_BENCH_NY (360), MAREX_BENCH_NX (720),
   MAREX_BENCH_CELLS (98304), MAREX_BENCH_CONFIGS (comma list, default all;
   config 6 = merge-dense stress reporting the merge-mode overhead factor).
 """
@@ -182,8 +182,10 @@ def config1_no_merge(da):
             threshold_percentile=95,
             quiet=True,
         )
+        ev, mask = ds.extreme_events, ds.mask
+        del ds  # production runs detect/track as separate jobs (submit_track.sh)
         tr = marEx.tracker(
-            ds.extreme_events, ds.mask, R_fill=8, T_fill=2,
+            ev, mask, R_fill=8, T_fill=2,
             area_filter_quartile=0.5, allow_merging=False, quiet=True,
         )
         return tr.run()
@@ -212,8 +214,10 @@ def config2_hobday_shifting(n_years, ny, nx):
             window_days_hobday=11,
             quiet=True,
         )
+        ev, mask = ds.extreme_events, ds.mask
+        del ds  # production runs detect/track as separate jobs (submit_track.sh)
         tr = marEx.tracker(
-            ds.extreme_events, ds.mask, R_fill=8, T_fill=2,
+            ev, mask, R_fill=8, T_fill=2,
             area_filter_quartile=0.5, allow_merging=False, quiet=True,
         )
         return tr.run()
@@ -236,8 +240,10 @@ def config3_regional(n_years, ny, nx):
             threshold_percentile=95,
             quiet=True,
         )
+        ev, mask = ds.extreme_events, ds.mask
+        del ds
         tr = marEx.regional_tracker(
-            ds.extreme_events, ds.mask, R_fill=8, T_fill=2,
+            ev, mask, R_fill=8, T_fill=2,
             area_filter_absolute=50, allow_merging=False,
             coordinate_units="degrees", quiet=True,
         )
@@ -247,12 +253,12 @@ def config3_regional(n_years, ny, nx):
     return wall, out, da.sizes["time"] * ny * nx
 
 
-def config4_merge(da, ds_cache):
+def config4_merge(da, ev_cache, mask_cache):
     import marex_tpu as marEx
 
     def run():
         tr = marEx.tracker(
-            ds_cache.extreme_events, ds_cache.mask, R_fill=8, T_fill=2,
+            ev_cache, mask_cache, R_fill=8, T_fill=2,
             area_filter_quartile=0.5, allow_merging=True, nn_partitioning=True,
             overlap_threshold=0.25, quiet=True,
         )
@@ -267,8 +273,10 @@ def config4_merge(da, ds_cache):
             threshold_percentile=95,
             quiet=True,
         )
+        ev, mask = ds.extreme_events, ds.mask
+        del ds
         tr = marEx.tracker(
-            ds.extreme_events, ds.mask, R_fill=8, T_fill=2,
+            ev, mask, R_fill=8, T_fill=2,
             area_filter_quartile=0.5, allow_merging=True, nn_partitioning=True,
             overlap_threshold=0.25, quiet=True,
         )
@@ -303,13 +311,16 @@ def config5_unstructured(n_years, n_cells):
             cell_areas=areas,
             quiet=True,
         )
+        ev, mask = ds.extreme_events, ds.mask
+        nbv, cav = ds.neighbours, ds.cell_areas
+        del ds
         tr = marEx.tracker(
-            ds.extreme_events, ds.mask, R_fill=2, T_fill=2,
+            ev, mask, R_fill=2, T_fill=2,
             area_filter_quartile=0.5, allow_merging=False,
             unstructured_grid=True, dimensions={"x": "ncells"},
             coordinates={"x": "lon", "y": "lat"},
             coordinate_units="degrees", temp_dir="/tmp",
-            neighbours=ds.neighbours, cell_areas=ds.cell_areas, quiet=True,
+            neighbours=nbv, cell_areas=cav, quiet=True,
         )
         return tr.run()
 
@@ -375,7 +386,7 @@ def main() -> None:
     except Exception:
         pass
 
-    n_years = int(os.environ.get("MAREX_BENCH_YEARS", "6"))
+    n_years = int(os.environ.get("MAREX_BENCH_YEARS", "3"))
     ny = int(os.environ.get("MAREX_BENCH_NY", "360"))
     nx = int(os.environ.get("MAREX_BENCH_NX", "720"))
     n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "98304"))
@@ -399,7 +410,7 @@ def main() -> None:
         }
 
     if "2" in which:
-        wall, ev, gpd2 = config2_hobday_shifting(max(n_years, 6), max(ny // 2, 32), max(nx // 2, 64))
+        wall, ev, gpd2 = config2_hobday_shifting(max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64))
         detail["configs"]["2_shifting_hobday"] = {
             "wall_s": round(wall, 2),
             "gpd_per_s": round(gpd2 / wall, 1),
@@ -428,7 +439,9 @@ def main() -> None:
                 threshold_percentile=95,
                 quiet=True,
             )
-        wall, ev = config4_merge(da, ds_cache)
+        ev_cache, mask_cache = ds_cache.extreme_events, ds_cache.mask
+        del ds_cache  # keep only what tracking needs resident
+        wall, ev = config4_merge(da, ev_cache, mask_cache)
         headline_wall = wall
         headline_events = int(ev.attrs["N_events_final"])
         detail["configs"]["4_merge_nn"] = {

@@ -131,26 +131,15 @@ def _jump(lab_flat: jax.Array) -> jax.Array:
     return jnp.where(lab_flat == _BIG, _BIG, jnp.minimum(lab_flat, hopped))
 
 
-@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
-def label_slices_grid(
-    data: jax.Array, wrap_x: bool = True, max_iters: int = 4096, jump_every: int = 128
-) -> Tuple[jax.Array, jax.Array]:
-    """
-    Per-timestep 2-D CCL with 8-connectivity.
-
-    Parameters
-    ----------
-    data : (T, H, W) bool
-    wrap_x : periodic in the last (longitude) axis
-
-    Returns
-    -------
-    labels : (T, H, W) int32, densified per slice (1..n_t, 0 = background)
-    counts : (T,) int32 number of components per slice
-    """
-    T, H, W = data.shape
+def _roots_fixpoint_block(data: jax.Array, wrap_x: bool, max_iters: int, jump_every: int) -> jax.Array:
+    """Converged per-slice min-label roots of one (TB, H, W) time block —
+    the CCL fixpoint loop shared by every 2-D labeling entry point. Blocks
+    are independent (per-slice labeling), so callers lax.map over them:
+    intermediates stay bounded at production scale AND each block's
+    while_loop runs only its own iteration count."""
+    TB, H, W = data.shape
     flat_idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
-    lab = jnp.where(data, flat_idx, _BIG)
+    lab = jnp.where(data, jnp.broadcast_to(flat_idx, (TB, H, W)), _BIG)
 
     use_pallas = wrap_x and _pallas_usable()
 
@@ -171,14 +160,14 @@ def label_slices_grid(
             lambda x: x,
             m,
         )
-        mf = m.reshape(T, H * W)
+        mf = m.reshape(TB, H * W)
         mf = jax.lax.cond(
             (it % jump_every) == jump_every - 1,
             lambda x: _jump(_jump(x)),
             lambda x: x,
             mf,
         )
-        new = mf.reshape(T, H, W)
+        new = mf.reshape(TB, H, W)
         return new, jnp.any(new != lab), it + 1
 
     def cond(state):
@@ -186,14 +175,55 @@ def label_slices_grid(
         return jnp.logical_and(changed, it < max_iters)
 
     lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
+    return lab.reshape(TB, H * W)
 
-    labf = lab.reshape(T, H * W)
-    is_root = jnp.logical_and(data.reshape(T, H * W), labf == flat_idx.reshape(1, H * W))
-    rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)  # inclusive rank
-    idx = jnp.where(labf == _BIG, 0, labf)
-    dense = jnp.where(labf == _BIG, 0, jnp.take_along_axis(rank, idx, axis=1))
-    counts = rank[:, -1]
-    return dense.reshape(T, H, W), counts
+
+def _map_time_blocks(fn, data: jax.Array, time_block: int):
+    """Apply ``fn`` ((TB, H, W) block -> pytree) over time blocks via lax.map
+    (scan, not vmap, so Pallas kernels inside lower unchanged); the time axis
+    is padded with inactive slices to a block multiple."""
+    T = data.shape[0]
+    tb = min(time_block, T)
+    n_blocks = -(-T // tb)
+    T_pad = n_blocks * tb
+    if T_pad != T:
+        data = jnp.pad(data, ((0, T_pad - T),) + ((0, 0),) * (data.ndim - 1), constant_values=False)
+    blocks = data.reshape((n_blocks, tb) + data.shape[1:])
+    return jax.lax.map(fn, blocks)
+
+
+@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every", "time_block"))
+def label_slices_grid(
+    data: jax.Array, wrap_x: bool = True, max_iters: int = 4096, jump_every: int = 128, time_block: int = 64
+) -> Tuple[jax.Array, jax.Array]:
+    """
+    Per-timestep 2-D CCL with 8-connectivity, tiled over ``time_block``
+    slices (per-slice labeling is time-independent).
+
+    Parameters
+    ----------
+    data : (T, H, W) bool
+    wrap_x : periodic in the last (longitude) axis
+
+    Returns
+    -------
+    labels : (T, H, W) int32, densified per slice (1..n_t, 0 = background)
+    counts : (T,) int32 number of components per slice
+    """
+    T, H, W = data.shape
+    flat_idx = jnp.arange(H * W, dtype=jnp.int32)
+
+    def block(d):
+        TB = d.shape[0]
+        labf = _roots_fixpoint_block(d, wrap_x, max_iters, jump_every)
+        is_root = jnp.logical_and(d.reshape(TB, H * W), labf == flat_idx[None])
+        rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)  # inclusive rank
+        idx = jnp.where(labf == _BIG, 0, labf)
+        dense = jnp.where(labf == _BIG, 0, jnp.take_along_axis(rank, idx, axis=1))
+        return dense.reshape(TB, H, W), rank[:, -1]
+
+    dense, counts = _map_time_blocks(block, data, time_block)
+    return dense.reshape(-1, H, W)[:T], counts.reshape(-1)[:T]
 
 
 @partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
@@ -262,15 +292,17 @@ def label_spacetime_grid(
     return dense.reshape(T, H, W), rank[-1]
 
 
-@partial(jax.jit, static_argnames=("max_iters", "jump_every"))
+@partial(jax.jit, static_argnames=("max_iters", "jump_every", "time_block"))
 def label_slices_unstructured(
-    data: jax.Array, neighbours: jax.Array, max_iters: int = 4096, jump_every: int = 16
+    data: jax.Array, neighbours: jax.Array, max_iters: int = 4096, jump_every: int = 16, time_block: int = 64
 ) -> Tuple[jax.Array, jax.Array]:
     """
-    Per-timestep CCL on an unstructured triangular mesh.
+    Per-timestep CCL on an unstructured triangular mesh, tiled over
+    ``time_block`` slices (per-slice labeling is time-independent).
 
     data : (T, C) bool (already masked)
-    neighbours : (3, C) int32 0-based adjacency, -1 = missing
+    neighbours : (K, C) int32 0-based adjacency, -1 = missing (the tracker
+        passes the SYMMETRIZED table — csgraph directed=False semantics)
 
     Returns per-slice dense labels (1..n_t per slice, 0 = background) and
     per-slice counts — the ID convention of the reference's per-slice
@@ -278,36 +310,40 @@ def label_slices_unstructured(
     """
     T, C = data.shape
     flat_idx = jnp.arange(C, dtype=jnp.int32)[None, :]
-    lab = jnp.where(data, flat_idx, _BIG)
-
-    nb_idx = jnp.maximum(neighbours, 0)  # (3, C)
+    nb_idx = jnp.maximum(neighbours, 0)  # (K, C)
     nb_valid = neighbours >= 0
 
-    def step(state):
-        lab, _, it = state
-        g = lab[:, nb_idx]  # (T, 3, C)
-        g = jnp.where(nb_valid[None], g, _BIG)
-        m = jnp.minimum(lab, jnp.min(g, axis=1))
-        m = jnp.where(data, m, _BIG)
-        m = jax.lax.cond(
-            (it % jump_every) == jump_every - 1,
-            lambda x: _jump(_jump(x)),
-            lambda x: x,
-            m,
-        )
-        return m, jnp.any(m != lab), it + 1
+    def block(d):
+        lab = jnp.where(d, flat_idx, _BIG)
 
-    def cond(state):
-        _, changed, it = state
-        return jnp.logical_and(changed, it < max_iters)
+        def step(state):
+            lab, _, it = state
+            g = lab[:, nb_idx]  # (TB, K, C)
+            g = jnp.where(nb_valid[None], g, _BIG)
+            m = jnp.minimum(lab, jnp.min(g, axis=1))
+            m = jnp.where(d, m, _BIG)
+            m = jax.lax.cond(
+                (it % jump_every) == jump_every - 1,
+                lambda x: _jump(_jump(x)),
+                lambda x: x,
+                m,
+            )
+            return m, jnp.any(m != lab), it + 1
 
-    lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
+        def cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < max_iters)
 
-    is_root = jnp.logical_and(data, lab == flat_idx)
-    rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
-    idx = jnp.where(lab == _BIG, 0, lab)
-    dense = jnp.where(lab == _BIG, 0, jnp.take_along_axis(rank, idx, axis=1))
-    return dense, rank[:, -1]
+        lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
+
+        is_root = jnp.logical_and(d, lab == flat_idx)
+        rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
+        idx = jnp.where(lab == _BIG, 0, lab)
+        dense = jnp.where(lab == _BIG, 0, jnp.take_along_axis(rank, idx, axis=1))
+        return dense, rank[:, -1]
+
+    dense, counts = _map_time_blocks(block, data, time_block)
+    return dense.reshape(-1, C)[:T], counts.reshape(-1)[:T]
 
 
 @jax.jit
@@ -343,9 +379,9 @@ def select_labels(labels: jax.Array, keep: jax.Array, n_labels: int) -> jax.Arra
     return out
 
 
-@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every"))
+@partial(jax.jit, static_argnames=("wrap_x", "max_iters", "jump_every", "time_block"))
 def label_slices_grid_roots(
-    data: jax.Array, wrap_x: bool = True, max_iters: int = 4096, jump_every: int = 128
+    data: jax.Array, wrap_x: bool = True, max_iters: int = 4096, jump_every: int = 128, time_block: int = 64
 ) -> Tuple[jax.Array, jax.Array]:
     """
     Per-timestep 2-D CCL returning RAW root labels (each component labeled by
@@ -353,40 +389,20 @@ def label_slices_grid_roots(
     :func:`label_slices_grid` without the densification pass, whose
     rank-lookup is a flat 105M-element gather (~1.1 s on TPU). Callers that
     only need per-object reductions can stay in root space (see
-    :func:`extract_root_areas` / :func:`apply_root_keep`).
+    :func:`extract_root_areas` / :func:`apply_root_keep`). Tiled over
+    ``time_block`` slices like :func:`label_slices_grid`.
     """
     T, H, W = data.shape
-    flat_idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
-    lab = jnp.where(data, flat_idx, _BIG)
+    flat_idx = jnp.arange(H * W, dtype=jnp.int32)
 
-    def step(state):
-        lab, _, it = state
-        m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
-        m = jax.lax.cond(
-            (it % 2) == 1,
-            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
-            lambda x: x,
-            m,
-        )
-        mf = m.reshape(T, H * W)
-        mf = jax.lax.cond(
-            (it % jump_every) == jump_every - 1,
-            lambda x: _jump(_jump(x)),
-            lambda x: x,
-            mf,
-        )
-        new = mf.reshape(T, H, W)
-        return new, jnp.any(new != lab), it + 1
+    def block(d):
+        TB = d.shape[0]
+        labf = _roots_fixpoint_block(d, wrap_x, max_iters, jump_every)
+        is_root = jnp.logical_and(d.reshape(TB, H * W), labf == flat_idx[None])
+        return labf, jnp.sum(is_root.astype(jnp.int32), axis=1)
 
-    def cond(state):
-        _, changed, it = state
-        return jnp.logical_and(changed, it < max_iters)
-
-    lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
-    labf = lab.reshape(T, H * W)
-    is_root = jnp.logical_and(data.reshape(T, H * W), labf == flat_idx.reshape(1, H * W))
-    counts = jnp.sum(is_root.astype(jnp.int32), axis=1)
-    return labf, counts
+    labf, counts = _map_time_blocks(block, data, time_block)
+    return labf.reshape(-1, H * W)[:T], counts.reshape(-1)[:T]
 
 
 @partial(jax.jit, static_argnames=("n_max",))

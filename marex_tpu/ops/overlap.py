@@ -67,6 +67,23 @@ def overlap_pairs_slice(
 
 
 @partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+def pairs_between_stacks(
+    a: jax.Array, b: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Co-located (a, b) pairs between two ALIGNED label stacks, vmapped over
+    rows — the generalisation of :func:`overlap_pairs_all` used for
+    spatially-shifted adjacency edges (3x3x3 time connectivity).
+
+    a, b : (N, S) int32 label fields; weights : (S,) float32
+
+    Returns (N, max_pairs) triples.
+    """
+    f = jax.vmap(lambda x, y: overlap_pairs_slice(x, y, weights, max_pairs, key_stride))
+    return f(a, b)
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
 def overlap_pairs_all(
     labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -78,10 +95,148 @@ def overlap_pairs_all(
 
     Returns (T-1, max_pairs) triples (a, b, w); a precedes b in time.
     """
-    a = labels[:-1]
-    b = labels[1:]
-    f = jax.vmap(lambda x, y: overlap_pairs_slice(x, y, weights, max_pairs, key_stride))
-    return f(a, b)
+    return pairs_between_stacks(labels[:-1], labels[1:], weights, max_pairs, key_stride)
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride", "dy", "dx", "wrap_x", "time_block"))
+def adjacency_pairs_shift(
+    labels: jax.Array,
+    max_pairs: int,
+    key_stride: int,
+    dy: int,
+    dx: int,
+    wrap_x: bool,
+    time_block: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """
+    Weightless co-located (id_t, id_t+1) pairs between slice t shifted by
+    (dy, dx) and slice t+1 — ONE of the nine inter-slice edge sets of full
+    3x3x3 spatio-temporal connectivity. Fused shift + key extraction, tiled
+    over ``time_block`` row pairs via lax.map with dynamic slices out of the
+    resident label field, so per-shift peak memory is a tile, not the field.
+
+    labels : (T, H, W) int32 globally-unique per-slice labels (0 = bg)
+    returns (T-1, max_pairs) int32 (pa, pb), -1 padded, ascending keys
+    """
+    T, H, W = labels.shape
+    if T < 2:
+        z = jnp.full((0, max_pairs), -1, jnp.int32)
+        return z, z
+    tb = min(time_block, T - 1)
+    n_blocks = -(-(T - 1) // tb)
+    # pad so every block can slice tb+1 rows (padded rows are background)
+    T_need = n_blocks * tb + 1
+    lab_p = jnp.pad(labels, ((0, T_need - T), (0, 0), (0, 0))) if T_need > T else labels
+
+    def shift_a(a):
+        if dx != 0:
+            if wrap_x:
+                a = jnp.roll(a, dx, axis=2)
+            else:
+                rolled = jnp.roll(a, dx, axis=2)
+                idx = jnp.arange(W)
+                band = (idx < dx) if dx > 0 else (idx >= W + dx)
+                a = jnp.where(band[None, None, :], 0, rolled)
+        if dy != 0:
+            rolled = jnp.roll(a, dy, axis=1)
+            idy = jnp.arange(H)
+            band = (idy < dy) if dy > 0 else (idy >= H + dy)
+            a = jnp.where(band[None, :, None], 0, rolled)
+        return a
+
+    def blk(t0):
+        seg = jax.lax.dynamic_slice(lab_p, (t0, 0, 0), (tb + 1, H, W))
+        a = shift_a(seg[:-1]).reshape(tb, H * W)
+        b = seg[1:].reshape(tb, H * W)
+        both = jnp.logical_and(a > 0, b > 0)
+        key = jnp.where(both, a * key_stride + b, _INVALID)
+        prev = jnp.full((tb, 1), -1, jnp.int32)
+        pa, pb = [], []
+        for _ in range(max_pairs):
+            cand = jnp.where(key > prev, key, _INVALID)
+            k = jnp.min(cand, axis=1, keepdims=True)
+            valid = k[:, 0] != _INVALID
+            pa.append(jnp.where(valid, k[:, 0] // key_stride, -1))
+            pb.append(jnp.where(valid, k[:, 0] % key_stride, -1))
+            prev = k
+        return jnp.stack(pa, axis=1), jnp.stack(pb, axis=1)
+
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * tb
+    pa, pb = jax.lax.map(blk, starts)
+    return pa.reshape(-1, max_pairs)[: T - 1], pb.reshape(-1, max_pairs)[: T - 1]
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride", "time_block"))
+def consecutive_pairs_tiled(
+    labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int, time_block: int = 64
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    Overlap triples between every consecutive row pair of a (T, S) label
+    stack, min-extraction per row, tiled over ``time_block`` row pairs via
+    dynamic slices (the full-width extraction materialises several (T-1, S)
+    temporaries — multiple GB at production scale).
+
+    Returns (T-1, max_pairs) (pa, pb, pw), -1 padded, ascending keys.
+    """
+    T, S = labels.shape
+    if T < 2:
+        z = jnp.full((0, max_pairs), -1, jnp.int32)
+        return z, z, jnp.zeros((0, max_pairs), jnp.float32)
+    tb = min(time_block, T - 1)
+    n_blocks = -(-(T - 1) // tb)
+    T_need = n_blocks * tb + 1
+    lab_p = jnp.pad(labels, ((0, T_need - T), (0, 0))) if T_need > T else labels
+
+    def blk(t0):
+        seg = jax.lax.dynamic_slice(lab_p, (t0, 0), (tb + 1, S))
+        a, b = seg[:-1], seg[1:]
+        both = jnp.logical_and(a > 0, b > 0)
+        key = jnp.where(both, a * key_stride + b, _INVALID)
+        w = jnp.where(both, jnp.broadcast_to(weights[None, :], key.shape), 0.0)
+        prev = jnp.full((tb, 1), -1, jnp.int32)
+        pa, pb, pw = [], [], []
+        for _ in range(max_pairs):
+            cand = jnp.where(key > prev, key, _INVALID)
+            k = jnp.min(cand, axis=1, keepdims=True)
+            s = jnp.sum(jnp.where(key == k, w, 0.0), axis=1)
+            valid = k[:, 0] != _INVALID
+            pa.append(jnp.where(valid, k[:, 0] // key_stride, -1))
+            pb.append(jnp.where(valid, k[:, 0] % key_stride, -1))
+            pw.append(jnp.where(valid, s, 0.0))
+            prev = k
+        return jnp.stack(pa, axis=1), jnp.stack(pb, axis=1), jnp.stack(pw, axis=1)
+
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * tb
+    pa, pb, pw = jax.lax.map(blk, starts)
+    return (
+        pa.reshape(-1, max_pairs)[: T - 1],
+        pb.reshape(-1, max_pairs)[: T - 1],
+        pw.reshape(-1, max_pairs)[: T - 1],
+    )
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+def pairs_between_stacks_extract(
+    a: jax.Array, b: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort-free min-extraction variant of :func:`pairs_between_stacks`
+    (see :func:`overlap_pairs_all_extract`)."""
+    both = jnp.logical_and(a > 0, b > 0)
+    key = jnp.where(both, a * key_stride + b, _INVALID)  # (N, S)
+    w = jnp.where(both, jnp.broadcast_to(weights[None, :], key.shape), 0.0)
+
+    prev = jnp.full((key.shape[0], 1), -1, jnp.int32)
+    pa, pb, pw = [], [], []
+    for _ in range(max_pairs):
+        cand = jnp.where(key > prev, key, _INVALID)
+        k = jnp.min(cand, axis=1, keepdims=True)  # (N, 1)
+        s = jnp.sum(jnp.where(key == k, w, 0.0), axis=1)
+        valid = k[:, 0] != _INVALID
+        pa.append(jnp.where(valid, k[:, 0] // key_stride, -1))
+        pb.append(jnp.where(valid, k[:, 0] % key_stride, -1))
+        pw.append(jnp.where(valid, s, 0.0))
+        prev = k
+    return jnp.stack(pa, axis=1), jnp.stack(pb, axis=1), jnp.stack(pw, axis=1)
 
 
 def aggregate_pairs_host(

@@ -39,9 +39,53 @@ def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Arra
             jnp.sum(jnp.where(labels == lbl, weights, 0.0), axis=1) for lbl in range(n_labels + 1)
         ]
         return jnp.stack(cols, axis=1)
-    out = jnp.zeros((T, n_labels + 1), dtype=jnp.float32)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
-    return out.at[t_idx, labels].add(weights)
+    # large label ranges: per-row scatter-add, tiled over row blocks so the
+    # iota/index temporaries stay bounded (full-width they are several GB at
+    # production scale)
+    tb = min(64, T)
+    n_blocks = -(-T // tb)
+    T_pad = n_blocks * tb
+    if T_pad != T:
+        labels = jnp.pad(labels, ((0, T_pad - T), (0, 0)))
+        weights = jnp.pad(weights, ((0, T_pad - T), (0, 0)))
+
+    def blk(args):
+        lb, wb = args
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tb, S), 0)
+        return jnp.zeros((tb, n_labels + 1), jnp.float32).at[t_idx, lb].add(wb)
+
+    out = jax.lax.map(blk, (labels.reshape(n_blocks, tb, S), weights.reshape(n_blocks, tb, S)))
+    return out.reshape(T_pad, n_labels + 1)[:T]
+
+
+@partial(jax.jit, static_argnames=("n_events", "time_block"))
+def event_global_id(new_flat: jax.Array, old_flat: jax.Array, n_events: int, time_block: int = 64) -> jax.Array:
+    """
+    (time, ID) table of the ORIGINAL object id each event carries at each
+    time (track.py:2937-2992) — a per-row max-combining scatter, tiled over
+    row blocks (the full-width iota/index temporaries are several GB at
+    production scale).
+
+    new_flat : (T, S) int32 event ids (1..n_events, 0 = background)
+    old_flat : (T, S) int32 original object ids
+    returns (T, n_events + 1) int32, column 0 unused
+    """
+    T, S = new_flat.shape
+    tb = min(time_block, T)
+    n_blocks = -(-T // tb)
+    T_pad = n_blocks * tb
+    if T_pad != T:
+        new_flat = jnp.pad(new_flat, ((0, T_pad - T), (0, 0)))
+        old_flat = jnp.pad(old_flat, ((0, T_pad - T), (0, 0)))
+
+    def blk(args):
+        nfb, ofb = args
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tb, S), 0)
+        cols = jnp.where(nfb > 0, nfb, n_events + 1)
+        return jnp.zeros((tb, n_events + 2), jnp.int32).at[t_idx, cols].max(ofb)
+
+    gid = jax.lax.map(blk, (new_flat.reshape(n_blocks, tb, S), old_flat.reshape(n_blocks, tb, S)))
+    return gid.reshape(T_pad, n_events + 2)[:T, : n_events + 1]
 
 
 @partial(jax.jit, static_argnames=("n_labels", "wrap"))
@@ -73,13 +117,47 @@ def grid_label_props(
     else:
         w = cell_weights.reshape(H * W).astype(jnp.float32)
 
-    areas = label_sums(lf, w, n_labels)
-    sum_y = label_sums(lf, w * y_idx, n_labels)
-    sum_x = label_sums(lf, w * x_idx, n_labels)
-    cnt_right = label_sums(lf, w * (x_idx > W / 2), n_labels)
+    wy = w * y_idx
+    wx = w * x_idx
+    wr = w * (x_idx > W / 2)
+    fl = (x_idx < EDGE_ZONE).astype(jnp.float32)
+    fr = (x_idx >= W - EDGE_ZONE).astype(jnp.float32)
 
-    near_left = label_sums(lf, (x_idx < EDGE_ZONE).astype(jnp.float32), n_labels) > 0
-    near_right = label_sums(lf, (x_idx >= W - EDGE_ZONE).astype(jnp.float32), n_labels) > 0
+    if n_labels <= 512:
+        # one fused pass PER LABEL computing all six reductions at once: the
+        # label-equality mask is shared, so XLA reads the field once per
+        # label instead of six separate label_sums sweeps (6x fewer passes;
+        # the event-stats recompute dominated merge-mode tracking before)
+        cols = []
+        for lbl in range(n_labels + 1):
+            m = (lf == lbl).astype(jnp.float32)
+            cols.append(
+                jnp.stack(
+                    [
+                        jnp.sum(m * w[None, :], axis=1),
+                        jnp.sum(m * wy[None, :], axis=1),
+                        jnp.sum(m * wx[None, :], axis=1),
+                        jnp.sum(m * wr[None, :], axis=1),
+                        jnp.sum(m * fl[None, :], axis=1),
+                        jnp.sum(m * fr[None, :], axis=1),
+                    ],
+                    axis=1,
+                )
+            )
+        stacked = jnp.stack(cols, axis=1)  # (T, n_labels+1, 6)
+        areas = stacked[..., 0]
+        sum_y = stacked[..., 1]
+        sum_x = stacked[..., 2]
+        cnt_right = stacked[..., 3]
+        near_left = stacked[..., 4] > 0
+        near_right = stacked[..., 5] > 0
+    else:
+        areas = label_sums(lf, w, n_labels)
+        sum_y = label_sums(lf, wy, n_labels)
+        sum_x = label_sums(lf, wx, n_labels)
+        cnt_right = label_sums(lf, wr, n_labels)
+        near_left = label_sums(lf, fl, n_labels) > 0
+        near_right = label_sums(lf, fr, n_labels) > 0
 
     safe = jnp.maximum(areas, 1e-30)
     cy = sum_y / safe

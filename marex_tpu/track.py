@@ -84,6 +84,19 @@ def _symmetrize_neighbours(nb: np.ndarray) -> np.ndarray:
     return out
 
 
+def _shift_zero(arr: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    """Static shift along ``axis`` with zeros (background) shifted in."""
+    if d == 0:
+        return arr
+    rolled = jnp.roll(arr, d, axis=axis)
+    n = arr.shape[axis]
+    idx = jnp.arange(n)
+    band = (idx < d) if d > 0 else (idx >= n + d)
+    shape = [1] * arr.ndim
+    shape[axis] = n
+    return jnp.where(band.reshape(shape), 0, rolled)
+
+
 def _replace_label(slice_arr: np.ndarray, old_id: int, new_id: int) -> int:
     """In-place label rename on one time slice (native C++ when available)."""
     from ._native import replace_value
@@ -958,18 +971,23 @@ class tracker:
         if self.allow_merging or self.unstructured_grid:
             events_ds, merges_ds, N_events = self.track_objects(data_bin_preprocessed)
         else:
-            # two-step: fixpoint loop first, then a gather-free dense relabel
-            # sized to the actual event count (top_k + broadcast-compare);
-            # count-robust sorted relabel (O(N log N), no cap) beyond that
-            labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
-            N_events = int(n_dev)
-            if 0 < N_events <= 512:
-                n_pad = max(64, 1 << (N_events - 1).bit_length())
-                labels = _label.densify_spacetime_roots(labf, n_pad).reshape(data_bin_preprocessed.shape)
+            # Scalable two-level 3x3x3 labeling: tiled per-slice CCL +
+            # inter-slice adjacency union-find (memory bounded at any T).
+            # Small fields keep the single fused fixpoint program + the
+            # gather-free dense relabel (fewer dispatches, measured faster).
+            T, S = data_bin_preprocessed.shape[0], int(np.prod(data_bin_preprocessed.shape[1:]))
+            if T * S > 200_000_000 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
+                labels, N_events = self._label_spacetime_two_level(data_bin_preprocessed)
             else:
-                dense, n = _label.densify_spacetime_sorted(labf)
-                labels = dense.reshape(data_bin_preprocessed.shape)
-                N_events = int(n)
+                labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
+                N_events = int(n_dev)
+                if 0 < N_events <= 512:
+                    n_pad = max(64, 1 << (N_events - 1).bit_length())
+                    labels = _label.densify_spacetime_roots(labf, n_pad).reshape(data_bin_preprocessed.shape)
+                else:
+                    dense, n = _label.densify_spacetime_sorted(labf)
+                    labels = dense.reshape(data_bin_preprocessed.shape)
+                    N_events = int(n)
             # keep the labeled field device-resident (it is the largest output)
             id_field = self._wrap_id_field(labels)
             events_ds = FieldSet({"ID_field": id_field})
@@ -1063,11 +1081,13 @@ class tracker:
         touches (see _SliceStore)."""
         labels_slices, counts = self._label_slices(data_bin)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-        labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
-        logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
 
         object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
         logger.info("Finished calculating object properties")
+
+        labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
+        del labels_slices  # free the pre-offset full-field buffer
+        logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
 
         store = _SliceStore(labels_dev)
         labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
@@ -1084,16 +1104,60 @@ class tracker:
             return self.cell_area.reshape(-1).astype(np.float32)
         return None
 
-    def _per_slice_pairs_device(self, labels) -> Optional[List[np.ndarray]]:
-        """(id_a, id_b, w) triples for every consecutive slice pair, computed
-        on device; None when label ids exceed the packed-key range.
+    def _pairs_for_stacks(self, a_flat, b_flat, weights=None) -> Optional[List[np.ndarray]]:
+        """(id_a, id_b, w) triples for every aligned row pair of two label
+        stacks, computed on device; None when label ids exceed the packed-key
+        range.
 
-        The padded (T-1, max_pairs) buffers are compacted ON DEVICE before
+        The padded (N, max_pairs) buffers are compacted ON DEVICE before
         download, so the host transfer scales with the number of actual pairs
         (kilobytes) rather than the padded capacity (hundreds of MB) — critical
         when the device link is slow."""
+        N, S = a_flat.shape
+        if weights is None:
+            w = self._cell_weights()
+            weights = jnp.asarray(w) if w is not None else jnp.ones((S,), jnp.float32)
+        max_label = int(max(int(jnp.max(a_flat)), int(jnp.max(b_flat))))
+        key_stride = max_label + 2
+        if key_stride * key_stride >= 2**31:
+            return None
+        max_pairs = 32
+        while True:
+            if max_pairs <= 64:
+                # sort-free iterative min-extraction (typical case: a handful
+                # of overlap pairs per slice)
+                pa, pb, pw = _overlap.pairs_between_stacks_extract(a_flat, b_flat, weights, max_pairs, key_stride)
+            else:
+                pa, pb, pw = _overlap.pairs_between_stacks(a_flat, b_flat, weights, max_pairs, key_stride)
+            # overflow check on a single downloaded column: every slice must
+            # have at least one free slot in its padded row
+            last_col = np.asarray(pa[:, -1])
+            if (last_col < 0).all() or max_pairs >= S:
+                break
+            max_pairs *= 4
+
+        counts = np.asarray(jnp.sum(pa >= 0, axis=1).astype(jnp.int32))
+        cap = int(counts.sum())
+        if cap == 0:
+            return [np.empty((0, 3)) for _ in range(N)]
+        ca, cb, cw = _overlap.compact_pairs(pa, pb, pw, cap)
+        triples = np.column_stack(
+            [
+                np.asarray(ca).astype(np.float64),
+                np.asarray(cb).astype(np.float64),
+                np.asarray(cw).astype(np.float64),
+            ]
+        )
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        return [triples[bounds[t] : bounds[t + 1]] for t in range(N)]
+
+    def _per_slice_pairs_device(self, labels) -> Optional[List[np.ndarray]]:
+        """(id_a, id_b, w) triples for every consecutive slice pair,
+        time-tiled on device (bounded intermediates at production scale)."""
         T = labels.shape[0]
         flat = jnp.asarray(labels).reshape(T, -1)
+        if T < 2:
+            return []
         S = flat.shape[1]
         w = self._cell_weights()
         weights = jnp.asarray(w) if w is not None else jnp.ones((S,), jnp.float32)
@@ -1103,19 +1167,10 @@ class tracker:
             return None
         max_pairs = 32
         while True:
-            if max_pairs <= 64:
-                # sort-free iterative min-extraction (typical case: a handful
-                # of overlap pairs per slice)
-                pa, pb, pw = _overlap.overlap_pairs_all_extract(flat, weights, max_pairs, key_stride)
-            else:
-                pa, pb, pw = _overlap.overlap_pairs_all(flat, weights, max_pairs, key_stride)
-            # overflow check on a single downloaded column: every slice must
-            # have at least one free slot in its padded row
-            last_col = np.asarray(pa[:, -1])
-            if (last_col < 0).all() or max_pairs >= S:
+            pa, pb, pw = _overlap.consecutive_pairs_tiled(flat, weights, max_pairs, key_stride)
+            if (np.asarray(pa[:, -1]) < 0).all() or max_pairs >= S:
                 break
             max_pairs *= 4
-
         counts = np.asarray(jnp.sum(pa >= 0, axis=1).astype(jnp.int32))
         cap = int(counts.sum())
         if cap == 0:
@@ -1130,6 +1185,78 @@ class tracker:
         )
         bounds = np.concatenate([[0], np.cumsum(counts)])
         return [triples[bounds[t] : bounds[t + 1]] for t in range(T - 1)]
+
+    def _adjacency_edges(self, labels_dev) -> np.ndarray:
+        """Inter-slice 3x3x3-connectivity edges: unique (id_t, id_t+1) pairs
+        whose cells are within the 3x3 spatial neighbourhood across
+        consecutive slices — computed as co-located pairs between the NINE
+        spatially shifted versions of slice t and slice t+1 (periodic x
+        unless regional). These are exactly the cross-chunk merge edges of
+        dask_image's chunked labeling (the reference's substrate,
+        track.py:2026-2030)."""
+        T = labels_dev.shape[0]
+        if T < 2:
+            return np.empty((0, 2), np.int64)
+        wrap = not self.regional_mode
+        max_label = int(jnp.max(labels_dev))
+        key_stride = max_label + 2
+        edges = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if key_stride * key_stride < 2**31:
+                    max_pairs = 32
+                    while True:
+                        pa, pb = _overlap.adjacency_pairs_shift(
+                            labels_dev, max_pairs, key_stride, dy, dx, wrap
+                        )
+                        if (np.asarray(pa[:, -1]) < 0).all():
+                            break
+                        max_pairs *= 4
+                    counts = np.asarray(jnp.sum(pa >= 0, axis=1).astype(jnp.int32))
+                    cap = int(counts.sum())
+                    if cap:
+                        ca, cb, _ = _overlap.compact_pairs(pa, pb, pb.astype(jnp.float32), cap)
+                        edges.append(np.stack([np.asarray(ca), np.asarray(cb)], axis=1).astype(np.int64))
+                else:
+                    # packed keys out of range: host fallback on this shift
+                    a_s = _shift_zero(
+                        jnp.roll(labels_dev[:-1], dx, axis=2) if wrap else _shift_zero(labels_dev[:-1], dx, axis=2),
+                        dy,
+                        axis=1,
+                    )
+                    a_np = np.asarray(a_s).reshape(T - 1, -1)
+                    b_np = np.asarray(labels_dev[1:]).reshape(T - 1, -1)
+                    for t in range(T - 1):
+                        tr = _overlap_slice_host(a_np[t], b_np[t], None)
+                        if len(tr):
+                            edges.append(tr[:, :2].astype(np.int64))
+        if not edges:
+            return np.empty((0, 2), np.int64)
+        return np.unique(np.concatenate(edges), axis=0)
+
+    def _label_spacetime_two_level(self, data) -> Tuple[jnp.ndarray, int]:
+        """Scalable 3x3x3 spatio-temporal labeling: tiled per-slice 2-D CCL,
+        inter-slice adjacency edges, compact union-find, device remap — the
+        chunked-label architecture of the reference's dask_image substrate
+        at TPU memory budgets (the monolithic 3-D fixpoint holds ~8
+        full-length int32 buffers inside its while body: ~19 GB for a 6-year
+        0.25 deg block). Event ids come out in first-appearance order,
+        identical to ops.label.label_spacetime_grid."""
+        labels_slices, counts = self._label_slices(data)
+        counts = np.asarray(counts)
+        n_obj = int(counts.sum())
+        labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
+        del labels_slices  # free the pre-offset buffer (full-field int32)
+        if n_obj == 0:
+            return jnp.zeros(data.shape, jnp.int32), 0
+        edges = self._adjacency_edges(labels_dev)
+        node_ids = np.arange(1, n_obj + 1, dtype=np.int64)
+        comp = _overlap.union_find_components(edges, node_ids)
+        n_events = int(comp.max()) + 1 if len(comp) else 0
+        lookup = np.zeros(n_obj + 1, np.int32)
+        lookup[1:] = comp.astype(np.int32) + 1
+        final = jnp.take(jnp.asarray(lookup), labels_dev)
+        return final, n_events
 
     def _all_overlaps(self, labels) -> np.ndarray:
         """Overlap pairs for all consecutive slices (device kernel + host merge)."""
@@ -1439,12 +1566,10 @@ class tracker:
         N = n_events
 
         # global_ID (time, ID): original id at each time for each event —
-        # one device scatter (deterministic max-combine), small download
+        # per-row max-combining scatter, time-tiled (ops.properties)
         nf = new_field_dev.reshape(T, -1)
         of = labels_dev.reshape(T, -1)
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, nf.shape, 0)
-        gid_dev = jnp.zeros((T, N + 2), jnp.int32).at[t_idx, jnp.where(nf > 0, nf, N + 1)].max(of)
-        global_id = gid_dev[:, : N + 1]  # device-resident (time, ID) output
+        global_id = _props.event_global_id(nf, of, N)  # device-resident (time, ID)
         new_field = new_field_dev  # device-resident; downloaded only on .values
 
         presence = global_id > 0

@@ -185,6 +185,70 @@ class TestSortedFilterIntegration:
             np.testing.assert_array_equal(got[t], expect)
 
 
+class TestTwoLevelSpacetimeLabeling:
+    def test_two_level_matches_fused_3d_ccl(self, monkeypatch):
+        """The scalable per-slice + adjacency-union-find labeling must equal
+        the monolithic 3x3x3 fixpoint bit-for-bit, including event order."""
+        import pandas as pd
+
+        import marex_tpu as marEx
+        from marex_tpu.core.field import Field
+
+        rng = np.random.default_rng(21)
+        T, H, W = 16, 32, 64
+        data = rng.random((T, H, W)) < 0.10
+        # blobs that persist and drift (incl. across the x seam)
+        yy, xx = np.mgrid[0:H, 0:W]
+        for t in range(T):
+            for cy, cx0, sp in ((10, 5, 3), (22, 50, -2)):
+                cx = (cx0 + sp * t) % W
+                dx = np.minimum(np.abs(xx - cx), W - np.abs(xx - cx))
+                data[t] |= (yy - cy) ** 2 + dx**2 <= 9
+        dense_ref, n_ref = mlabel.label_spacetime_grid(jnp.asarray(data), True)
+
+        coords = {
+            "time": pd.date_range("2017-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(-30, 30, H),
+            "lon": np.linspace(0, 360, W, endpoint=False),
+        }
+        da = Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+        mask = Field(np.ones((H, W), bool), ("lat", "lon"),
+                     coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+        tr = marEx.tracker(da, mask, R_fill=0, T_fill=0, area_filter_absolute=1,
+                           allow_merging=False, quiet=True)
+        labels, n = tr._label_spacetime_two_level(jnp.asarray(data))
+        assert n == int(n_ref)
+        assert np.array_equal(np.asarray(labels), np.asarray(dense_ref).reshape(T, H, W))
+
+    def test_two_level_regional_no_wrap(self):
+        import pandas as pd
+
+        import marex_tpu as marEx
+        from marex_tpu.core.field import Field
+
+        T, H, W = 6, 20, 40
+        data = np.zeros((T, H, W), bool)
+        # one object touching the left edge, another the right edge: without
+        # wrap they must stay separate events
+        data[:, 8:12, 0:3] = True
+        data[:, 8:12, W - 3 : W] = True
+        dense_ref, n_ref = mlabel.label_spacetime_grid(jnp.asarray(data), False)
+        assert int(n_ref) == 2
+        coords = {
+            "time": pd.date_range("2017-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(30, 50, H),
+            "lon": np.linspace(-20, 20, W),
+        }
+        da = Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+        mask = Field(np.ones((H, W), bool), ("lat", "lon"),
+                     coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+        tr = marEx.regional_tracker(da, mask, R_fill=0, T_fill=0, area_filter_absolute=1,
+                                    allow_merging=False, coordinate_units="degrees", quiet=True)
+        labels, n = tr._label_spacetime_two_level(jnp.asarray(data))
+        assert n == 2
+        assert np.array_equal(np.asarray(labels), np.asarray(dense_ref).reshape(T, H, W))
+
+
 class TestSpacetimeDensify:
     def test_topk_densify_matches_fused_program(self):
         rng = np.random.default_rng(4)
