@@ -469,9 +469,14 @@ def main() -> None:
         }
 
     if headline_wall is None:  # headline fallback when config 4 disabled
-        first = next(iter(detail["configs"].values()))
-        throughput = first["gpd_per_s"]
-        metric = "detect+track throughput (first enabled config)"
+        with_tp = [c for c in detail["configs"].values() if "gpd_per_s" in c]
+        if with_tp:
+            throughput = with_tp[0]["gpd_per_s"]
+            metric = "detect+track throughput (first enabled config)"
+        else:  # e.g. merge-dense stress only
+            c6 = detail["configs"].get("6_merge_dense", {})
+            throughput = 1.0 / max(c6.get("merge_overhead_x", 1.0), 1e-9)
+            metric = "merge-dense inverse overhead (no-merge wall / merge wall)"
     else:
         throughput = gpd / headline_wall
         metric = "detect+track throughput (fixed_baseline+global_extreme, allow_merging=True+nn, R_fill=8)"

@@ -159,6 +159,87 @@ def partition_nn_grid(
 # ----------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("nn", "wrap"))
+def partition_children_grid_batched(
+    prev_labels: jax.Array,
+    cur_labels: jax.Array,
+    child_ids: jax.Array,
+    piece_ids: jax.Array,
+    parent_ids: jax.Array,
+    parent_valid: jax.Array,
+    parent_cents: jax.Array,
+    max_dist: jax.Array,
+    nn: bool,
+    wrap: bool,
+) -> jax.Array:
+    """
+    Partition ALL merging children of one timestep iteration in ONE device
+    program — the batched analogue of the reference's parallel split/merge
+    (track.py:3804-4814). Children are spatially disjoint and parents live
+    in the (unchanged) previous slice, so batching is exactly equivalent to
+    the sequential per-child loop; it removes the per-event mask uploads /
+    assignment downloads that dominate merge-dense tracking over a slow
+    device link.
+
+    prev_labels, cur_labels : (H, W) int32 label slices at t-1 / t
+    child_ids    : (K,) int32 merging child ids (0 = inactive slot)
+    piece_ids    : (K, P) int32 replacement ids per parent slot
+    parent_ids   : (K, P) int32 parent ids at t-1 (0 = invalid)
+    parent_valid : (K, P) bool
+    parent_cents : (K, P, 2) float32 (y, x) pixel centroids
+    max_dist     : (K,) float32 NN search cap per child
+
+    Returns the updated (H, W) int32 current slice.
+    """
+
+    from .properties import grid_mask_props
+
+    def one(cid, pids, valid, piece, cents, mdist):
+        child_mask = jnp.logical_and(cur_labels == cid, cid > 0)
+        if nn:
+            pmasks = jnp.logical_and(prev_labels[None] == pids[:, None, None], valid[:, None, None])
+            assign = partition_nn_grid(child_mask, pmasks, valid, cents, mdist, wrap)
+        else:
+            assign = centroid_assign_grid(cents, valid, child_mask, wrap)
+        update = jnp.where(child_mask, piece[assign], 0)
+        # per-piece props in the SAME program (saves a dispatch roundtrip)
+        P = pids.shape[0]
+        piece_masks = jnp.logical_and(child_mask[None], assign[None] == jnp.arange(P)[:, None, None])
+        pr = jax.vmap(lambda m: grid_mask_props(m, wrap))(piece_masks)  # (P, 3)
+        return update, pr
+
+    updates, props = jax.vmap(one)(child_ids, parent_ids, parent_valid, piece_ids, parent_cents, max_dist)
+    upd = jnp.max(updates, axis=0)  # children are disjoint
+    return jnp.where(upd > 0, upd, cur_labels), props
+
+
+@jax.jit
+def relabel_values_slice(labels: jax.Array, olds: jax.Array, news: jax.Array) -> jax.Array:
+    """Apply (old -> new) id renames to one label slice in a single program
+    (the consolidation renames of the merge march). Renames are applied
+    against the ORIGINAL values — callers pre-resolve chains."""
+
+    def body(out, pair):
+        old, new = pair
+        return jnp.where(jnp.logical_and(labels == old, old > 0), new, out), None
+
+    out, _ = jax.lax.scan(body, labels, (olds, news))
+    return out
+
+
+@partial(jax.jit, static_argnames=("wrap",))
+def relabel_and_props_slice(
+    labels: jax.Array, olds: jax.Array, news: jax.Array, targets: jax.Array, wrap: bool
+):
+    """Consolidation renames + recomputed props of the surviving targets in
+    ONE device program (one dispatch roundtrip instead of two)."""
+    from .properties import grid_mask_props
+
+    out = relabel_values_slice(labels, olds, news)
+    props = jax.vmap(lambda oid: grid_mask_props(jnp.logical_and(out == oid, oid > 0), wrap))(targets)
+    return out, props
+
+
 @partial(jax.jit, static_argnames=("max_distance",))
 def hop_distance_unstructured(seed_masks: jax.Array, neighbours: jax.Array, max_distance: int) -> jax.Array:
     """

@@ -175,6 +175,41 @@ def grid_label_props(
     return areas, cy, cx
 
 
+def grid_mask_props(mask: jax.Array, wrap: bool) -> jax.Array:
+    """(area, cy, cx) of ONE boolean (H, W) mask with the march's EDGE_ZONE
+    periodic recentring rule (track.py:2075-2107). Returns a (3,) float32."""
+    H, W = mask.shape
+    y_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    w = mask.astype(jnp.float32)
+    area = jnp.sum(w)
+    safe = jnp.maximum(area, 1e-30)
+    cy = jnp.sum(w * y_idx) / safe
+    sum_x = jnp.sum(w * x_idx)
+    cnt_right = jnp.sum(w * (x_idx > W / 2))
+    cx_plain = sum_x / safe
+    cx_adj = (sum_x - W * cnt_right) / safe
+    cx_adj = jnp.where(cx_adj < 0, cx_adj + W, cx_adj)
+    near_l = jnp.any(jnp.logical_and(mask, x_idx < EDGE_ZONE))
+    near_r = jnp.any(jnp.logical_and(mask, x_idx >= W - EDGE_ZONE))
+    wrapped = jnp.logical_and(near_l, near_r) if wrap else jnp.bool_(False)
+    cx = jnp.where(wrapped, cx_adj, cx_plain)
+    return jnp.stack([area, cy, cx])
+
+
+@partial(jax.jit, static_argnames=("wrap",))
+def slice_props_for_ids_grid(labels: jax.Array, ids: jax.Array, wrap: bool) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """
+    (area, cy, cx) for SPECIFIC ids on one (H, W) label slice — the device
+    analogue of the merge march's per-id host recompute. One fused masked
+    multi-reduction per id, vmapped; ids 0-padded.
+
+    Returns (M,) float32 triples; area 0 marks an absent id.
+    """
+    props = jax.vmap(lambda oid: grid_mask_props(jnp.logical_and(labels == oid, oid > 0), wrap))(ids)
+    return props[:, 0], props[:, 1], props[:, 2]
+
+
 @partial(jax.jit, static_argnames=("n_labels",))
 def unstructured_label_props(
     labels: jax.Array, lat_deg: jax.Array, lon_deg: jax.Array, cell_area: jax.Array, n_labels: int
