@@ -24,6 +24,13 @@ gather-free long-range mechanisms:
   are gathers, measured ~250x the stencil cost on TPU, so they stay rare.
 
 Labels are then densified to 1..N by a rank-over-roots cumsum (on device).
+
+A hand-written Pallas stencil (ops/pallas_kernels.py) was profiled against
+the XLA 9-slice stencil on a v5e chip and DROPPED from this hot path: the
+fused XLA stencil already saturates HBM bandwidth (full-CCL wall identical,
+2.99 s on a 105M-cell block), the Pallas step measured ~35 ms vs the fused
+pass, and Mosaic failed to lower time blocks >= 16. The kernel file remains
+as a documented experiment.
 """
 
 from __future__ import annotations
@@ -36,29 +43,6 @@ import jax.numpy as jnp
 import numpy as np
 
 _BIG = np.int32(2**31 - 1)
-
-_pallas_usable_cache = None
-
-
-def _pallas_usable() -> bool:
-    """Probe once whether the fused Pallas stencil lowers on this backend."""
-    global _pallas_usable_cache
-    if _pallas_usable_cache is None:
-        from .pallas_kernels import min_stencil_pallas, pallas_available
-
-        if not pallas_available():
-            _pallas_usable_cache = False
-        else:
-            try:
-                l = jnp.zeros((2, 8, 128), jnp.int32)
-                d = jnp.ones((2, 8, 128), bool)
-                min_stencil_pallas(l, d, masked=True).block_until_ready()
-                min_stencil_pallas(l, None, masked=False).block_until_ready()
-                _pallas_usable_cache = True
-            except Exception:  # pragma: no cover - lowering not supported
-                _pallas_usable_cache = False
-    return _pallas_usable_cache
-
 
 def _pad_spatial(lab: jax.Array, wrap_x: bool) -> jax.Array:
     """Pad (T, H, W) by one ring: BIG rows in y, wrap or BIG columns in x."""
@@ -141,16 +125,9 @@ def _roots_fixpoint_block(data: jax.Array, wrap_x: bool, max_iters: int, jump_ev
     flat_idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
     lab = jnp.where(data, jnp.broadcast_to(flat_idx, (TB, H, W)), _BIG)
 
-    use_pallas = wrap_x and _pallas_usable()
-
     def step(state):
         lab, _, it = state
-        if use_pallas:
-            from .pallas_kernels import min_stencil_pallas
-
-            m = min_stencil_pallas(lab, data, masked=True)
-        else:
-            m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
+        m = jnp.where(data, _min_pool_3x3(lab, wrap_x), _BIG)
         # long-range run sweeps: every 2nd iteration, propagate along whole
         # active rows/columns in one pass (bounds iterations by shape
         # complexity instead of blob diameter; measured optimum on TPU)
@@ -245,18 +222,9 @@ def label_spacetime_grid(
     flat_idx = jnp.arange(N, dtype=jnp.int32).reshape(T, H, W)
     lab = jnp.where(data, flat_idx, _BIG)
 
-    use_pallas = wrap_x and _pallas_usable()
-
     def step(state):
         lab, _, it = state
-        if use_pallas:
-            from .pallas_kernels import min_stencil_pallas
-
-            plane = min_stencil_pallas(lab, None, masked=False)
-            tpad = jnp.pad(plane, ((1, 1), (0, 0), (0, 0)), constant_values=2**31 - 1)
-            m = jnp.minimum(jnp.minimum(tpad[0:T], tpad[1 : T + 1]), tpad[2 : T + 2])
-        else:
-            m = _min_pool_3x3x3(lab, wrap_x)
+        m = _min_pool_3x3x3(lab, wrap_x)
         m = jnp.where(data, m, _BIG)
         # event durations dominate diameters: sweep whole active runs along
         # time every iteration, and along y/x every 2nd (measured optimum on

@@ -1,12 +1,18 @@
 """
-Pallas TPU kernels for the hot tracker ops.
+Pallas TPU kernels — RETIRED EXPERIMENT, kept for reference.
 
 The CCL fixpoint loop (ops/label.py) is bandwidth-bound: each iteration reads
-the label map, takes a 3x3 neighbourhood min, masks, and writes it back.  The
-Pallas kernel here fuses pad + 9-way min + mask into a single VMEM pass per
-(time-block) grid step, removing the padded intermediate copies the XLA
-stencil materialises.  Used on the TPU backend when the slice fits VMEM;
-everywhere else the jnp 9-slice stencil is the fallback.
+the label map, takes a 3x3 neighbourhood min, masks, and writes it back.
+This kernel fuses pad + 9-way min + mask into a single VMEM pass per
+time-block grid step.
+
+Measured on a TPU v5e chip against the XLA 9-slice stencil
+(3652x120x240 int32 labels): full-CCL wall identical (2.99 s both ways —
+the fused XLA stencil already saturates HBM bandwidth), the isolated Pallas
+step ~35 ms/pass, and Mosaic failed to lower time blocks >= 16. Per the
+prove-or-drop rule it is NOT wired into the tracking path; the jnp 9-slice
+stencil is the production kernel. Enable manually via MAREX_ENABLE_PALLAS=1
+only for experimentation.
 """
 
 from __future__ import annotations
@@ -25,12 +31,14 @@ def _min9_block(lab):
     from jax.experimental.pallas import tpu as pltpu
 
     TB, H, W = lab.shape
+    # NOTE: pltpu.roll requires non-negative shifts on this backend; roll by
+    # (n - 1) is the same rotation as -1
     left = pltpu.roll(lab, 1, 2)
-    right = pltpu.roll(lab, -1, 2)
+    right = pltpu.roll(lab, W - 1, 2)
     row = jnp.minimum(jnp.minimum(left, lab), right)  # horizontal 3-min
 
     up = pltpu.roll(row, 1, 1)
-    down = pltpu.roll(row, -1, 1)
+    down = pltpu.roll(row, H - 1, 1)
     # mask the wrapped y rows to BIG (no y periodicity)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, H, W), 1)
     up = jnp.where(row_ids == 0, _BIG, up)
