@@ -123,28 +123,28 @@ def grid_label_props(
     fl = (x_idx < EDGE_ZONE).astype(jnp.float32)
     fr = (x_idx >= W - EDGE_ZONE).astype(jnp.float32)
 
-    if n_labels <= 512:
-        # one fused pass PER LABEL computing all six reductions at once: the
-        # label-equality mask is shared, so XLA reads the field once per
-        # label instead of six separate label_sums sweeps (6x fewer passes;
-        # the event-stats recompute dominated merge-mode tracking before)
-        cols = []
-        for lbl in range(n_labels + 1):
-            m = (lf == lbl).astype(jnp.float32)
-            cols.append(
-                jnp.stack(
-                    [
-                        jnp.sum(m * w[None, :], axis=1),
-                        jnp.sum(m * wy[None, :], axis=1),
-                        jnp.sum(m * wx[None, :], axis=1),
-                        jnp.sum(m * wr[None, :], axis=1),
-                        jnp.sum(m * fl[None, :], axis=1),
-                        jnp.sum(m * fr[None, :], axis=1),
-                    ],
-                    axis=1,
-                )
-            )
-        stacked = jnp.stack(cols, axis=1)  # (T, n_labels+1, 6)
+    if n_labels <= 4096:
+        # all six reductions share each label's equality mask: ONE fused pass
+        # per label instead of six separate label_sums sweeps. The label loop
+        # is a lax.scan (sequential scheduling — an unrolled loop let XLA keep
+        # every (T, S) mask alive concurrently and OOM at production scale)
+        # and rows are tiled via lax.map like every other whole-field kernel.
+        wall = jnp.stack([w, wy, wx, wr, fl, fr])  # (6, S)
+
+        def block(lfb):
+            def per_label(_, lbl):
+                m = (lfb == lbl).astype(jnp.float32)  # (TB, S)
+                sums = jnp.einsum("ks,ts->tk", wall, m)  # (TB, 6)
+                return None, sums
+
+            _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
+            return jnp.moveaxis(out, 0, 1)  # (TB, n_labels+1, 6)
+
+        tb = min(64, T)
+        n_blocks = -(-T // tb)
+        T_pad = n_blocks * tb
+        lf_p = jnp.pad(lf, ((0, T_pad - T), (0, 0)), constant_values=-1) if T_pad != T else lf
+        stacked = jax.lax.map(block, lf_p.reshape(n_blocks, tb, H * W)).reshape(T_pad, n_labels + 1, 6)[:T]
         areas = stacked[..., 0]
         sum_y = stacked[..., 1]
         sum_x = stacked[..., 2]
