@@ -240,6 +240,85 @@ def relabel_and_props_slice(
     return out, props
 
 
+@partial(jax.jit, static_argnames=("nn", "hop_cap"))
+def partition_children_unstructured_batched(
+    prev_labels: jax.Array,
+    cur_labels: jax.Array,
+    child_ids: jax.Array,
+    piece_ids: jax.Array,
+    parent_ids: jax.Array,
+    parent_valid: jax.Array,
+    parent_cents: jax.Array,
+    caps: jax.Array,
+    neighbours: jax.Array,
+    lat_deg: jax.Array,
+    lon_deg: jax.Array,
+    cell_area: jax.Array,
+    nn: bool,
+    hop_cap: int,
+):
+    """
+    Batched unstructured child partitioning + per-piece spherical props in
+    one program — the mesh analogue of :func:`partition_children_grid_batched`
+    and the true TPU counterpart of the reference's batched parallel
+    split/merge (track.py:3804-4814). The BFS runs to the static ``hop_cap``
+    (batch maximum, bucketed by the caller) and each child's own cap is
+    enforced by masking, which is semantics-identical to per-child BFS caps.
+
+    prev_labels, cur_labels : (C,) int32 label slices at t-1 / t
+    caps : (K,) float32 per-child NN distance caps (hops)
+    returns (updated (C,) int32 slice, props (K, P, 3) [area, clat, clon])
+    """
+    from .properties import unstructured_mask_props
+
+    def one(cid, pids, valid, piece, cents, cap):
+        child_mask = jnp.logical_and(cur_labels == cid, cid > 0)
+        if nn:
+            pmasks = jnp.logical_and(prev_labels[None] == pids[:, None], valid[:, None])
+            seeds = jnp.logical_and(pmasks, child_mask[None])
+            dist = hop_distance_unstructured(seeds, neighbours, hop_cap)
+            dist = jnp.where(dist <= cap, dist, _INF)
+            dist = jnp.where(valid[:, None], dist, _INF)
+            assign = jnp.argmin(dist, axis=0).astype(jnp.int32)
+            reached = jnp.isfinite(jnp.min(dist, axis=0))
+            hd = haversine_to_centroids(lat_deg, lon_deg, cents)
+            hd = jnp.where(valid[:, None], hd, _INF)
+            fallback = jnp.argmin(hd, axis=0).astype(jnp.int32)
+            assign = jnp.where(reached, assign, fallback)
+        else:
+            assign = partition_centroid_unstructured(cents, valid, lat_deg, lon_deg)
+        update = jnp.where(child_mask, piece[assign], 0)
+        P = pids.shape[0]
+        piece_masks = jnp.logical_and(child_mask[None], assign[None] == jnp.arange(P)[:, None])
+        pr = jax.vmap(lambda m: unstructured_mask_props(m, lat_deg, lon_deg, cell_area))(piece_masks)
+        return update, pr
+
+    updates, props = jax.vmap(one)(child_ids, parent_ids, parent_valid, piece_ids, parent_cents, caps)
+    upd = jnp.max(updates, axis=0)
+    return jnp.where(upd > 0, upd, cur_labels), props
+
+
+@partial(jax.jit, static_argnames=())
+def relabel_and_props_unstructured(
+    labels: jax.Array,
+    olds: jax.Array,
+    news: jax.Array,
+    targets: jax.Array,
+    lat_deg: jax.Array,
+    lon_deg: jax.Array,
+    cell_area: jax.Array,
+):
+    """Unstructured consolidation: renames + recomputed spherical props of the
+    surviving targets in one device program."""
+    from .properties import unstructured_mask_props
+
+    out = relabel_values_slice(labels, olds, news)
+    props = jax.vmap(
+        lambda oid: unstructured_mask_props(jnp.logical_and(out == oid, oid > 0), lat_deg, lon_deg, cell_area)
+    )(targets)
+    return out, props
+
+
 @partial(jax.jit, static_argnames=("max_distance",))
 def hop_distance_unstructured(seed_masks: jax.Array, neighbours: jax.Array, max_distance: int) -> jax.Array:
     """

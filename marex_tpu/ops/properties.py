@@ -210,6 +210,25 @@ def slice_props_for_ids_grid(labels: jax.Array, ids: jax.Array, wrap: bool) -> T
     return props[:, 0], props[:, 1], props[:, 2]
 
 
+def unstructured_mask_props(mask: jax.Array, lat_deg: jax.Array, lon_deg: jax.Array, cell_area: jax.Array) -> jax.Array:
+    """(area, clat, clon) of ONE boolean (C,) mask: cell-area weighted
+    spherical centroid (track.py:2195-2230), matching the march's host
+    recompute bit-for-bit in formula. Returns a (3,) float32."""
+    w = jnp.where(mask, cell_area, 0.0).astype(jnp.float32)
+    area = jnp.sum(w)
+    lat_r = jnp.radians(lat_deg)
+    lon_r = jnp.radians(lon_deg)
+    x = jnp.sum(w * jnp.cos(lat_r) * jnp.cos(lon_r))
+    y = jnp.sum(w * jnp.cos(lat_r) * jnp.sin(lon_r))
+    z = jnp.sum(w * jnp.sin(lat_r))
+    norm = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-30)
+    clat = jnp.degrees(jnp.arcsin(jnp.clip(z / norm, -1, 1)))
+    clon = jnp.degrees(jnp.arctan2(y / norm, x / norm))
+    clon = jnp.where(clon > 180, clon - 360, clon)
+    clon = jnp.where(clon < -180, clon + 360, clon)
+    return jnp.stack([area, clat, clon])
+
+
 @partial(jax.jit, static_argnames=("n_labels",))
 def unstructured_label_props(
     labels: jax.Array, lat_deg: jax.Array, lon_deg: jax.Array, cell_area: jax.Array, n_labels: int

@@ -97,13 +97,6 @@ def _shift_zero(arr: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
     return jnp.where(band.reshape(shape), 0, rolled)
 
 
-def _replace_label(slice_arr: np.ndarray, old_id: int, new_id: int) -> int:
-    """In-place label rename on one time slice (native C++ when available)."""
-    from ._native import replace_value
-
-    return replace_value(slice_arr.reshape(-1), int(old_id), int(new_id))
-
-
 class _SliceStore:
     """
     Lazy host view over a device-resident label field: the merge march only
@@ -1042,45 +1035,6 @@ class tracker:
                 table.add(gid, float(areas[t, k]), float(c0[t, k]), float(c1[t, k]))
         return table
 
-    def _slice_props_host(self, slice_labels: np.ndarray, ids: np.ndarray) -> Dict[int, Tuple[float, float, float]]:
-        """Recompute (area, centroid) for specific ids in one time slice."""
-        out: Dict[int, Tuple[float, float, float]] = {}
-        for oid in ids:
-            m = slice_labels == oid
-            if not m.any():
-                continue
-            if self.unstructured_grid:
-                a = self.cell_area[m]
-                area = float(a.sum())
-                lat_r = np.radians(self.lat[m])
-                lon_r = np.radians(self.lon[m])
-                x = np.sum(a * np.cos(lat_r) * np.cos(lon_r))
-                y = np.sum(a * np.cos(lat_r) * np.sin(lon_r))
-                z = np.sum(a * np.sin(lat_r))
-                norm = max(np.sqrt(x * x + y * y + z * z), 1e-30)
-                clat = float(np.degrees(np.arcsin(np.clip(z / norm, -1, 1))))
-                clon = float(np.degrees(np.arctan2(y / norm, x / norm)))
-                if clon > 180:
-                    clon -= 360
-                elif clon < -180:
-                    clon += 360
-                out[int(oid)] = (area, clat, clon)
-            else:
-                yy, xx = np.nonzero(m)
-                area = float(len(yy))
-                cy = float(yy.mean())
-                W = slice_labels.shape[1]
-                if not self.regional_mode and (xx < _props.EDGE_ZONE).any() and (xx >= W - _props.EDGE_ZONE).any():
-                    x_adj = xx.astype(np.float64).copy()
-                    x_adj[xx > W / 2] -= W
-                    cx = float(x_adj.mean())
-                    if cx < 0:
-                        cx += W
-                else:
-                    cx = float(xx.mean())
-                out[int(oid)] = (area, cy, cx)
-        return out
-
     def _enforce_threshold(self, pairs: np.ndarray, table: ObjectTable) -> np.ndarray:
         """Filter pair list by overlap fraction >= threshold (track.py:2506-2552)."""
         if len(pairs) == 0:
@@ -1123,53 +1077,6 @@ class tracker:
         if self.unstructured_grid:
             return self.cell_area.reshape(-1).astype(np.float32)
         return None
-
-    def _pairs_for_stacks(self, a_flat, b_flat, weights=None) -> Optional[List[np.ndarray]]:
-        """(id_a, id_b, w) triples for every aligned row pair of two label
-        stacks, computed on device; None when label ids exceed the packed-key
-        range.
-
-        The padded (N, max_pairs) buffers are compacted ON DEVICE before
-        download, so the host transfer scales with the number of actual pairs
-        (kilobytes) rather than the padded capacity (hundreds of MB) — critical
-        when the device link is slow."""
-        N, S = a_flat.shape
-        if weights is None:
-            w = self._cell_weights()
-            weights = jnp.asarray(w) if w is not None else jnp.ones((S,), jnp.float32)
-        max_label = int(max(int(jnp.max(a_flat)), int(jnp.max(b_flat))))
-        key_stride = max_label + 2
-        if key_stride * key_stride >= 2**31:
-            return None
-        max_pairs = 32
-        while True:
-            if max_pairs <= 64:
-                # sort-free iterative min-extraction (typical case: a handful
-                # of overlap pairs per slice)
-                pa, pb, pw = _overlap.pairs_between_stacks_extract(a_flat, b_flat, weights, max_pairs, key_stride)
-            else:
-                pa, pb, pw = _overlap.pairs_between_stacks(a_flat, b_flat, weights, max_pairs, key_stride)
-            # overflow check on a single downloaded column: every slice must
-            # have at least one free slot in its padded row
-            last_col = np.asarray(pa[:, -1])
-            if (last_col < 0).all() or max_pairs >= S:
-                break
-            max_pairs *= 4
-
-        counts = np.asarray(jnp.sum(pa >= 0, axis=1).astype(jnp.int32))
-        cap = int(counts.sum())
-        if cap == 0:
-            return [np.empty((0, 3)) for _ in range(N)]
-        ca, cb, cw = _overlap.compact_pairs(pa, pb, pw, cap)
-        triples = np.column_stack(
-            [
-                np.asarray(ca).astype(np.float64),
-                np.asarray(cb).astype(np.float64),
-                np.asarray(cw).astype(np.float64),
-            ]
-        )
-        bounds = np.concatenate([[0], np.cumsum(counts)])
-        return [triples[bounds[t] : bounds[t + 1]] for t in range(N)]
 
     def _per_slice_pairs_device(self, labels) -> Optional[List[np.ndarray]]:
         """(id_a, id_b, w) triples for every consecutive slice pair,
@@ -1366,9 +1273,20 @@ class tracker:
         mt = 1 << max(0, (len(final_targets) - 1).bit_length())
         targ_p = np.zeros(mt, np.int32)
         targ_p[: len(final_targets)] = final_targets
-        sl, tprops = _part.relabel_and_props_slice(
-            store.get_dev(t_slice), jnp.asarray(olds_p), jnp.asarray(news_p), jnp.asarray(targ_p), not self.regional_mode
-        )
+        if self.unstructured_grid:
+            sl, tprops = _part.relabel_and_props_unstructured(
+                store.get_dev(t_slice),
+                jnp.asarray(olds_p),
+                jnp.asarray(news_p),
+                jnp.asarray(targ_p),
+                jnp.asarray(self.lat.astype(np.float32)),
+                jnp.asarray(self.lon.astype(np.float32)),
+                jnp.asarray(self.cell_area),
+            )
+        else:
+            sl, tprops = _part.relabel_and_props_slice(
+                store.get_dev(t_slice), jnp.asarray(olds_p), jnp.asarray(news_p), jnp.asarray(targ_p), not self.regional_mode
+            )
         store.set_dev(t_slice, sl)
         tp = np.asarray(tprops)
         for i, fid in enumerate(final_targets):
@@ -1481,19 +1399,44 @@ class tracker:
                         cents[i, :n] = np.array([table.centroid(int(p)) for p in par], np.float32)
                         if self.nn_partitioning:
                             max_area = max(table.area(int(p)) for p in par)
-                            mdist[i] = float(max(int(np.sqrt(max_area) * 3.0), 40))
-                    new_cur, piece_props = _part.partition_children_grid_batched(
-                        store.get_dev(t - 1),
-                        store.get_dev(t),
-                        jnp.asarray(child_arr),
-                        jnp.asarray(piece),
-                        jnp.asarray(pids),
-                        jnp.asarray(valid),
-                        jnp.asarray(cents),
-                        jnp.asarray(mdist),
-                        self.nn_partitioning,
-                        wrap,
-                    )
+                            if self.unstructured_grid:
+                                mdist[i] = float(max(int(np.sqrt(max_area / self.mean_cell_area) * 2.0), 20) * 2)
+                            else:
+                                mdist[i] = float(max(int(np.sqrt(max_area) * 3.0), 40))
+                    if self.unstructured_grid:
+                        # static BFS depth = pow2 bucket of the batch max cap
+                        # (per-child caps enforced by masking inside)
+                        cap_max = int(max(mdist.max(), 1.0))
+                        hop_cap = 1 << (cap_max - 1).bit_length()
+                        new_cur, piece_props = _part.partition_children_unstructured_batched(
+                            store.get_dev(t - 1),
+                            store.get_dev(t),
+                            jnp.asarray(child_arr),
+                            jnp.asarray(piece),
+                            jnp.asarray(pids),
+                            jnp.asarray(valid),
+                            jnp.asarray(cents),
+                            jnp.asarray(mdist),
+                            jnp.asarray(self.neighbours_int),
+                            jnp.asarray(self.lat.astype(np.float32)),
+                            jnp.asarray(self.lon.astype(np.float32)),
+                            jnp.asarray(self.cell_area),
+                            self.nn_partitioning,
+                            hop_cap,
+                        )
+                    else:
+                        new_cur, piece_props = _part.partition_children_grid_batched(
+                            store.get_dev(t - 1),
+                            store.get_dev(t),
+                            jnp.asarray(child_arr),
+                            jnp.asarray(piece),
+                            jnp.asarray(pids),
+                            jnp.asarray(valid),
+                            jnp.asarray(cents),
+                            jnp.asarray(mdist),
+                            self.nn_partitioning,
+                            wrap,
+                        )
                     store.set_dev(t, new_cur)
 
                     # per-piece props come out of the SAME program
@@ -1538,262 +1481,12 @@ class tracker:
 
     def _split_and_merge(self, store: "_SliceStore", table: ObjectTable):
         """
-        Sequential split/merge resolution (semantics of track.py:3337-3802):
-        timestep march with (t-2, t-1) consolidation and iterative per-timestep
-        merge partitioning. Only timesteps with candidate merges do real work,
-        and only their slices are materialised host-side. Gridded fields run
-        the batched device-resident variant (:meth:`_split_and_merge_device`);
-        this host march remains the unstructured path.
+        Split/merge resolution (semantics of track.py:3337-3802): timestep
+        march with (t-2, t-1) consolidation and iterative per-timestep merge
+        partitioning — executed as the batched device-resident march
+        (:meth:`_split_and_merge_device`) on both grid types.
         """
-        if not self.unstructured_grid:
-            return self._split_and_merge_device(store, table)
-        T = store.T
-        w = self._cell_weights()
-
-        # per-consecutive-slice overlap cache: index t holds pairs (t, t+1),
-        # seeded in one device pass over the whole field
-        pair_cache: List[Optional[np.ndarray]] = self._per_slice_pairs_device(store.dev) or [None] * max(T - 1, 0)
-
-        def get_pairs(t: int) -> np.ndarray:
-            if pair_cache[t] is None:
-                pair_cache[t] = _overlap_slice_host(store.get(t).reshape(-1), store.get(t + 1).reshape(-1), w)
-            return pair_cache[t]
-
-        def invalidate(t: int) -> None:
-            if 0 <= t - 1 < T - 1:
-                pair_cache[t - 1] = None
-            if 0 <= t < T - 1:
-                pair_cache[t] = None
-
-        merge_times: List[Any] = []
-        merge_child_ids: List[np.ndarray] = []
-        merge_parent_ids: List[np.ndarray] = []
-        merge_areas: List[np.ndarray] = []
-        next_new_id = int(table.max_id()) + 1
-        time_values = np.asarray(self.data_bin.coords[self.timecoord].values)
-
-        for t in range(T):
-            # -- consolidation of t-1 using t-2 (track.py:3422-3429) --------
-            if t > 0:
-                t2 = t - 2
-                if t2 >= 0:
-                    back = self._enforce_threshold(get_pairs(t2), table)
-                else:
-                    back = np.empty((0, 3))
-                if len(back):
-                    parents, counts_p = np.unique(back[:, 0], return_counts=True)
-                    for parent_id in parents[counts_p > 1]:
-                        if int(parent_id) not in table:
-                            continue
-                        children = back[back[:, 0] == parent_id, 1].astype(np.int64)
-                        first = int(children[0])
-                        if first not in table:
-                            continue
-                        changed = False
-                        for child in children[1:]:
-                            child = int(child)
-                            if child not in table:
-                                continue
-                            _replace_label(store.get(t - 1), child, first)
-                            store.mark(t - 1)
-                            table.drop(child)
-                            changed = True
-                        if changed:
-                            props = self._slice_props_host(store.get(t - 1), np.array([first]))
-                            if first in props:
-                                table.add(first, *props[first])
-                            invalidate(t - 1)
-
-            if t == 0:
-                continue
-
-            # -- per-timestep merge resolution (track.py:3438-3597) ---------
-            # Overlap pairs are computed ONCE per iteration; within an
-            # iteration the list is rewired IN PLACE as children are
-            # partitioned (the reference's exact update discipline,
-            # track.py:3471-3474 — also removes an O(S) host pair-recompute
-            # per merge event), then recomputed from the modified field for
-            # the next iteration to catch newly viable merges.
-            for iteration in range(10):
-                cur = self._enforce_threshold(get_pairs(t - 1), table)
-                if len(cur) == 0:
-                    break
-                children, child_counts = np.unique(cur[:, 1], return_counts=True)
-                merging = children[child_counts > 1]
-                if len(merging) == 0:
-                    break
-
-                for child_id in merging:
-                    child_id = int(child_id)
-                    rows_idx = np.nonzero(cur[:, 1] == child_id)[0]
-                    rows = cur[rows_idx]
-                    if len(rows) < 2:
-                        continue
-                    parent_ids = rows[:, 0].astype(np.int64)
-                    n_parents = len(parent_ids)
-
-                    new_ids = np.arange(next_new_id, next_new_id + n_parents - 1, dtype=np.int64)
-                    next_new_id += n_parents - 1
-                    child_ids = np.concatenate([[child_id], new_ids]).astype(np.int64)
-
-                    # rewire the remaining rows onto the new piece ids
-                    cur[rows_idx[1:], 1] = new_ids
-
-                    merge_times.append(time_values[t])
-                    merge_child_ids.append(child_ids)
-                    merge_parent_ids.append(parent_ids)
-                    merge_areas.append(rows[:, 2])
-
-                    parent_centroids = np.array([table.centroid(int(p)) for p in parent_ids], dtype=np.float64)
-                    cur_slice = store.get(t)
-                    assignment = self._partition_child(
-                        store.get(t - 1), cur_slice, child_id, parent_ids, parent_centroids, table
-                    )  # (n_child_cells,) index into parents
-
-                    child_mask = cur_slice == child_id
-                    cur_slice[child_mask] = child_ids[assignment]
-                    store.mark(t)
-
-                    props = self._slice_props_host(cur_slice, child_ids)
-                    if child_id in props:
-                        table.add(child_id, *props[child_id])
-                    else:
-                        table.drop(child_id)
-                        logger.info(f"Deleted child_id {child_id} because parents have split/morphed")
-                    for nid in new_ids:
-                        nid = int(nid)
-                        if nid in props:
-                            table.add(nid, *props[nid])
-                        else:
-                            logger.warning(
-                                f"Missing newly created child_id {nid} because parents have split/morphed"
-                            )
-                invalidate(t)
-            else:
-                logger.warning(f"Resolving mergers at timestep {t} did not converge after 10 iterations")
-
-        # end-of-series consolidation parity: the reference also consolidates
-        # the final timestep within each chunk; the march above consolidates
-        # t-1 at every t, leaving only the last slice — do it now.
-        if T >= 2:
-            back = self._enforce_threshold(get_pairs(T - 2), table)
-            if len(back):
-                parents, counts_p = np.unique(back[:, 0], return_counts=True)
-                for parent_id in parents[counts_p > 1]:
-                    if int(parent_id) not in table:
-                        continue
-                    children = back[back[:, 0] == parent_id, 1].astype(np.int64)
-                    first = int(children[0])
-                    if first not in table:
-                        continue
-                    for child in children[1:]:
-                        child = int(child)
-                        if child not in table:
-                            continue
-                        _replace_label(store.get(T - 1), child, first)
-                        store.mark(T - 1)
-                        table.drop(child)
-                    props = self._slice_props_host(store.get(T - 1), np.array([first]))
-                    if first in props:
-                        table.add(first, *props[first])
-
-        # final overlap list over the (modified) fields (track.py:3641-3643)
-        labels_dev = store.flush()
-        overlap_list = self._enforce_threshold(self._all_overlaps(labels_dev), table)
-
-        # duplicate-children diagnostics (track.py:3646-3751, abbreviated)
-        if len(overlap_list):
-            uc, cc = np.unique(overlap_list[:, 1], return_counts=True)
-            dups = uc[cc > 1]
-            if len(dups):
-                logger.warning(
-                    f"There are {len(dups)} children with multiple parents after splitting/merging "
-                    "(expected for disjoint objects grouped by the overlap logic)"
-                )
-
-        merge_events = _build_merge_events(merge_times, merge_child_ids, merge_parent_ids, merge_areas)
-        return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
-
-    def _partition_child(
-        self,
-        prev: np.ndarray,
-        cur: np.ndarray,
-        child_id: int,
-        parent_ids: np.ndarray,
-        parent_centroids: np.ndarray,
-        table: ObjectTable,
-    ) -> np.ndarray:
-        """Partition the child's cells among parents; returns parent indices
-        for child cells in C-order (device kernels from ops.partition).
-        ``prev``/``cur`` are the t-1 / t label slices."""
-        n_parents = len(parent_ids)
-        if n_parents > MAX_PARENTS:
-            raise TrackingError(
-                "Too many parent objects for tracking",
-                details=f"Child {child_id} has {n_parents} parents (limit: {MAX_PARENTS})",
-                suggestions=[
-                    "Increase overlap_threshold to reduce fragmentation",
-                    "Apply stronger area filtering",
-                ],
-                context={"child_id": int(child_id), "n_parents": int(n_parents), "limit": MAX_PARENTS},
-            )
-        P = MAX_PARENTS
-        valid = np.zeros(P, bool)
-        valid[:n_parents] = True
-        cents = np.zeros((P, 2), np.float32)
-        cents[:n_parents] = parent_centroids
-
-        child_mask = cur == child_id
-
-        if self.unstructured_grid:
-            pmasks = np.zeros((P,) + prev.shape, bool)
-            for i, pid in enumerate(parent_ids):
-                pmasks[i] = prev == pid
-            if self.nn_partitioning:
-                max_area = max(table.area(int(p)) for p in parent_ids) / self.mean_cell_area
-                max_distance = max(int(np.sqrt(max_area) * 2.0), 20) * 2
-                assign = _part.partition_nn_unstructured(
-                    jnp.asarray(child_mask),
-                    jnp.asarray(pmasks),
-                    jnp.asarray(valid),
-                    jnp.asarray(cents),
-                    jnp.asarray(self.neighbours_int),
-                    jnp.asarray(self.lat.astype(np.float32)),
-                    jnp.asarray(self.lon.astype(np.float32)),
-                    int(max_distance),
-                )
-            else:
-                assign = _part.partition_centroid_unstructured(
-                    jnp.asarray(cents),
-                    jnp.asarray(valid),
-                    jnp.asarray(self.lat.astype(np.float32)),
-                    jnp.asarray(self.lon.astype(np.float32)),
-                )
-            assign = np.asarray(assign)
-            return assign[child_mask]
-        else:
-            if self.nn_partitioning:
-                pmasks = np.zeros((P,) + prev.shape, bool)
-                for i, pid in enumerate(parent_ids):
-                    pmasks[i] = prev == pid
-                max_area = max(table.area(int(p)) for p in parent_ids)
-                max_distance = max(int(np.sqrt(max_area) * 3.0), 40)
-                assign = _part.partition_nn_grid(
-                    jnp.asarray(child_mask),
-                    jnp.asarray(pmasks),
-                    jnp.asarray(valid),
-                    jnp.asarray(cents),
-                    float(max_distance),
-                    wrap=not self.regional_mode,
-                )
-            else:
-                assign = _part.centroid_assign_grid(
-                    jnp.asarray(cents), jnp.asarray(valid), jnp.asarray(child_mask), wrap=not self.regional_mode
-                )
-            assign = np.asarray(assign)
-            return assign[child_mask]
-
-    # -- clustering & statistics ----------------------------------------------
+        return self._split_and_merge_device(store, table)
 
     def _cluster_rename(
         self,

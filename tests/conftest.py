@@ -24,7 +24,21 @@ except Exception:  # pragma: no cover - older jax without this flag
 
 # Persistent compilation cache: kernel compiles dominate test wall-time on
 # the CPU backend; cache them across test sessions.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_jax_cache")
+# Namespace the cache by host fingerprint: XLA:CPU AOT executables compiled
+# on a machine with different vector extensions SIGILL/segfault when replayed
+# (observed: avx512 cache entries crashing a narrower host mid-suite).
+import hashlib
+import platform
+
+def _host_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = [ln for ln in fh if ln.startswith("flags")][0]
+    except Exception:
+        flags = platform.processor()
+    return hashlib.sha1(f"{platform.machine()}:{flags}".encode()).hexdigest()[:12]
+
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", f".pytest_jax_cache_{_host_tag()}")
 os.makedirs(_cache_dir, exist_ok=True)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
