@@ -7,6 +7,12 @@ TPU-native replacement for the reference's per-slice overlap extraction
 consecutive timesteps, the (parent id, child id, overlap weight) list is
 computed on device by a sort + run-length segment-sum over packed pair keys,
 emitted into a fixed-size padded buffer (static shapes), then aggregated.
+
+``key_stride`` is a TRACED argument everywhere: the merge march calls these
+kernels with a stride derived from ``next_new_id``, which changes after
+every id allocation — a static stride recompiled the kernel on almost every
+march step (measured 645 ms/call on the dev chip, the dominant cost of
+merge-dense tracking before this fix).
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ import numpy as np
 _INVALID = np.int32(2**31 - 1)
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+@partial(jax.jit, static_argnames=("max_pairs",))
 def overlap_pairs_slice(
     ids_a: jax.Array,
     ids_b: jax.Array,
@@ -66,7 +72,7 @@ def overlap_pairs_slice(
     return pair_a, pair_b, pair_w
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+@partial(jax.jit, static_argnames=("max_pairs",))
 def pairs_between_stacks(
     a: jax.Array, b: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -83,7 +89,7 @@ def pairs_between_stacks(
     return f(a, b)
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+@partial(jax.jit, static_argnames=("max_pairs",))
 def overlap_pairs_all(
     labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -98,7 +104,7 @@ def overlap_pairs_all(
     return pairs_between_stacks(labels[:-1], labels[1:], weights, max_pairs, key_stride)
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride", "dy", "dx", "wrap_x", "time_block"))
+@partial(jax.jit, static_argnames=("max_pairs", "dy", "dx", "wrap_x", "time_block"))
 def adjacency_pairs_shift(
     labels: jax.Array,
     max_pairs: int,
@@ -166,7 +172,7 @@ def adjacency_pairs_shift(
     return pa.reshape(-1, max_pairs)[: T - 1], pb.reshape(-1, max_pairs)[: T - 1]
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride", "time_block"))
+@partial(jax.jit, static_argnames=("max_pairs", "time_block"))
 def consecutive_pairs_tiled(
     labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int, time_block: int = 64
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -215,7 +221,7 @@ def consecutive_pairs_tiled(
     )
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+@partial(jax.jit, static_argnames=("max_pairs",))
 def pairs_between_stacks_extract(
     a: jax.Array, b: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -297,7 +303,7 @@ def compact_pairs(pair_a: jax.Array, pair_b: jax.Array, pair_w: jax.Array, cap: 
     return out_a, out_b, out_w
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "key_stride"))
+@partial(jax.jit, static_argnames=("max_pairs",))
 def overlap_pairs_all_extract(
     labels: jax.Array, weights: jax.Array, max_pairs: int, key_stride: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -222,6 +222,7 @@ class tracker:
         regional_mode: bool = False,
         coordinate_units: Optional[Literal["degrees", "radians"]] = None,
         mesh: Optional[Any] = None,
+        merge_ledger_mode: Literal["reference", "siblings"] = "reference",
     ) -> None:
         if verbose is not None or quiet is not None:
             configure_logging(verbose=verbose, quiet=quiet)
@@ -255,6 +256,16 @@ class tracker:
         self.max_iteration = max_iteration
         self.checkpoint = checkpoint
         self.debug = debug
+        if merge_ledger_mode not in ("reference", "siblings"):
+            raise ConfigurationError(
+                f"Invalid merge_ledger_mode '{merge_ledger_mode}'",
+                details="merge_ledger_mode selects the merge_ledger fill scheme",
+                suggestions=[
+                    "Use 'reference' (default) for the reference's scheme: each merging parent's own id broadcast over sibling slots",
+                    "Use 'siblings' for the richer scheme recording the full merge-partner list per parent",
+                ],
+            )
+        self.merge_ledger_mode = merge_ledger_mode
 
         dimensions = dimensions or {}
         self.timedim = dimensions.get("time", "time")
@@ -788,12 +799,24 @@ class tracker:
         return filtered.reshape(data.shape), area_threshold, object_areas, N_prefiltered, N_filtered
 
     def _checkpoint_paths(self) -> Tuple[str, str]:
+        """Deterministic per-configuration checkpoint paths: the name embeds a
+        fingerprint of the data shape + tracker parameters so concurrent runs
+        sharing a temp dir do not silently overwrite each other's state, while
+        'save' followed by 'load' of the same configuration still resolves to
+        the same files (cf. helper.checkpoint_to_zarr's mkdtemp fix)."""
+        import hashlib
         import tempfile
 
         base = self.temp_dir or tempfile.gettempdir()
+        key = (
+            f"{tuple(self.data_bin.shape)}|{self.R_fill}|{self.T_fill}|"
+            f"{self.area_filter_quartile}|{self.area_filter_absolute}|"
+            f"{self.unstructured_grid}|{self.regional_mode}"
+        )
+        tag = hashlib.sha1(key.encode()).hexdigest()[:10]
         return (
-            os.path.join(base, "marex_tpu_checkpoint_proc_bin.zarr"),
-            os.path.join(base, "marex_tpu_checkpoint_stats.npz"),
+            os.path.join(base, f"marex_tpu_checkpoint_{tag}_proc_bin.zarr"),
+            os.path.join(base, f"marex_tpu_checkpoint_{tag}_stats.npz"),
         )
 
     def _save_checkpoint(self, data_filtered: jnp.ndarray, object_stats: Tuple) -> None:
@@ -1312,6 +1335,11 @@ class tracker:
         P = MAX_PARENTS
 
         pair_cache: List[Optional[np.ndarray]] = self._per_slice_pairs_device(store.dev) or [None] * max(T - 1, 0)
+        # seed the march's pair-buffer bucket from the observed per-slice pair
+        # counts: every ladder retry inside the march costs a dispatch (and a
+        # compile at a fresh max_pairs bucket)
+        peak_pairs = max((len(p) for p in pair_cache if p is not None), default=0)
+        self._march_max_pairs = max(32, 1 << max(0, (2 * peak_pairs - 1)).bit_length())
 
         merge_times: List[Any] = []
         merge_child_ids: List[np.ndarray] = []
@@ -1544,10 +1572,16 @@ class tracker:
         # per-time area & centroid recompute for (possibly disjoint) events
         areas, clat, clon = self._event_stats(new_field, N)
 
-        # merge ledger: (time, ID, sibling_ID) of merge-partner event ids
-        sibling = MAX_PARENTS
+        # merge ledger (time, ID, sibling_ID). Default 'reference' mode
+        # replicates the reference's scheme exactly (track.py:3040-3106:
+        # expand_dims puts sibling_ID first, so the broadcast_to assignment
+        # writes each merging parent's OWN event id across all its sibling
+        # slots — a participation marker, with genealogy in merges_ds).
+        # 'siblings' mode opts into the richer full merge-partner list.
+        have_merges = "parent_IDs" in merge_events.data_vars and merge_events["parent_IDs"].shape[0] > 0
+        sibling = int(merge_events["parent_IDs"].shape[1]) if have_merges else MAX_PARENTS
         ledger = np.full((T, N + 1, sibling), -1, dtype=np.int32)
-        if "parent_IDs" in merge_events.data_vars:
+        if have_merges:
             pids = merge_events["parent_IDs"].values
             mtimes = merge_events["merge_time"].values
             time_to_idx = {v: i for i, v in enumerate(time_vals)}
@@ -1558,9 +1592,13 @@ class tracker:
                 parents_old = pids[m][pids[m] > 0]
                 parents_new = lookup[np.clip(parents_old, 0, max_id + 1)]
                 parents_new = parents_new[parents_new > 0]
-                for pn in parents_new:
-                    k = min(len(parents_new), sibling)
-                    ledger[tixd, pn, :k] = parents_new[:k]
+                if self.merge_ledger_mode == "reference":
+                    for pn in parents_new:
+                        ledger[tixd, pn, :] = pn
+                else:
+                    for pn in parents_new:
+                        k = min(len(parents_new), sibling)
+                        ledger[tixd, pn, :k] = parents_new[:k]
 
         tdims = (self.timedim,)
         sdims = self._spatial_dims()

@@ -43,7 +43,10 @@ os.makedirs(_cache_dir, exist_ok=True)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    # XLA:CPU executable serialization ("all") segfaults mid-suite inside
+    # compilation_cache.put_executable_and_time at high RSS (observed twice,
+    # different tests each time). Cache only the stable HLO-level artifacts.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:  # pragma: no cover
     pass
 

@@ -176,14 +176,46 @@ class TestMergingSplitting:
         n_parents = merges.n_parents.values
         assert (n_parents >= 2).any()
 
-    def test_merge_ledger_records_siblings(self):
+    def test_merge_ledger_reference_scheme_default(self):
+        # default mode replicates the reference (track.py:3040-3106): each
+        # merging parent's row holds its OWN event id in every sibling slot
         da = self._merging_blobs()
         tr = marEx.tracker(
             da, ocean_mask(), R_fill=2, T_fill=0, area_filter_quartile=0.0, allow_merging=True, overlap_threshold=0.3
         )
         events = tr.run()
-        ledger = events.merge_ledger.values
-        assert (ledger > 0).any()  # at least one recorded merge pair
+        ledger = np.asarray(events.merge_ledger.values)
+        assert (ledger > 0).any()  # at least one recorded merge
+        ids = np.asarray(events.merge_ledger.coords["ID"].values)
+        marked = ledger[:, :, 0] > 0
+        own = np.broadcast_to(ids[None, :], marked.shape)
+        for s in range(ledger.shape[2]):
+            assert np.array_equal(ledger[:, :, s][marked], own[marked])
+
+    def test_merge_ledger_sibling_mode_optin(self):
+        # merge_ledger_mode='siblings' records the full merge-partner list
+        da = self._merging_blobs()
+        tr = marEx.tracker(
+            da,
+            ocean_mask(),
+            R_fill=2,
+            T_fill=0,
+            area_filter_quartile=0.0,
+            allow_merging=True,
+            overlap_threshold=0.3,
+            merge_ledger_mode="siblings",
+        )
+        events = tr.run()
+        ledger = np.asarray(events.merge_ledger.values)
+        # some parent's row must reference a DIFFERENT event (its sibling)
+        ids = np.asarray(events.merge_ledger.coords["ID"].values)
+        marked = np.nonzero(ledger[:, :, 0] > 0)
+        has_partner = False
+        for t, i in zip(*marked):
+            row = ledger[t, i]
+            if (row[(row > 0) & (row != ids[i])]).size:
+                has_partner = True
+        assert has_partner
 
     def test_classic_merging_gives_single_event(self):
         # without split/merge logic, 3-D connectivity fuses the pair into one event
