@@ -76,6 +76,7 @@ __all__ = [
     "concat",
     # Core data preprocessing
     "preprocess_data",
+    "preprocess_data_streamed",
     "compute_normalised_anomaly",
     "smoothed_rolling_climatology",
     "rolling_climatology",
@@ -133,6 +134,8 @@ def __getattr__(name):
 
     if name in ("tracker", "regional_tracker"):
         return getattr(importlib.import_module(".track", __name__), name)
+    if name == "preprocess_data_streamed":
+        return getattr(importlib.import_module(".detect_stream", __name__), name)
     if name in ("specify_grid", "PlotConfig", "plotX"):
         mod = importlib.import_module(".plotX", __name__)
         return mod if name == "plotX" else getattr(mod, name)

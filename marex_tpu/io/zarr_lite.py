@@ -52,7 +52,14 @@ def _encode_datetimes(arr: np.ndarray) -> Tuple[np.ndarray, Dict[str, Any]]:
     return arr, {}
 
 
-def _write_array(group_path: str, name: str, arr: np.ndarray, dims: Tuple[str, ...], attrs: Dict[str, Any]) -> None:
+def _write_array(
+    group_path: str,
+    name: str,
+    arr: np.ndarray,
+    dims: Tuple[str, ...],
+    attrs: Dict[str, Any],
+    chunks: Optional[Tuple[int, ...]] = None,
+) -> None:
     arr = np.ascontiguousarray(arr)
     arr, time_attrs = _encode_datetimes(arr)
     a_attrs = dict(attrs)
@@ -62,7 +69,10 @@ def _write_array(group_path: str, name: str, arr: np.ndarray, dims: Tuple[str, .
     apath = os.path.join(group_path, name)
     os.makedirs(apath, exist_ok=True)
 
-    chunks = _choose_chunks(arr.shape, arr.dtype.itemsize)
+    if chunks is None:
+        chunks = _choose_chunks(arr.shape, arr.dtype.itemsize)
+    else:
+        chunks = tuple(min(int(c), s) for c, s in zip(chunks, arr.shape))
     zarray = {
         "zarr_format": 2,
         "shape": list(arr.shape),
@@ -105,9 +115,17 @@ def _write_array(group_path: str, name: str, arr: np.ndarray, dims: Tuple[str, .
         write_chunk(starts)
 
 
-def to_zarr(data: Union[Field, FieldSet], path: str, mode: str = "w") -> None:
+def to_zarr(
+    data: Union[Field, FieldSet],
+    path: str,
+    mode: str = "w",
+    chunks: Optional[Dict[str, int]] = None,
+) -> None:
     """
     Write a Field or FieldSet as a zarr v2 group (xarray-compatible layout).
+    ``chunks`` maps dimension name -> chunk length (defaults: ~64 MB chunks
+    along the leading axis) — spatially-chunked stores are what the streaming
+    reader needs for bounded-memory tile reads.
     """
     if mode == "w" and os.path.exists(path):
         shutil.rmtree(path)
@@ -121,12 +139,125 @@ def to_zarr(data: Union[Field, FieldSet], path: str, mode: str = "w") -> None:
     with open(os.path.join(path, ".zattrs"), "w") as f:
         json.dump(dict(data.attrs), f, default=str)
 
+    def _chunks_for(dims: Tuple[str, ...], shape: Tuple[int, ...]) -> Optional[Tuple[int, ...]]:
+        if not chunks:
+            return None
+        if not any(d in chunks for d in dims):
+            return None
+        return tuple(int(chunks.get(d, s)) for d, s in zip(dims, shape))
+
     for name, fld in data.data_vars.items():
-        _write_array(path, name, fld.values, fld.dims, fld.attrs)
+        _write_array(path, name, fld.values, fld.dims, fld.attrs, chunks=_chunks_for(fld.dims, fld.shape))
     for name, coord in data.coords.items():
         if name in data.data_vars:
             continue
         _write_array(path, name, np.asarray(coord.values), coord.dims, {})
+
+
+# ----------------------------------------------------------------------------
+# Region writing (streamed output stores)
+# ----------------------------------------------------------------------------
+
+
+def create_group(path: str, attrs: Optional[Dict[str, Any]] = None, mode: str = "w") -> None:
+    """Create an (empty) zarr v2 group."""
+    if mode == "w" and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(dict(attrs or {}), f, default=str)
+
+
+def create_array(
+    group_path: str,
+    name: str,
+    shape: Tuple[int, ...],
+    dtype: Any,
+    dims: Tuple[str, ...],
+    chunks: Tuple[int, ...],
+    attrs: Optional[Dict[str, Any]] = None,
+    compressor: Optional[str] = "zlib",
+) -> None:
+    """
+    Create array metadata only (no chunk payloads): the streamed-output
+    counterpart of the reference's zarr region stores (track.py:4237-4367).
+    Chunks are filled later with :func:`write_region`; unwritten chunks read
+    back as zeros (zarr fill-value semantics).
+    """
+    dtype = np.dtype(dtype)
+    chunks = tuple(min(int(c), s) for c, s in zip(chunks, shape))
+    apath = os.path.join(group_path, name)
+    os.makedirs(apath, exist_ok=True)
+    zarray = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks) if chunks else [1],
+        "dtype": dtype.str if dtype.kind != "b" else "|b1",
+        "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    with open(os.path.join(apath, ".zarray"), "w") as f:
+        json.dump(zarray, f)
+    a_attrs = dict(attrs or {})
+    a_attrs["_ARRAY_DIMENSIONS"] = list(dims)
+    with open(os.path.join(apath, ".zattrs"), "w") as f:
+        json.dump(a_attrs, f, default=str)
+
+
+def write_region(group_path: str, name: str, starts: Tuple[int, ...], block: np.ndarray) -> None:
+    """
+    Write a hyperslab starting at ``starts`` (must be chunk-aligned in every
+    dimension; the block may end mid-chunk only at the array edge). Each
+    covered chunk is compressed and written independently, so disjoint
+    regions can be written by concurrent processes.
+    """
+    with open(os.path.join(group_path, name, ".zarray")) as f:
+        meta = json.load(f)
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    comp = meta.get("compressor")
+    sep = meta.get("dimension_separator", ".")
+    apath = os.path.join(group_path, name)
+
+    block = np.ascontiguousarray(block, dtype=dtype)
+    for st, c, b, s in zip(starts, chunks, block.shape, shape):
+        if st % c != 0:
+            raise DataValidationError(
+                f"write_region start {st} is not aligned to chunk size {c} for array '{name}'"
+            )
+        if (st + b) % c != 0 and (st + b) != s:
+            raise DataValidationError(
+                f"write_region block end {st + b} is neither chunk-aligned nor the array edge "
+                f"(chunk {c}, dim size {s}) for array '{name}'"
+            )
+
+    import itertools
+
+    grids = [range(st // c, -(-(st + b) // c)) for st, c, b in zip(starts, chunks, block.shape)]
+    for gi in itertools.product(*grids):
+        sl_block = tuple(
+            slice(i * c - st, min((i + 1) * c, s) - st) for i, c, st, s in zip(gi, chunks, starts, shape)
+        )
+        sub = block[sl_block]
+        if sub.shape != tuple(chunks):
+            padded = np.zeros(chunks, dtype=dtype)
+            padded[tuple(slice(0, d) for d in sub.shape)] = sub
+            sub = padded
+        key = sep.join(str(i) for i in gi)
+        if comp is None:
+            payload = np.ascontiguousarray(sub).tobytes()
+        elif comp.get("id") == "zlib":
+            payload = zlib.compress(np.ascontiguousarray(sub).tobytes(), comp.get("level", 1))
+        else:  # pragma: no cover - we only create zlib/raw stores
+            raise DataValidationError(f"write_region: unsupported compressor {comp}")
+        with open(os.path.join(apath, key), "wb") as f:
+            f.write(payload)
 
 
 # ----------------------------------------------------------------------------
@@ -274,43 +405,130 @@ def _decompress(raw: bytes, compressor: Optional[Dict[str, Any]]) -> bytes:
     )
 
 
-def _read_array(apath: str) -> Tuple[np.ndarray, List[str], Dict[str, Any]]:
-    with open(os.path.join(apath, ".zarray")) as f:
-        meta = json.load(f)
+class LazyZarrArray:
+    """
+    Lazy ndarray-like view of one zarr v2 array: only the chunks intersecting
+    a requested hyperslab are read and decompressed, so slicing a spatial
+    tile out of a larger-than-RAM store touches a bounded set of chunk files
+    — the zero-dependency analogue of a dask-backed zarr array (the
+    reference's ingest substrate, detect.py:558-568).
+
+    Supports basic indexing with integers and slices (no steps, no fancy
+    indexing), ``np.asarray`` (full read), and the shape/dtype/ndim protocol
+    that :class:`~marex_tpu.core.field.Field` requires of a payload.
+    """
+
+    def __init__(self, apath: str):
+        self.apath = apath
+        with open(os.path.join(apath, ".zarray")) as f:
+            meta = json.load(f)
+        self.shape: Tuple[int, ...] = tuple(meta["shape"])
+        self.chunks: Tuple[int, ...] = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self._comp = meta.get("compressor")
+        self._sep = meta.get("dimension_separator", ".")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape)) if self.shape else 1
+
+    @property
+    def nbytes(self) -> int:
+        return self.size * self.dtype.itemsize
+
+    def __len__(self) -> int:
+        if not self.shape:
+            raise TypeError("len() of 0-d array")
+        return self.shape[0]
+
+    def _read_box(self, starts: Tuple[int, ...], stops: Tuple[int, ...]) -> np.ndarray:
+        out_shape = tuple(b - a for a, b in zip(starts, stops))
+        out = np.zeros(out_shape, dtype=self.dtype)
+        if any(s == 0 for s in out_shape):
+            return out
+
+        import itertools
+
+        grids = [range(a // c, -(-b // c)) for a, b, c in zip(starts, stops, self.chunks)]
+        for gi in itertools.product(*grids):
+            key = self._sep.join(str(i) for i in gi)
+            fpath = os.path.join(self.apath, key)
+            c_lo = tuple(i * c for i, c in zip(gi, self.chunks))
+            # intersection of chunk box and request box
+            lo = tuple(max(a, cl) for a, cl in zip(starts, c_lo))
+            hi = tuple(min(b, cl + c) for b, cl, c in zip(stops, c_lo, self.chunks))
+            dst = tuple(slice(a - s, b - s) for a, b, s in zip(lo, hi, starts))
+            if not os.path.exists(fpath):
+                continue  # missing chunk = fill_value (zeros)
+            with open(fpath, "rb") as f:
+                block = np.frombuffer(_decompress(f.read(), self._comp), dtype=self.dtype).reshape(self.chunks)
+            src = tuple(slice(a - cl, b - cl) for a, b, cl in zip(lo, hi, c_lo))
+            out[dst] = block[src]
+        return out
+
+    def __getitem__(self, idx: Any) -> np.ndarray:
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if any(i is Ellipsis for i in idx):
+            n_explicit = sum(i is not Ellipsis for i in idx)
+            pos = idx.index(Ellipsis)
+            idx = idx[:pos] + (slice(None),) * (self.ndim - n_explicit) + idx[pos + 1 :]
+        idx = idx + (slice(None),) * (self.ndim - len(idx))
+        starts, stops, squeeze = [], [], []
+        for ax, (i, n) in enumerate(zip(idx, self.shape)):
+            if isinstance(i, (int, np.integer)):
+                i = int(i)
+                if i < 0:
+                    i += n
+                if not (0 <= i < n):
+                    raise IndexError(f"index {i} out of bounds for axis {ax} with size {n}")
+                starts.append(i)
+                stops.append(i + 1)
+                squeeze.append(ax)
+            elif isinstance(i, slice):
+                if i.step not in (None, 1):
+                    raise IndexError("LazyZarrArray supports only contiguous slices (step 1)")
+                a, b, _ = i.indices(n)
+                starts.append(a)
+                stops.append(max(a, b))
+            else:
+                raise IndexError(f"LazyZarrArray does not support index {i!r}; read a block first")
+        out = self._read_box(tuple(starts), tuple(stops))
+        if squeeze:
+            out = out.reshape(tuple(s for ax, s in enumerate(out.shape) if ax not in squeeze))
+        return out
+
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        if not self.shape:
+            with open(os.path.join(self.apath, "0"), "rb") as f:
+                arr = np.frombuffer(_decompress(f.read(), self._comp), dtype=self.dtype).reshape(())
+        else:
+            arr = self._read_box((0,) * self.ndim, self.shape)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def astype(self, dtype) -> np.ndarray:
+        return self.__array__(dtype)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"LazyZarrArray(shape={self.shape}, chunks={self.chunks}, dtype={self.dtype}, path={self.apath!r})"
+
+
+def _read_array(apath: str, lazy: bool = False) -> Tuple[Any, List[str], Dict[str, Any]]:
     attrs: Dict[str, Any] = {}
     zattrs_path = os.path.join(apath, ".zattrs")
     if os.path.exists(zattrs_path):
         with open(zattrs_path) as f:
             attrs = json.load(f)
 
-    shape = tuple(meta["shape"])
-    chunks = tuple(meta["chunks"])
-    dtype = np.dtype(meta["dtype"])
-    comp = meta.get("compressor")
-    sep = meta.get("dimension_separator", ".")
-
-    if not shape:
-        with open(os.path.join(apath, "0"), "rb") as f:
-            arr = np.frombuffer(_decompress(f.read(), comp), dtype=dtype).reshape(())
-        return arr, attrs.pop("_ARRAY_DIMENSIONS", []), attrs
-
-    out = np.zeros(shape, dtype=dtype)
-    ngrid = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
-
-    import itertools
-
-    for gi in itertools.product(*[range(n) for n in ngrid]):
-        key = sep.join(str(i) for i in gi)
-        fpath = os.path.join(apath, key)
-        if not os.path.exists(fpath):
-            continue  # missing chunk = fill_value (already zeros)
-        with open(fpath, "rb") as f:
-            block = np.frombuffer(_decompress(f.read(), comp), dtype=dtype).reshape(chunks)
-        sl = tuple(slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(gi, chunks, shape))
-        out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
-
-    dims = attrs.pop("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(len(shape))])
-    return out, dims, attrs
+    handle = LazyZarrArray(apath)
+    dims = attrs.pop("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(handle.ndim)])
+    if lazy and handle.ndim:
+        return handle, dims, attrs
+    return np.asarray(handle), dims, attrs
 
 
 def _decode_cf_time(arr: np.ndarray, attrs: Dict[str, Any]) -> np.ndarray:
@@ -337,13 +555,20 @@ def _decode_cf_time(arr: np.ndarray, attrs: Dict[str, Any]) -> np.ndarray:
         return arr
 
 
-def open_zarr(path: str, chunks: Optional[Dict[str, int]] = None) -> FieldSet:
+def open_zarr(path: str, chunks: Optional[Dict[str, int]] = None, lazy: Optional[bool] = None) -> FieldSet:
     """
-    Open a zarr v2 group as a FieldSet (``chunks`` accepted for API parity,
-    ignored — there is no lazy layer).
+    Open a zarr v2 group as a FieldSet.
+
+    With ``chunks`` (any dask-style mapping) or ``lazy=True``, data variables
+    are returned LAZILY: each ``Field`` wraps a :class:`LazyZarrArray` whose
+    slices read only the intersecting chunk files — the larger-than-memory
+    ingest path (the reference opens everything through chunked dask,
+    README.md:161). Coordinates (and CF-time variables) are always decoded
+    eagerly; ``field.values`` on a lazy payload materialises the full array.
     """
     if not os.path.isdir(path):
         raise DataValidationError(f"Not a zarr store: {path}")
+    want_lazy = bool(lazy) or chunks is not None
 
     group_attrs: Dict[str, Any] = {}
     gattrs = os.path.join(path, ".zattrs")
@@ -351,11 +576,11 @@ def open_zarr(path: str, chunks: Optional[Dict[str, int]] = None) -> FieldSet:
         with open(gattrs) as f:
             group_attrs = json.load(f)
 
-    arrays: Dict[str, Tuple[np.ndarray, List[str], Dict[str, Any]]] = {}
+    arrays: Dict[str, Tuple[Any, List[str], Dict[str, Any]]] = {}
     for name in sorted(os.listdir(path)):
         apath = os.path.join(path, name)
         if os.path.isdir(apath) and os.path.exists(os.path.join(apath, ".zarray")):
-            arrays[name] = _read_array(apath)
+            arrays[name] = _read_array(apath, lazy=want_lazy)
 
     # split coords vs data vars: 1-D arrays named after their dim, or listed
     # in any variable's "coordinates" attribute
@@ -369,6 +594,8 @@ def open_zarr(path: str, chunks: Optional[Dict[str, int]] = None) -> FieldSet:
     coords: Dict[str, Coord] = {}
     data_vars: Dict[str, Field] = {}
     for name, (arr, dims, attrs) in arrays.items():
+        if name in coord_names or "since" in str(attrs.get("units", "")):
+            arr = np.asarray(arr)  # coords & CF-time are always eager
         if "since" in str(attrs.get("units", "")):
             arr = _decode_cf_time(arr, attrs)
             attrs = {k: v for k, v in attrs.items() if k not in ("units", "calendar")}
