@@ -102,18 +102,39 @@ def _row_distance_periodic(mask: jax.Array, wrap: bool) -> jax.Array:
     return jnp.moveaxis(d, 0, -1)
 
 
-@partial(jax.jit, static_argnames=("wrap",))
-def euclidean_distance_transform_grid(parent_masks: jax.Array, wrap: bool = True) -> jax.Array:
+@partial(jax.jit, static_argnames=("wrap", "row_window"))
+def euclidean_distance_transform_grid(
+    parent_masks: jax.Array, wrap: bool = True, row_window: int = 0
+) -> jax.Array:
     """
     Exact squared Euclidean distance to the nearest True cell, per parent,
     periodic in x.  Two-pass separable EDT.
 
     parent_masks : (P, H, W) bool
+    row_window : when > 0, the column pass only scans seed rows within
+        ``row_window`` of each output row — distances beyond the window come
+        out too large, which is EXACT for every distance <= row_window (the
+        merge march caps distances at ``max_distance`` and passes a window
+        covering the cap). Cuts the column-pass cost from O(H^2 P W) to
+        O(H P W window).
+
     Returns (P, H, W) float32 squared distances (inf where parent empty).
     """
     P, H, W = parent_masks.shape
     d1 = _row_distance_periodic(parent_masks, wrap)  # (P, H, W) distance within row
     d1sq = jnp.where(jnp.isinf(d1), _INF, d1 * d1)
+
+    if row_window and 2 * row_window + 1 < H:
+        win = int(row_window)
+        padded = jnp.pad(d1sq, ((0, 0), (win, win), (0, 0)), constant_values=_INF)
+        dy2 = (jnp.arange(-win, win + 1, dtype=jnp.float32)) ** 2
+
+        def per_row_w(y0):
+            seg = jax.lax.dynamic_slice(padded, (0, y0, 0), (P, 2 * win + 1, W))
+            return jnp.min(seg + dy2[None, :, None], axis=1)  # (P, W)
+
+        out = jax.lax.map(per_row_w, jnp.arange(H))
+        return jnp.moveaxis(out, 0, 1)
 
     yy = jnp.arange(H, dtype=jnp.float32)
 
@@ -126,7 +147,7 @@ def euclidean_distance_transform_grid(parent_masks: jax.Array, wrap: bool = True
     return jnp.moveaxis(out, 0, 1)
 
 
-@partial(jax.jit, static_argnames=("wrap",))
+@partial(jax.jit, static_argnames=("wrap", "row_window"))
 def partition_nn_grid(
     child_mask: jax.Array,
     parent_masks: jax.Array,
@@ -134,15 +155,18 @@ def partition_nn_grid(
     parent_centroids: jax.Array,
     max_distance: jax.Array,
     wrap: bool = True,
+    row_window: int = 0,
 ) -> jax.Array:
     """
     Assign every cell to its nearest parent *cell* (exact EDT, capped at
     ``max_distance``), falling back to nearest parent *centroid* for cells
-    beyond the cap — the semantics of track.py:4972-5113.
+    beyond the cap — the semantics of track.py:4972-5113. ``row_window``
+    must cover ``max_distance`` when nonzero (see
+    :func:`euclidean_distance_transform_grid`).
 
     Returns (H, W) int32 parent index.
     """
-    d2 = euclidean_distance_transform_grid(parent_masks, wrap)  # (P, H, W)
+    d2 = euclidean_distance_transform_grid(parent_masks, wrap, row_window)  # (P, H, W)
     d = jnp.sqrt(d2)
     d = jnp.where(parent_valid[:, None, None], d, _INF)
     d = jnp.where(d <= max_distance, d, _INF)
@@ -159,7 +183,7 @@ def partition_nn_grid(
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("nn", "wrap"))
+@partial(jax.jit, static_argnames=("nn", "wrap", "row_window"))
 def partition_children_grid_batched(
     prev_labels: jax.Array,
     cur_labels: jax.Array,
@@ -171,6 +195,7 @@ def partition_children_grid_batched(
     max_dist: jax.Array,
     nn: bool,
     wrap: bool,
+    row_window: int = 0,
 ) -> jax.Array:
     """
     Partition ALL merging children of one timestep iteration in ONE device
@@ -198,7 +223,7 @@ def partition_children_grid_batched(
         child_mask = jnp.logical_and(cur_labels == cid, cid > 0)
         if nn:
             pmasks = jnp.logical_and(prev_labels[None] == pids[:, None, None], valid[:, None, None])
-            assign = partition_nn_grid(child_mask, pmasks, valid, cents, mdist, wrap)
+            assign = partition_nn_grid(child_mask, pmasks, valid, cents, mdist, wrap, row_window)
         else:
             assign = centroid_assign_grid(cents, valid, child_mask, wrap)
         update = jnp.where(child_mask, piece[assign], 0)

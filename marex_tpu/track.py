@@ -1453,6 +1453,16 @@ class tracker:
                             hop_cap,
                         )
                     else:
+                        # static row-window bucket covering the batch's NN cap:
+                        # the EDT column pass only scans seed rows within the
+                        # window (exact for all capped distances), cutting its
+                        # cost by ~H/(2*win)
+                        H = store.get_dev(t).shape[0]
+                        if self.nn_partitioning and mdist.max() > 0:
+                            win = 1 << max(0, int(np.ceil(np.log2(max(float(mdist.max()), 1.0)))))
+                            row_window = 0 if 2 * win + 1 >= H else win
+                        else:
+                            row_window = 0
                         new_cur, piece_props = _part.partition_children_grid_batched(
                             store.get_dev(t - 1),
                             store.get_dev(t),
@@ -1464,6 +1474,7 @@ class tracker:
                             jnp.asarray(mdist),
                             self.nn_partitioning,
                             wrap,
+                            row_window,
                         )
                     store.set_dev(t, new_cur)
 

@@ -242,6 +242,20 @@ class TestPartition:
         # cell at x=19 is distance 1 through the periodic boundary
         assert d2[0, 1, 19] == 1.0
 
+    def test_edt_row_window_exact_within_cap(self):
+        # windowed column pass must be exact for every distance <= window
+        rng = np.random.default_rng(11)
+        masks = rng.random((4, 40, 30)) < 0.02
+        full = np.asarray(mpart.euclidean_distance_transform_grid(jnp.asarray(masks), wrap=True))
+        win = 8
+        windowed = np.asarray(
+            mpart.euclidean_distance_transform_grid(jnp.asarray(masks), wrap=True, row_window=win)
+        )
+        inside = full <= win * win
+        np.testing.assert_array_equal(windowed[inside], full[inside])
+        # beyond the window distances may only be overestimated
+        assert (windowed >= full - 1e-6).all()
+
     def test_partition_nn_grid_prefers_nearest_cell(self):
         H, W = 10, 20
         parents = np.zeros((2, H, W), bool)
