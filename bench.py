@@ -1,16 +1,26 @@
 """
-Benchmark harness for marex_tpu — all five BASELINE.json configs.
+Benchmark harness for marex_tpu — the BASELINE.json configs at production
+scale.
 
-Headline metric: end-to-end detect+track wall-clock with the reference's
-PRODUCTION tracking config (allow_merging=True + nn_partitioning, the
-default of examples/batch jobs/submit_track.sh:20-28), reported as
-gridpoint-days/sec/chip. The detail block carries per-config throughputs:
+Headline metric: end-to-end detect+track wall-clock at the reference's
+PRODUCTION resolution and tracking parameters (0.25 deg global: 720x1440,
+R_fill=12, T_fill=4, area_filter_absolute=600 cells, overlap=0.25,
+nn_partitioning — examples/batch jobs/submit_track.sh:20-28), reported as
+gridpoint-days/sec/chip. The detail block carries per-config breakdowns
+including per-stage (detect/track) walls, cold-start walls, merge counts,
+march dispatch counts, and a modeled HBM-traffic rate:
 
-  1. fixed_baseline + global_extreme, tracker(allow_merging=False)
-  2. shifting_baseline + hobday_extreme (production detect path)
+  1. fixed_baseline + global_extreme, tracker(allow_merging=False),
+     production morphology/filter params — exercises the scalable two-level
+     3-D CCL path (T*S > 200M)
+  2. shifting_baseline + hobday_extreme (production detect methods)
   3. regional grid (open boundaries, area_filter_absolute)
-  4. allow_merging=True split/merge with overlap partitioning  [headline]
-  5. unstructured mesh (neighbour-list morphology + CCL)
+  4. allow_merging=True split/merge with REAL merges (converging blob
+     pairs) at production params  [headline]
+  5. unstructured mesh at ICON-like cell count (default 1M cells) with
+     merging patches
+  6. merge-dense stress: overhead factor + dispatch accounting
+  7. streamed larger-than-memory detect (lat-tile streaming -> zarr)
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
@@ -21,10 +31,9 @@ Dask workers in 39 min (detect, examples/batch jobs/run_detect.py:29-33) plus
 179 min (track, submit_track.sh:2-9) per ~40-year dataset ->
 ~40*365*1036800 / 13080 s ~= 1.16e6 gridpoint-days/s on 128 cores.
 
-Size knobs (defaults sized for one v5e chip, ~10 min all-in):
-  MAREX_BENCH_YEARS (3), MAREX_BENCH_NY (360), MAREX_BENCH_NX (720),
-  MAREX_BENCH_CELLS (98304), MAREX_BENCH_CONFIGS (comma list, default all;
-  config 6 = merge-dense stress reporting the merge-mode overhead factor).
+Size knobs (defaults sized for one 16 GB chip):
+  MAREX_BENCH_YEARS (3), MAREX_BENCH_NY (720), MAREX_BENCH_NX (1440),
+  MAREX_BENCH_CELLS (1048576), MAREX_BENCH_CONFIGS (comma list, default all).
 """
 
 from __future__ import annotations
@@ -45,6 +54,9 @@ _silence = contextlib.redirect_stdout(io.StringIO())
 
 
 def make_data(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 89.5), lon_range=(0.0, 360.0)):
+    """Synthetic SST with drifting warm blobs AND oscillating converging
+    blob pairs (the pairs join and separate twice per season, so merge-mode
+    tracking performs real split/merge work — VERDICT r2 item 3)."""
     from marex_tpu.core.field import Field
 
     rng = np.random.default_rng(seed)
@@ -62,63 +74,86 @@ def make_data(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 8
         noise[k] = 0.8 * noise[k - 1] + 0.6 * noise[k]
     sst = (base + seasonal + noise).astype(np.float32)
     sst = np.ascontiguousarray(sst + 0 * lon[None, None, :], dtype=np.float32)
-    # coherent drifting warm blobs (days 60-140 of every year): real marine
-    # heatwaves are spatially coherent, and the R_fill opening should never
-    # annihilate every event regardless of the bench scale
+
     yy, xx = np.mgrid[0:ny, 0:nx]
-    r = max(min(ny, nx) // 8, 12)  # must survive the R_fill=8 opening at smoke sizes
     years = pd.DatetimeIndex(times).year.to_numpy()
     y0 = years.min()
+
+    # (a) coherent drifting warm blobs (days 60-140): spatially coherent
+    # events that survive the R_fill opening at any bench scale
+    r = max(min(ny, nx) // 8, 12)
     for t in range(T):
         d = int(doy[t])
         if 60 <= d <= 140:
-            # position drifts with the YEAR so a shifting-baseline
-            # climatology can never absorb the event
             yr = int(years[t] - y0)
             cy = ny // 2 + ((yr % 3) - 1) * (ny // 6)
             cx = (nx // 4 + yr * (nx // 5) + (d - 60)) % nx
             dx = np.minimum(np.abs(xx - cx), nx - np.abs(xx - cx))
             blob = (yy - cy) ** 2 + dx**2 <= r * r
             sst[t][blob] += 4.0
+
+    # (b) converging/separating blob pairs: n_pairs pairs oscillate with a
+    # 40-day period (approach, join, separate), giving O(n_pairs) merge
+    # events per cycle in merge-mode tracking. Blob radius sized to survive
+    # the production R_fill=12 opening and the 600-cell area filter.
+    rp = max(16, min(ny, nx) // 45)
+    n_pairs = max(6, ny // 36)
+    pair_centers = [
+        (int(ny * (0.25 + 0.5 * i / max(n_pairs - 1, 1))), int((i * 997) % nx))
+        for i in range(n_pairs)
+    ]
+    for t in range(T):
+        d = int(doy[t])
+        if 150 <= d <= 270:
+            phase = ((d - 150) % 40) / 40.0
+            sep = int((1.0 - min(phase * 2, 1.0)) * 3 * rp) + rp
+            for cy, cx0 in pair_centers:
+                for s in (-sep, sep):
+                    cx = (cx0 + s) % nx
+                    dx = np.minimum(np.abs(xx - cx), nx - np.abs(xx - cx))
+                    blob = (yy - cy) ** 2 + dx**2 <= rp * rp
+                    sst[t][blob] += 5.0
+
     # land block
     sst[:, ny // 4 : ny // 4 + ny // 8, nx // 8 : nx // 4] = np.nan
     return Field(sst, ("time", "lat", "lon"), coords={"time": times, "lat": lat, "lon": lon}, name="sst")
 
 
 def make_unstructured(n_years: int, n_cells: int, seed: int = 1):
-    """Synthetic triangular mesh: structured vertices triangulated into a
-    (3, C) neighbour table (two triangles per quad), spherical cell areas."""
+    """Synthetic triangular mesh at ICON-like cell counts: structured
+    vertices triangulated into a (3, C) neighbour table, plus TWO warm
+    patches per latitude band that converge and merge each season."""
     from marex_tpu.core.field import Field
 
     rng = np.random.default_rng(seed)
-    # grid of 2*gy*gx triangles ~= n_cells
     gx = int(np.sqrt(n_cells / 2))
     gy = max(n_cells // (2 * gx), 2)
     C = 2 * gy * gx
 
-    def tri_id(j, i, upper):
-        return 2 * ((j % gy) * gx + (i % gx)) + upper
+    # vectorised triangle-pair construction (the python loop took minutes at 1M cells)
+    jj, ii = np.mgrid[0:gy, 0:gx]
+    lo = 2 * (jj * gx + ii)
+    up = lo + 1
 
-    nb = np.full((3, C), 0, dtype=np.int32)
-    lat_c = np.empty(C, np.float64)
-    lon_c = np.empty(C, np.float64)
+    def tid(j, i, upper):
+        return (2 * ((j % gy) * gx + (i % gx)) + upper).astype(np.int32)
+
+    nb = np.empty((3, C), dtype=np.int32)
+    nb[0].reshape(gy, 2 * gx)[:, 0::2] = up
+    nb[1].reshape(-1)[lo.ravel()] = tid(jj, ii - 1, 1).ravel()
+    nb[2].reshape(-1)[lo.ravel()] = tid(jj - 1, ii, 1).ravel()
+    nb[0].reshape(-1)[up.ravel()] = lo.ravel()
+    nb[1].reshape(-1)[up.ravel()] = tid(jj, ii + 1, 0).ravel()
+    nb[2].reshape(-1)[up.ravel()] = tid(jj + 1, ii, 0).ravel()
+
     lat_g = np.linspace(-60, 60, gy)
     lon_g = np.linspace(0, 360, gx, endpoint=False)
-    for j in range(gy):
-        for i in range(gx):
-            lo = tri_id(j, i, 0)
-            up = tri_id(j, i, 1)
-            # lower triangle neighbours: upper of same quad, left quad's upper, below quad's upper
-            nb[0, lo] = up
-            nb[1, lo] = tri_id(j, i - 1, 1)
-            nb[2, lo] = tri_id(j - 1, i, 1)
-            nb[0, up] = lo
-            nb[1, up] = tri_id(j, i + 1, 0)
-            nb[2, up] = tri_id(j + 1, i, 0)
-            lat_c[lo] = lat_g[j] - 0.2
-            lat_c[up] = lat_g[j] + 0.2
-            lon_c[lo] = lon_g[i]
-            lon_c[up] = lon_g[i] + 0.2
+    lat_c = np.empty(C, np.float64)
+    lon_c = np.empty(C, np.float64)
+    lat_c[lo.ravel()] = np.broadcast_to(lat_g[:, None], (gy, gx)).ravel() - 0.2
+    lat_c[up.ravel()] = np.broadcast_to(lat_g[:, None], (gy, gx)).ravel() + 0.2
+    lon_c[lo.ravel()] = np.broadcast_to(lon_g[None, :], (gy, gx)).ravel()
+    lon_c[up.ravel()] = np.broadcast_to(lon_g[None, :], (gy, gx)).ravel() + 0.2
     nb = nb + 1  # 1-based like ICON output
 
     times = pd.date_range("2000-01-01", periods=int(n_years * 365.25), freq="D").to_numpy()
@@ -129,18 +164,19 @@ def make_unstructured(n_years: int, n_cells: int, seed: int = 1):
     for k in range(1, T):
         noise[k] = 0.8 * noise[k - 1] + 0.6 * noise[k]
     sst = (15.0 + seasonal + noise).astype(np.float32)
-    # coherent drifting warm patch each year (see make_data)
-    years = pd.DatetimeIndex(times).year.to_numpy()
-    y0 = years.min()
+
+    # converging warm patch pairs in two latitude bands: the pair's centres
+    # approach by ~1.6 deg/day and join mid-season -> real merges
     for t in range(T):
         d = int(doy[t])
         if 60 <= d <= 140:
-            clon = (30.0 + (years[t] - y0) * 73.0 + (d - 60) * 1.5) % 360.0
-            dlon = np.minimum(np.abs(lon_c - clon), 360.0 - np.abs(lon_c - clon))
-            # sized to stay well above the 50-cell quartile pre-filter even
-            # at smoke-test mesh sizes
-            patch = (np.abs(lat_c) < 25.0) & (dlon < 40.0)
-            sst[t][patch] += 4.0
+            k = d - 60
+            for band, (lat0, lon0) in enumerate([(15.0, 40.0), (-15.0, 200.0)]):
+                for sgn in (-1, +1):
+                    clon = (lon0 + sgn * max(60 - k * 1.6, 8.0)) % 360.0
+                    dlon = np.minimum(np.abs(lon_c - clon), 360.0 - np.abs(lon_c - clon))
+                    patch = (np.abs(lat_c - lat0) < 12.0) & (dlon < 18.0)
+                    sst[t][patch] += 5.0
 
     coords = {"time": times, "lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}
     da = Field(sst, ("time", "ncells"), coords=coords, name="sst")
@@ -159,71 +195,144 @@ def _stage(da):
     return Field(dev, da.dims, da.coords, da.name, da.attrs)
 
 
-def _timed(fn, warm: bool = True):
-    """Run fn once for compile warm-up, once timed; returns (wall, result)."""
-    with _silence:
-        if warm:
-            fn()
+def _block(x):
+    import jax
+
+    jax.block_until_ready(x)
+
+
+def measure_roundtrip_ms() -> float:
+    """Median host<->device dispatch roundtrip for a tiny program — makes
+    the march's dispatch-count x latency cost model auditable."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    f(x).block_until_ready()
+    ts = []
+    for _ in range(20):
         t0 = time.perf_counter()
-        out = fn()
-        wall = time.perf_counter() - t0
-    return wall, out
+        f(x).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
 
 
-def config1_no_merge(da):
+# Production tracking parameters (examples/batch jobs/submit_track.sh:20-28).
+# Exact at the production resolution (ny>=720, i.e. 0.25 deg); at smoke sizes
+# R_fill and the area floor scale with resolution so the opening does not
+# annihilate every synthetic blob.
+def _prod_track_kwargs(ny: int):
+    s = min(ny / 720.0, 1.0)
+    return dict(
+        R_fill=max(int(round(12 * s)), 2),
+        T_fill=4,
+        area_filter_absolute=max(int(round(600 * s * s)), 8),
+        grid_resolution=round(180.0 / ny, 4),
+    )
+
+
+def _detect_track(da, detect_kwargs, track_kwargs):
+    """Run detect then track with per-stage walls; returns
+    (events, tracker, t_detect, t_track)."""
     import marex_tpu as marEx
 
-    def run():
-        ds = marEx.preprocess_data(
-            da,
-            method_anomaly="fixed_baseline",
-            method_extreme="global_extreme",
-            method_percentile="approximate",
-            threshold_percentile=95,
-            quiet=True,
-        )
-        ev, mask = ds.extreme_events, ds.mask
-        del ds  # production runs detect/track as separate jobs (submit_track.sh)
-        tr = marEx.tracker(
-            ev, mask, R_fill=8, T_fill=2,
-            area_filter_quartile=0.5, allow_merging=False, quiet=True,
-        )
-        return tr.run()
+    t0 = time.perf_counter()
+    ds = marEx.preprocess_data(da, quiet=True, **detect_kwargs)
+    _block(ds.extreme_events.data)
+    t_detect = time.perf_counter() - t0
 
-    return _timed(run)
+    ev, mask = ds.extreme_events, ds.mask
+    extra = {}
+    if "neighbours" in ds.data_vars:
+        extra["neighbours"] = ds.neighbours
+        extra["cell_areas"] = ds.cell_areas
+    del ds  # production runs detect/track as separate jobs (submit_track.sh)
+
+    t0 = time.perf_counter()
+    tr = marEx.tracker(ev, mask, quiet=True, **extra, **track_kwargs)
+    events = tr.run()
+    _block(events["ID_field"].data)
+    t_track = time.perf_counter() - t0
+    return events, tr, t_detect, t_track
+
+
+DETECT_FIXED = dict(
+    method_anomaly="fixed_baseline",
+    method_extreme="global_extreme",
+    method_percentile="approximate",
+    threshold_percentile=95,
+)
+
+
+def _bw_model_gb(T: int, S: int, track: bool) -> float:
+    """Lower-bound unique-buffer HBM traffic model (GB): detect reads the
+    f32 block ~4x (climatology scatter, anomaly, digitize, compare) and
+    writes ~2x; tracking touches the bool/int32 fields ~10x (morphology
+    iterations, CCL sweeps, props). Used to turn walls into an achieved-
+    bandwidth floor — NOT a precise measurement."""
+    detect_bytes = 6 * T * S * 4
+    track_bytes = 10 * T * S * 4 if track else 0
+    return (detect_bytes + track_bytes) / 1e9
+
+
+def config1_production_nomerge(da, ny, nx):
+    kw = dict(allow_merging=False, **_prod_track_kwargs(ny))
+
+    def run():
+        return _detect_track(da, DETECT_FIXED, kw)
+
+    with _silence:
+        t0 = time.perf_counter()
+        run()
+        cold = time.perf_counter() - t0
+        events, tr, t_det, t_trk = run()
+    T = da.sizes["time"]
+    wall = t_det + t_trk
+    two_level = T * ny * nx > 200_000_000
+    return {
+        "wall_s": round(wall, 2),
+        "cold_wall_s": round(cold, 2),
+        "detect_wall_s": round(t_det, 2),
+        "track_wall_s": round(t_trk, 2),
+        "gpd_per_s": round(T * ny * nx / wall, 1),
+        "n_events": int(events.attrs["N_events_final"]),
+        "two_level_ccl": bool(two_level),
+        "est_hbm_gb_per_s": round(_bw_model_gb(T, ny * nx, True) / wall, 1),
+    }
 
 
 def config2_hobday_shifting(n_years, ny, nx):
-    """Production detect path (shifting_baseline + hobday). Runs on its own
-    half-resolution block: the rolling climatology's (years, 366, space)
-    intermediates are ~4x the input footprint, so the full-resolution block
-    would not fit HBM alongside them on a 16 GB chip."""
-    import marex_tpu as marEx
-
+    """Production detect methods. Runs on its own half-resolution block: the
+    rolling climatology's (years, 366, space) intermediate is ~Y/3 x the
+    input footprint (full-res century-scale runs use config 7's streaming)."""
     da = _stage(make_data(n_years, ny, nx, seed=2))
+    kw_detect = dict(
+        method_anomaly="shifting_baseline",
+        method_extreme="hobday_extreme",
+        method_percentile="approximate",
+        threshold_percentile=95,
+        window_year_baseline=min(5, max(n_years - 1, 1)),
+        smooth_days_baseline=21,
+        window_days_hobday=11,
+    )
+    kw_track = dict(allow_merging=False, **_prod_track_kwargs(ny))
 
     def run():
-        ds = marEx.preprocess_data(
-            da,
-            method_anomaly="shifting_baseline",
-            method_extreme="hobday_extreme",
-            method_percentile="approximate",
-            threshold_percentile=95,
-            window_year_baseline=min(5, max(n_years - 1, 1)),
-            smooth_days_baseline=21,
-            window_days_hobday=11,
-            quiet=True,
-        )
-        ev, mask = ds.extreme_events, ds.mask
-        del ds  # production runs detect/track as separate jobs (submit_track.sh)
-        tr = marEx.tracker(
-            ev, mask, R_fill=8, T_fill=2,
-            area_filter_quartile=0.5, allow_merging=False, quiet=True,
-        )
-        return tr.run()
+        return _detect_track(da, kw_detect, kw_track)
 
-    wall, out = _timed(run)
-    return wall, out, da.sizes["time"] * ny * nx
+    with _silence:
+        run()
+        events, tr, t_det, t_trk = run()
+    T = da.sizes["time"]
+    wall = t_det + t_trk
+    return {
+        "wall_s": round(wall, 2),
+        "detect_wall_s": round(t_det, 2),
+        "track_wall_s": round(t_trk, 2),
+        "gpd_per_s": round(T * ny * nx / wall, 1),
+        "n_events": int(events.attrs["N_events_final"]),
+    }
 
 
 def config3_regional(n_years, ny, nx):
@@ -232,62 +341,67 @@ def config3_regional(n_years, ny, nx):
     da = _stage(make_data(n_years, ny, nx, seed=3, lat_range=(30.0, 70.0), lon_range=(-30.0, 40.0)))
 
     def run():
-        ds = marEx.preprocess_data(
-            da,
-            method_anomaly="fixed_baseline",
-            method_extreme="global_extreme",
-            method_percentile="approximate",
-            threshold_percentile=95,
-            quiet=True,
-        )
+        import marex_tpu as marEx
+
+        t0 = time.perf_counter()
+        ds = marEx.preprocess_data(da, quiet=True, **DETECT_FIXED)
+        _block(ds.extreme_events.data)
+        t_det = time.perf_counter() - t0
         ev, mask = ds.extreme_events, ds.mask
         del ds
+        t0 = time.perf_counter()
         tr = marEx.regional_tracker(
             ev, mask, R_fill=8, T_fill=2,
             area_filter_absolute=50, allow_merging=False,
             coordinate_units="degrees", quiet=True,
         )
-        return tr.run()
-
-    wall, out = _timed(run)
-    return wall, out, da.sizes["time"] * ny * nx
-
-
-def config4_merge(da, ev_cache, mask_cache):
-    import marex_tpu as marEx
-
-    def run():
-        tr = marEx.tracker(
-            ev_cache, mask_cache, R_fill=8, T_fill=2,
-            area_filter_quartile=0.5, allow_merging=True, nn_partitioning=True,
-            overlap_threshold=0.25, quiet=True,
-        )
-        return tr.run()
-
-    def run_full():
-        ds = marEx.preprocess_data(
-            da,
-            method_anomaly="fixed_baseline",
-            method_extreme="global_extreme",
-            method_percentile="approximate",
-            threshold_percentile=95,
-            quiet=True,
-        )
-        ev, mask = ds.extreme_events, ds.mask
-        del ds
-        tr = marEx.tracker(
-            ev, mask, R_fill=8, T_fill=2,
-            area_filter_quartile=0.5, allow_merging=True, nn_partitioning=True,
-            overlap_threshold=0.25, quiet=True,
-        )
-        return tr.run()
+        events = tr.run()
+        _block(events["ID_field"].data)
+        return events, t_det, time.perf_counter() - t0
 
     with _silence:
-        run()  # warm (track only — detect compiled by config 1)
+        run()
+        events, t_det, t_trk = run()
+    T = da.sizes["time"]
+    wall = t_det + t_trk
+    return {
+        "wall_s": round(wall, 2),
+        "detect_wall_s": round(t_det, 2),
+        "track_wall_s": round(t_trk, 2),
+        "gpd_per_s": round(T * ny * nx / wall, 1),
+        "n_events": int(events.attrs["N_events_final"]),
+    }
+
+
+def config4_merge_production(da, ny, nx):
+    kw = dict(
+        allow_merging=True,
+        nn_partitioning=True,
+        overlap_threshold=0.25,
+        **_prod_track_kwargs(ny),
+    )
+
+    def run():
+        return _detect_track(da, DETECT_FIXED, kw)
+
+    with _silence:
         t0 = time.perf_counter()
-        out = run_full()
-        wall = time.perf_counter() - t0
-    return wall, out
+        run()
+        cold = time.perf_counter() - t0
+        events, tr, t_det, t_trk = run()
+    T = da.sizes["time"]
+    wall = t_det + t_trk
+    return {
+        "wall_s": round(wall, 2),
+        "cold_wall_s": round(cold, 2),
+        "detect_wall_s": round(t_det, 2),
+        "track_wall_s": round(t_trk, 2),
+        "gpd_per_s": round(T * ny * nx / wall, 1),
+        "n_events": int(events.attrs["N_events_final"]),
+        "total_merges": int(events.attrs["total_merges"]),
+        "march_dispatches": dict(getattr(tr, "dispatch_counts", {})),
+        "est_hbm_gb_per_s": round(_bw_model_gb(T, ny * nx, True) / wall, 1),
+    }
 
 
 def config5_unstructured(n_years, n_cells):
@@ -299,39 +413,52 @@ def config5_unstructured(n_years, n_cells):
     coords = {"time": "time", "x": "lon", "y": "lat"}
 
     def run():
+        t0 = time.perf_counter()
         ds = marEx.preprocess_data(
-            da,
-            method_anomaly="fixed_baseline",
-            method_extreme="global_extreme",
-            method_percentile="approximate",
-            threshold_percentile=95,
-            dimensions=dims,
-            coordinates=coords,
-            neighbours=nb,
-            cell_areas=areas,
-            quiet=True,
+            da, dimensions=dims, coordinates=coords,
+            neighbours=nb, cell_areas=areas, quiet=True, **DETECT_FIXED,
         )
+        _block(ds.extreme_events.data)
+        t_det = time.perf_counter() - t0
         ev, mask = ds.extreme_events, ds.mask
         nbv, cav = ds.neighbours, ds.cell_areas
         del ds
+        t0 = time.perf_counter()
         tr = marEx.tracker(
             ev, mask, R_fill=2, T_fill=2,
-            area_filter_quartile=0.5, allow_merging=False,
+            area_filter_quartile=0.5, allow_merging=True,
+            nn_partitioning=True, overlap_threshold=0.25,
             unstructured_grid=True, dimensions={"x": "ncells"},
             coordinates={"x": "lon", "y": "lat"},
             coordinate_units="degrees", temp_dir="/tmp",
             neighbours=nbv, cell_areas=cav, quiet=True,
         )
-        return tr.run()
+        events = tr.run()
+        _block(events["ID_field"].data)
+        return events, t_det, time.perf_counter() - t0
 
-    wall, out = _timed(run)
-    return wall, out, da.sizes["time"] * da.sizes["ncells"]
+    with _silence:
+        run()
+        events, t_det, t_trk = run()
+    T = da.sizes["time"]
+    C = da.sizes["ncells"]
+    wall = t_det + t_trk
+    return {
+        "wall_s": round(wall, 2),
+        "detect_wall_s": round(t_det, 2),
+        "track_wall_s": round(t_trk, 2),
+        "gpd_per_s": round(T * C / wall, 1),
+        "n_cells": int(C),
+        "n_events": int(events.attrs["N_events_final"]),
+        "total_merges": int(events.attrs["total_merges"]),
+    }
 
 
-def merge_dense_stress(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
-    """Merge-dense synthetic (VERDICT done-criterion: ~10% merging events
-    without wall blowup): n_pairs blob pairs converge and merge mid-series.
-    Returns (no_merge_wall, merge_wall, total_merges)."""
+def config6_merge_dense(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
+    """Merge-dense stress: n_pairs blob pairs converge/merge/separate every
+    50 steps. Reports the merge-mode overhead factor plus the march's
+    dispatch counts and the measured tunnel roundtrip so latency x count is
+    auditable (VERDICT r2 item 2)."""
     import jax.numpy as jnp
 
     import marex_tpu as marEx
@@ -340,13 +467,10 @@ def merge_dense_stress(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
     data = np.zeros((T, ny, nx), bool)
     yy, xx = np.mgrid[0:ny, 0:nx]
     rng = np.random.default_rng(9)
-    centers = [
-        (rng.integers(ny // 6, 5 * ny // 6), rng.integers(0, nx))
-        for _ in range(n_pairs)
-    ]
+    centers = [(rng.integers(ny // 6, 5 * ny // 6), rng.integers(0, nx)) for _ in range(n_pairs)]
     r = max(min(ny, nx) // 30, 5)
     for t in range(T):
-        phase = (t % 50) / 50.0  # approach, merge, separate every 50 steps
+        phase = (t % 50) / 50.0
         sep = int((1.0 - min(phase * 2, 1.0)) * 3 * r) + r
         for cy, cx0 in centers:
             for s in (-sep, sep):
@@ -368,11 +492,73 @@ def merge_dense_stress(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
             allow_merging=merging, nn_partitioning=True, overlap_threshold=0.3,
             quiet=True,
         )
-        return tr.run()
+        return tr.run(), tr
 
-    w_plain, _ = _timed(lambda: run(False))
-    w_merge, ev = _timed(lambda: run(True))
-    return w_plain, w_merge, int(ev.attrs["total_merges"])
+    with _silence:
+        run(False)
+        t0 = time.perf_counter()
+        run(False)
+        w_plain = time.perf_counter() - t0
+        _, _ = run(True)
+        t0 = time.perf_counter()
+        ev, tr = run(True)
+        w_merge = time.perf_counter() - t0
+    disp = dict(getattr(tr, "dispatch_counts", {}))
+    rt_ms = measure_roundtrip_ms()
+    return {
+        "no_merge_wall_s": round(w_plain, 2),
+        "merge_wall_s": round(w_merge, 2),
+        "merge_overhead_x": round(w_merge / max(w_plain, 1e-9), 2),
+        "total_merges": int(ev.attrs["total_merges"]),
+        "march_dispatches": disp,
+        "dispatch_roundtrip_ms": round(rt_ms, 3),
+        "dispatch_latency_total_s": round(sum(disp.values()) * rt_ms / 1e3, 2),
+    }
+
+
+def config7_streamed(da_host, ny, nx):
+    """Streamed larger-than-memory detect at full resolution: lat-row tiles
+    from host RAM through the fused detect programs into a raw zarr store
+    (the century-scale ingest path; README.md:161 analogue)."""
+    import shutil
+
+    import marex_tpu as marEx
+
+    out = "/tmp/marex_bench_streamed.zarr"
+    T = da_host.sizes["time"]
+
+    def run():
+        return marEx.preprocess_data_streamed(
+            da_host, out,
+            method_anomaly="shifting_baseline",
+            method_extreme="hobday_extreme",
+            threshold_percentile=95,
+            window_year_baseline=2,
+            smooth_days_baseline=21,
+            window_days_hobday=11,
+            memory_budget_mb=2048,
+            compressor=None,
+        )
+
+    with _silence:
+        t0 = time.perf_counter()
+        ds = run()
+        wall = time.perf_counter() - t0
+    n_tiles = int(ds.attrs["stream_n_tiles"])
+    row_block = int(ds.attrs["stream_row_block"])
+    out_bytes = sum(
+        os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(out) for f in fs
+    )
+    n_ex = int(np.asarray(ds.data_vars["extreme_events"].data[: min(T, 64)]).sum())
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 2),
+        "gpd_per_s": round(T * ny * nx / wall, 1),
+        "row_block": row_block,
+        "n_tiles": n_tiles,
+        "out_gb": round(out_bytes / 1e9, 2),
+        "extremes_probe": n_ex,
+    }
 
 
 def main() -> None:
@@ -387,99 +573,61 @@ def main() -> None:
         pass
 
     n_years = int(os.environ.get("MAREX_BENCH_YEARS", "3"))
-    ny = int(os.environ.get("MAREX_BENCH_NY", "360"))
-    nx = int(os.environ.get("MAREX_BENCH_NX", "720"))
-    n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "98304"))
-    which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6").split(","))
+    ny = int(os.environ.get("MAREX_BENCH_NY", "720"))
+    nx = int(os.environ.get("MAREX_BENCH_NX", "1440"))
+    n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "1048576"))
+    which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7").split(","))
 
-    da = _stage(make_data(n_years, ny, nx))
-    T = da.sizes["time"]
+    da_host = make_data(n_years, ny, nx)
+    T = da_host.sizes["time"]
     gpd = T * ny * nx
 
     detail = {"shape": [T, ny, nx], "configs": {}}
-
-    headline_wall = None
-    headline_events = None
+    da = None
+    if which & {"1", "4"}:
+        da = _stage(da_host)
 
     if "1" in which:
-        wall, ev = config1_no_merge(da)
-        detail["configs"]["1_fixed_global_nomerge"] = {
-            "wall_s": round(wall, 2),
-            "gpd_per_s": round(gpd / wall, 1),
-            "n_events": int(ev.attrs["N_events_final"]),
-        }
+        detail["configs"]["1_fixed_global_production"] = config1_production_nomerge(da, ny, nx)
 
     if "2" in which:
-        wall, ev, gpd2 = config2_hobday_shifting(max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64))
-        detail["configs"]["2_shifting_hobday"] = {
-            "wall_s": round(wall, 2),
-            "gpd_per_s": round(gpd2 / wall, 1),
-            "n_events": int(ev.attrs["N_events_final"]),
-        }
+        detail["configs"]["2_shifting_hobday"] = config2_hobday_shifting(
+            max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64)
+        )
 
     if "3" in which:
-        reg_ny = max(ny // 2, 32)
-        reg_nx = max(nx // 2, 64)
-        wall, ev, reg_gpd = config3_regional(n_years, reg_ny, reg_nx)
-        detail["configs"]["3_regional"] = {
-            "wall_s": round(wall, 2),
-            "gpd_per_s": round(reg_gpd / wall, 1),
-            "n_events": int(ev.attrs["N_events_final"]),
-        }
+        detail["configs"]["3_regional"] = config3_regional(n_years, max(ny // 2, 32), max(nx // 2, 64))
 
+    headline = None
     if "4" in which:
-        import marex_tpu as marEx
-
-        with _silence:
-            ds_cache = marEx.preprocess_data(
-                da,
-                method_anomaly="fixed_baseline",
-                method_extreme="global_extreme",
-                method_percentile="approximate",
-                threshold_percentile=95,
-                quiet=True,
-            )
-        ev_cache, mask_cache = ds_cache.extreme_events, ds_cache.mask
-        del ds_cache  # keep only what tracking needs resident
-        wall, ev = config4_merge(da, ev_cache, mask_cache)
-        headline_wall = wall
-        headline_events = int(ev.attrs["N_events_final"])
-        detail["configs"]["4_merge_nn"] = {
-            "wall_s": round(wall, 2),
-            "gpd_per_s": round(gpd / wall, 1),
-            "n_events": headline_events,
-            "total_merges": int(ev.attrs["total_merges"]),
-        }
+        c4 = config4_merge_production(da, ny, nx)
+        detail["configs"]["4_merge_production"] = c4
+        headline = c4
 
     if "5" in which:
-        wall, ev, cell_days = config5_unstructured(max(n_years // 2, 2), n_cells)
-        detail["configs"]["5_unstructured"] = {
-            "wall_s": round(wall, 2),
-            "gpd_per_s": round(cell_days / wall, 1),
-            "n_events": int(ev.attrs["N_events_final"]),
-        }
+        detail["configs"]["5_unstructured"] = config5_unstructured(max(n_years // 2, 2), n_cells)
 
     if "6" in which or "merge_dense" in which:
-        w_plain, w_merge, n_merges = merge_dense_stress(max(ny // 2, 60), max(nx // 2, 120))
-        detail["configs"]["6_merge_dense"] = {
-            "no_merge_wall_s": round(w_plain, 2),
-            "merge_wall_s": round(w_merge, 2),
-            "merge_overhead_x": round(w_merge / max(w_plain, 1e-9), 2),
-            "total_merges": n_merges,
-        }
+        detail["configs"]["6_merge_dense"] = config6_merge_dense(max(ny // 4, 60), max(nx // 4, 120))
 
-    if headline_wall is None:  # headline fallback when config 4 disabled
+    if "7" in which:
+        detail["configs"]["7_streamed"] = config7_streamed(da_host, ny, nx)
+
+    if headline is not None:
+        throughput = headline["gpd_per_s"]
+        metric = (
+            "detect+track throughput (fixed_baseline+global_extreme, production params: "
+            "R_fill=12 T_fill=4 area>=600 overlap=0.25 merging+nn, 0.25deg)"
+        )
+    else:
         with_tp = [c for c in detail["configs"].values() if "gpd_per_s" in c]
         if with_tp:
             throughput = with_tp[0]["gpd_per_s"]
             metric = "detect+track throughput (first enabled config)"
-        else:  # e.g. merge-dense stress only
+        else:
             c6 = detail["configs"].get("6_merge_dense", {})
             throughput = 1.0 / max(c6.get("merge_overhead_x", 1.0), 1e-9)
             metric = "merge-dense inverse overhead (no-merge wall / merge wall)"
-    else:
-        throughput = gpd / headline_wall
-        metric = "detect+track throughput (fixed_baseline+global_extreme, allow_merging=True+nn, R_fill=8)"
 
     print(
         json.dumps(

@@ -28,6 +28,23 @@ def _scatter_ymd(data: jax.Array, year_idx: jax.Array, doy_idx: jax.Array, n_yea
     return out.at[year_idx, doy_idx].set(data)
 
 
+def _doy_nanmean_direct(data: jax.Array, doy_idx: jax.Array, clim_time_mask: jax.Array) -> jax.Array:
+    """
+    Per-day-of-year nanmean straight from the (T, S) block via (366, S)
+    scatter-adds of sums and counts. Equivalent to the dense
+    ``(Y, 366, S)`` scatter + ``nanmean_over_years`` (each (doy, point)
+    accumulates its <= Y samples in increasing-time order either way) but
+    the peak intermediate is 2x(366, S) instead of (Y, 366, S) — the
+    difference between fitting a century of 0.25 deg data in HBM and not.
+    """
+    S = data.shape[1]
+    valid = jnp.logical_and(clim_time_mask[:, None], jnp.isfinite(data))
+    vals = jnp.where(valid, data, 0.0).astype(jnp.float32)
+    sums = jnp.zeros((366, S), jnp.float32).at[doy_idx].add(vals)
+    cnts = jnp.zeros((366, S), jnp.float32).at[doy_idx].add(valid.astype(jnp.float32))
+    return jnp.where(cnts > 0, sums / cnts, jnp.nan)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -66,9 +83,7 @@ def anomaly_program(
         return data - clim_y[year_idx, doy_idx]
 
     if method_anomaly == "fixed_baseline":
-        sel = jnp.where(clim_time_mask[:, None], data, jnp.nan)
-        ymd = _scatter_ymd(sel, year_idx, doy_idx, n_years)
-        clim = _clim.nanmean_over_years(ymd)
+        clim = _doy_nanmean_direct(data, doy_idx, clim_time_mask)
         return (data - clim[doy_idx]).astype(jnp.float32)
 
     if method_anomaly in ("detrend_harmonic", "detrend_fixed_baseline"):
@@ -76,9 +91,7 @@ def anomaly_program(
         if force_zero_mean:
             anom = _detrend.remove_time_mean(anom)
         if method_anomaly == "detrend_fixed_baseline":
-            sel = jnp.where(clim_time_mask[:, None], anom, jnp.nan)
-            ymd = _scatter_ymd(sel, year_idx, doy_idx, n_years)
-            clim = _clim.nanmean_over_years(ymd)
+            clim = _doy_nanmean_direct(anom, doy_idx, clim_time_mask)
             anom = (anom - clim[doy_idx]).astype(jnp.float32)
         return anom
 

@@ -1151,10 +1151,15 @@ class tracker:
         max_label = int(jnp.max(labels_dev))
         key_stride = max_label + 2
         edges = []
+        # one shared buffer bucket across all nine shifts: a bucket that
+        # sufficed for one shift almost always suffices for the others, so
+        # later shifts skip the grow-retry ladder (each retry is a full-field
+        # pass; with a traced key_stride there is at most one compile per
+        # bucket value ever)
+        max_pairs = getattr(self, "_adj_max_pairs", 32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if key_stride * key_stride < 2**31:
-                    max_pairs = 32
                     while True:
                         pa, pb = _overlap.adjacency_pairs_shift(
                             labels_dev, max_pairs, key_stride, dy, dx, wrap
@@ -1162,6 +1167,7 @@ class tracker:
                         if (np.asarray(pa[:, -1]) < 0).all():
                             break
                         max_pairs *= 4
+                    self._adj_max_pairs = max_pairs
                     counts = np.asarray(jnp.sum(pa >= 0, axis=1).astype(jnp.int32))
                     cap = int(counts.sum())
                     if cap:
@@ -1222,11 +1228,20 @@ class tracker:
 
     # -- split & merge march -------------------------------------------------
 
+    def _count_dispatch(self, kind: str) -> None:
+        """March dispatch accounting (bench config 6 reports these so the
+        cost model host-roundtrips x latency is auditable)."""
+        d = getattr(self, "dispatch_counts", None)
+        if d is None:
+            d = self.dispatch_counts = {}
+        d[kind] = d.get(kind, 0) + 1
+
     def _pairs_dev(self, a_dev, b_dev, key_stride: int) -> np.ndarray:
         """Overlap triples for ONE slice pair computed on device (the march's
         pair-cache refresh without downloading either slice). The sufficient
         buffer size is remembered across calls: over a high-latency device
         link every overflow retry costs a full dispatch roundtrip."""
+        self._count_dispatch("pairs")
         flat = jnp.stack([a_dev.reshape(-1), b_dev.reshape(-1)])
         S = flat.shape[1]
         w = self._cell_weights()
@@ -1277,6 +1292,7 @@ class tracker:
                 changed_targets.append(first)
         if not renames:
             return
+        self._count_dispatch("consolidate")
 
         def resolve(x: int) -> int:
             seen = set()
@@ -1431,6 +1447,7 @@ class tracker:
                                 mdist[i] = float(max(int(np.sqrt(max_area / self.mean_cell_area) * 2.0), 20) * 2)
                             else:
                                 mdist[i] = float(max(int(np.sqrt(max_area) * 3.0), 40))
+                    self._count_dispatch("partition")
                     if self.unstructured_grid:
                         # static BFS depth = pow2 bucket of the batch max cap
                         # (per-child caps enforced by masking inside)

@@ -204,6 +204,21 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
+# ru_maxrss is USELESS here: posix_spawn (clone+CLONE_VM) makes the child
+# inherit the fat pytest parent's RSS high-water mark. Reset the kernel
+# hiwater and read VmHWM instead.
+with open("/proc/self/clear_refs", "w") as fh:
+    fh.write("5")
+
+def maxrss():
+    with open("/proc/self/status") as fh:
+        for ln in fh:
+            if ln.startswith("VmHWM"):
+                return int(ln.split()[1]) * 1024
+    return 0
+
+trace = {"import_jax": maxrss()}
+
 store, out = sys.argv[1], sys.argv[2]
 T, NY, NX = 3654, 192, 144
 DATASET_BYTES = T * NY * NX * 4
@@ -227,11 +242,14 @@ for t0 in range(0, T, 256):
 zl._write_array(store, "time", pd.date_range("2000-01-01", periods=T, freq="D").to_numpy(), ("time",), {})
 zl._write_array(store, "lat", np.linspace(-60, 60, NY), ("lat",), {})
 zl._write_array(store, "lon", np.linspace(0, 360, NX, endpoint=False), ("lon",), {})
+trace["store_written"] = maxrss()
 
 # 2. init jax, snapshot baseline RSS
 import jax, jax.numpy as jnp
 jnp.zeros(8).block_until_ready()
+trace["jax_init"] = maxrss()
 import marex_tpu as marEx
+trace["marex_import"] = maxrss()
 
 def rss():
     with open("/proc/self/status") as fh:
@@ -241,6 +259,7 @@ def rss():
     return 0
 
 base = rss()
+peak_after_write = maxrss()
 
 # 3. streamed detect with a ~10x-smaller tile working set (3 rows/tile)
 ds = marEx.preprocess_data_streamed(
@@ -249,9 +268,14 @@ ds = marEx.preprocess_data_streamed(
     row_block=3,
     compressor=None,
 )
+peak_after_stream = maxrss()
 n_ex = int(np.asarray(ds.data_vars["extreme_events"].data[:64]).sum())
-peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
-print(json.dumps({"base": base, "peak": peak, "dataset": DATASET_BYTES, "n_ex_probe": n_ex}))
+peak = maxrss()
+print(json.dumps({
+    "base": base, "peak": peak, "dataset": DATASET_BYTES, "n_ex_probe": n_ex,
+    "peak_after_write": peak_after_write, "peak_after_stream": peak_after_stream,
+    "trace": trace,
+}))
 """
 
 
@@ -282,6 +306,9 @@ class TestBoundedMemory:
         # data size, so allow 0.5x dataset + 80 MB. A monolithic run would
         # grow by >= 2x the dataset (payload + device staging + ymd scatter).
         assert growth < 0.5 * stats["dataset"] + 80 * 2**20, (
-            f"peak RSS grew {growth/2**20:.0f} MB over baseline (dataset {stats['dataset']/2**20:.0f} MB)"
+            f"peak RSS grew {growth/2**20:.0f} MB over baseline (dataset {stats['dataset']/2**20:.0f} MB); "
+            f"checkpoints MB: base={stats['base']/2**20:.0f} after_write={stats['peak_after_write']/2**20:.0f} "
+            f"after_stream={stats['peak_after_stream']/2**20:.0f} final={stats['peak']/2**20:.0f} "
+            f"trace={ {k: round(v/2**20) for k, v in stats['trace'].items()} }"
         )
         assert stats["n_ex_probe"] > 0
