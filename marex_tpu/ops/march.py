@@ -1,0 +1,820 @@
+"""
+Fully on-device merge march for gridded tracking.
+
+The split/merge march of the reference (track.py:3337-3802) is inherently
+sequential over timesteps: each step consolidates the previous slice against
+the one before it, then iteratively partitions every multi-parent child of
+the current slice. The previous TPU design batched each step's work into
+device programs but still walked timesteps on the host, paying one or more
+host<->device roundtrips per merge-active step — the dominant cost on a
+high-latency device link (hundreds of dispatches at ~30 ms each).
+
+This module moves the ENTIRE march into one ``lax.scan`` over timesteps, so
+the whole split/merge phase is ~3 dispatches total regardless of merge
+density. The design that makes this possible:
+
+* **Slice-local labels.** Each slice keeps dense local ids (1..L) and a
+  carried ``(T, L)`` local->global map. Overlap-pair keys are
+  ``a_local * (L+1) + b_local`` — always int32-safe, unlike global-id packed
+  keys which overflow 2**31 at production object counts.
+* **Consolidation is pure bookkeeping.** Renaming a child object into its
+  sibling only rewrites the local->global map and the object table — no
+  pixel relabel program at all.
+* **Analytic object properties.** The table stores the six raw components of
+  the reference's periodic-centroid formula (area, sum_y, sum_x,
+  count_right-of-center, edge-zone hit counts; track.py:2075-2107), so merged
+  objects' properties combine exactly by addition — no pixel recompute.
+* **Carried pair slots.** Overlap triples per slice pair live in fixed
+  ``(T-1, MP)`` slot arrays, refreshed in-scan only when a partition rewrites
+  a slice, and updated analytically under renames.
+
+Capacities (pair slots, children per iteration, parents per child, locals
+per slice, ledger length, id space, EDT window) are static buckets; every
+overflow raises a flag carried through the scan, and the host wrapper
+retries with the offending bucket doubled (a rare recompile) or falls back
+to the per-step device march.
+
+Semantics are kept identical to the sequential march — consolidation
+ordering (parents ascending, children in pair-row order, first-child
+targets, chain resolution, dead-first-child group skips), <=10 merge
+iterations per step with the same convergence warning, new-id allocation
+order (children ascending, parents in row order), and the merge-ledger
+row order. ``tests/test_scan_march.py`` pins equality against the host
+march.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .properties import EDGE_ZONE
+
+_INF = np.float32(np.inf)
+_IMAX = np.int32(2**31 - 1)
+
+
+class MarchSizes(NamedTuple):
+    """Static capacity buckets of one compiled march program."""
+
+    L: int        # max local labels per slice (incl. partition pieces)
+    MP: int       # overlap-pair slots per slice pair
+    K: int        # max merging children per iteration
+    P: int        # max parents per child (MAX_PARENTS)
+    NID: int      # global id capacity
+    MAXC: int     # max consolidation renames per step
+    MAXM: int     # merge-ledger capacity
+    MAXWIN: int   # static pad of the EDT row window
+    LN: int       # dense (child, parent) lane capacity of the partition
+
+
+# flag bit positions (carried int32 bitmask)
+FLAG_MP = 1 << 0      # pair slots overflowed
+FLAG_K = 1 << 1       # >K merging children in one iteration
+FLAG_P = 1 << 2       # >P parents for one child (reference raises)
+FLAG_L = 1 << 3      # local-label capacity overflowed
+FLAG_MAXC = 1 << 4    # consolidation rename slots overflowed
+FLAG_MAXM = 1 << 5    # merge ledger overflowed
+FLAG_NID = 1 << 6     # global id capacity overflowed
+FLAG_WIN = 1 << 7     # EDT row window smaller than the NN distance cap
+FLAG_LN = 1 << 8      # partition lane capacity overflowed
+
+
+# ---------------------------------------------------------------------------
+# slot-array primitives
+# ---------------------------------------------------------------------------
+
+
+def _extract_pairs_local(prev_loc: jax.Array, cur_loc: jax.Array, MP: int, stride: int):
+    """Distinct (a_local, b_local, count) triples between two local label
+    slices by iterative min-extraction over packed int32 keys, as a compact
+    ``lax.scan`` over MP slots (ascending key order, -1 padded). The fourth
+    return value flags a full (possibly truncated) slot list."""
+    a = prev_loc.reshape(-1)
+    b = cur_loc.reshape(-1)
+    both = jnp.logical_and(a > 0, b > 0)
+    key = jnp.where(both, a * stride + b, _IMAX)
+    wf = both.astype(jnp.float32)
+
+    def slot(prev_key, _):
+        cand = jnp.where(key > prev_key, key, _IMAX)
+        k = jnp.min(cand)
+        s = jnp.sum(jnp.where(key == k, wf, 0.0))
+        valid = k != _IMAX
+        pa = jnp.where(valid, k // stride, -1)
+        pb = jnp.where(valid, k % stride, -1)
+        return k, (pa.astype(jnp.int32), pb.astype(jnp.int32), jnp.where(valid, s, 0.0))
+
+    _, (pa, pb, pw) = jax.lax.scan(slot, jnp.int32(-1), None, length=MP)
+    return pa, pb, pw, pa[MP - 1] >= 0
+
+
+def _sort_aggregate_global(ga: jax.Array, gb: jax.Array, w: jax.Array, MP: int):
+    """Sort MP pair slots by (global_a, global_b) ascending with invalid
+    slots last, summing weights of duplicate pairs (duplicates arise when
+    two locals map to one consolidated global id)."""
+    invalid = ga < 0
+    ga_s = jnp.where(invalid, _IMAX, ga)
+    gb_s = jnp.where(invalid, _IMAX, gb)
+    o1 = jnp.argsort(gb_s, stable=True)
+    ga1, gb1, w1 = ga_s[o1], gb_s[o1], w[o1]
+    o2 = jnp.argsort(ga1, stable=True)
+    ga2, gb2, w2 = ga1[o2], gb1[o2], w1[o2]
+    valid = ga2 != _IMAX
+
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool), jnp.logical_and(ga2[1:] == ga2[:-1], gb2[1:] == gb2[:-1])]
+    )
+    prev_same = jnp.logical_and(prev_same, valid)
+    first = jnp.logical_and(valid, jnp.logical_not(prev_same))
+    grp = jnp.cumsum(jnp.logical_not(prev_same).astype(jnp.int32)) - 1
+    wagg = jax.ops.segment_sum(jnp.where(valid, w2, 0.0), grp, num_segments=MP)
+
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    idx = jnp.where(first, pos, MP)
+    out_ga = jnp.full((MP,), -1, jnp.int32).at[idx].set(ga2, mode="drop")
+    out_gb = jnp.full((MP,), -1, jnp.int32).at[idx].set(gb2, mode="drop")
+    out_w = jnp.zeros((MP,), jnp.float32).at[idx].set(wagg[grp], mode="drop")
+    return out_ga, out_gb, out_w
+
+
+def _map_pairs_to_global(pa_loc, pb_loc, pw, gmap_a_row, gmap_b_row, MP):
+    """Map local pair slots through the local->global rows and restore the
+    sorted-aggregated invariant."""
+    va = pa_loc > 0
+    ga = jnp.where(va, gmap_a_row[jnp.clip(pa_loc, 0, gmap_a_row.shape[0] - 1)], -1)
+    gb = jnp.where(va, gmap_b_row[jnp.clip(pb_loc, 0, gmap_b_row.shape[0] - 1)], -1)
+    return _sort_aggregate_global(ga, gb, pw, MP)
+
+
+def _rename_slots(vals: jax.Array, olds: jax.Array, news: jax.Array):
+    """Replace every occurrence of olds[j] by news[j] in a slot array.
+    Applied against original values (chains are pre-resolved by callers)."""
+
+    def body(v, pair):
+        o, n = pair
+        return jnp.where(jnp.logical_and(v == o, o >= 0), n, v), None
+
+    out, _ = jax.lax.scan(body, vals, (olds, news))
+    return out
+
+
+def _threshold_keep(ga, gb, w, area, alive, thr, NID):
+    """Overlap-fraction filter of one slot list against the live object
+    table (the march's _enforce_threshold)."""
+    va = ga >= 0
+    ia = jnp.clip(ga, 0, NID - 1)
+    ib = jnp.clip(gb, 0, NID - 1)
+    ok = jnp.logical_and(va, jnp.logical_and(alive[ia], alive[ib]))
+    min_area = jnp.minimum(area[ia], area[ib])
+    frac_ok = jnp.logical_and(min_area > 0, w / jnp.maximum(min_area, 1e-30) >= thr)
+    return jnp.logical_and(ok, frac_ok)
+
+
+def _comps_to_centroid(comps: jax.Array, W: int, wrap: bool):
+    """(cy, cx) from the six raw components, the EDGE_ZONE periodic
+    recentring formula of grid_mask_props (track.py:2075-2107)."""
+    area = jnp.maximum(comps[..., 0], 1e-30)
+    cy = comps[..., 1] / area
+    cx_plain = comps[..., 2] / area
+    cx_adj = (comps[..., 2] - W * comps[..., 3]) / area
+    cx_adj = jnp.where(cx_adj < 0, cx_adj + W, cx_adj)
+    if wrap:
+        wrapped = jnp.logical_and(comps[..., 4] > 0, comps[..., 5] > 0)
+    else:
+        wrapped = jnp.zeros(comps.shape[:-1], bool)
+    cx = jnp.where(wrapped, cx_adj, cx_plain)
+    return cy, cx
+
+
+def _mask_comps(mask: jax.Array):
+    """Six raw property components of one boolean (H, W) mask."""
+    H, W = mask.shape
+    y_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    m = mask.astype(jnp.float32)
+    return jnp.stack(
+        [
+            jnp.sum(m),
+            jnp.sum(m * y_idx),
+            jnp.sum(m * x_idx),
+            jnp.sum(m * (x_idx > W / 2)),
+            jnp.sum(m * (x_idx < EDGE_ZONE)),
+            jnp.sum(m * (x_idx >= W - EDGE_ZONE)),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# EDT partition with a dynamic (traced) row window
+# ---------------------------------------------------------------------------
+
+
+def _row_distance_periodic(mask: jax.Array, wrap: bool) -> jax.Array:
+    """1-D distance (in cells) to the nearest True along the last axis,
+    periodic when ``wrap``. Closed form via prefix mins: the forward
+    distance is ``min_{j<=i}(BIG·[!m_j] - j) + i`` and the wrap-around term
+    adds W — two cummins and a handful of elementwise passes, fully
+    parallel (no sequential lax.scan over the axis)."""
+    W = mask.shape[-1]
+    BIG = jnp.float32(4 * W)
+    x = jnp.arange(W, dtype=jnp.float32)
+    src_f = jnp.where(mask, -x, BIG)  # m_j - j with m_j = 0 at sources
+    src_b = jnp.where(mask, x, BIG)   # m_j + j
+    fwd = jax.lax.cummin(src_f, axis=mask.ndim - 1) + x
+    bwd = jax.lax.cummin(src_b, axis=mask.ndim - 1, reverse=True) - x
+    if wrap:
+        tot_f = jnp.min(src_f, axis=-1, keepdims=True)
+        tot_b = jnp.min(src_b, axis=-1, keepdims=True)
+        fwd = jnp.minimum(fwd, tot_f + W + x)
+        bwd = jnp.minimum(bwd, tot_b + W - x)
+    d = jnp.minimum(fwd, bwd)
+    return jnp.where(d >= 2 * W, _INF, d)
+
+
+_COL_CHUNK = 8  # column-pass offsets handled per fori iteration
+
+
+def _edt_dynwin(parent_masks: jax.Array, win_dyn: jax.Array, MAXWIN: int, wrap: bool):
+    """Exact squared EDT per parent with the column pass restricted to a
+    TRACED row window (cost scales with the actual window, not with H).
+    Exact for all distances <= win_dyn; callers ensure win_dyn covers the
+    NN distance cap (flagging FLAG_WIN otherwise). Offsets are processed in
+    chunks of _COL_CHUNK per fori iteration to amortise loop overhead; the
+    chunk may overshoot the window, which only adds true (larger-offset)
+    distance candidates and never loosens the envelope."""
+    Pm, Hm, Wm = parent_masks.shape
+    d1 = _row_distance_periodic(parent_masks, wrap)
+    d1sq = jnp.where(jnp.isinf(d1), _INF, d1 * d1)
+    padded = jnp.pad(
+        d1sq, ((0, 0), (MAXWIN, MAXWIN + _COL_CHUNK), (0, 0)), constant_values=_INF
+    )
+
+    def body(c, acc):
+        base = c * _COL_CHUNK
+        sl = jax.lax.dynamic_slice(
+            padded, (0, MAXWIN + base - win_dyn, 0), (Pm, Hm + _COL_CHUNK - 1, Wm)
+        )
+        for u in range(_COL_CHUNK):
+            dy = (base + u - win_dyn).astype(jnp.float32)
+            acc = jnp.minimum(acc, sl[:, u : u + Hm] + dy * dy)
+        return acc
+
+    acc0 = jnp.full((Pm, Hm, Wm), _INF)
+    n_chunks = (2 * win_dyn + _COL_CHUNK) // _COL_CHUNK
+    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+
+def _centroid_assign(cents: jax.Array, valid: jax.Array, H: int, W: int, wrap: bool):
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    dy = y[None] - cents[:, 0][:, None, None]
+    dx = x[None] - cents[:, 1][:, None, None]
+    if wrap:
+        half = W / 2.0
+        dx = jnp.where(dx > half, dx - W, dx)
+        dx = jnp.where(dx < -half, dx + W, dx)
+    d2 = dy * dy + dx * dx
+    d2 = jnp.where(valid[:, None, None], d2, _INF)
+    return jnp.argmin(d2, axis=0).astype(jnp.int32)
+
+
+def _partition_batch(
+    gprev, cur_loc, child_loc, piece_loc, parent_gids, pvalid, cents, mdist, win_dyn,
+    sizes: MarchSizes, nn: bool, wrap: bool,
+):
+    """Partition all K merging children of one iteration: assign each child
+    cell to its nearest parent (exact capped EDT with centroid fallback, or
+    pure centroid assignment), write piece LOCAL ids, and return the six raw
+    property components per piece — one fused program, zero host round-trips
+    (the in-scan analogue of partition_children_grid_batched).
+
+    The valid (child, parent) slots are compacted into LN dense LANES before
+    the heavy per-lane EDT, because typical merges have ~2 parents against
+    the P=10 padding. Children are spatially disjoint, so masking each
+    lane's distances to its own child's cells makes ONE global argmin over
+    lanes equal the per-child argmin — with identical tie-breaking (lanes
+    preserve (child asc, parent-row) order, so the lowest parent slot wins
+    ties exactly like the padded argmin did).
+
+    Returns (new_cur, piece components (K, P, 6), lane-overflow flag).
+    """
+    H, W = cur_loc.shape
+    K, P = parent_gids.shape
+    LN = sizes.LN
+
+    valid = jnp.logical_and(pvalid, (child_loc > 0)[:, None])
+    vflat = valid.reshape(-1)
+    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    idx = jnp.where(vflat, pos, LN)
+    n_lanes = jnp.sum(vflat.astype(jnp.int32))
+    overflow = n_lanes > LN
+
+    def compact(x, fill):
+        return jnp.full((LN,), fill, x.dtype).at[idx].set(x.reshape(-1), mode="drop")
+
+    lane_child = compact(jnp.broadcast_to(child_loc[:, None], (K, P)), 0)
+    lane_parent = compact(parent_gids, 0)
+    lane_piece = compact(piece_loc, 0)
+    lane_cy = compact(cents[..., 0], 0.0)
+    lane_cx = compact(cents[..., 1], 0.0)
+    lane_md = compact(jnp.broadcast_to(mdist[:, None], (K, P)), 0.0)
+    lane_kp = jnp.full((LN,), K * P, jnp.int32).at[idx].set(
+        jnp.arange(K * P, dtype=jnp.int32), mode="drop"
+    )
+    lane_valid = jnp.arange(LN) < n_lanes
+
+    cell_child = jnp.logical_and(
+        cur_loc[None] == lane_child[:, None, None], lane_valid[:, None, None]
+    )  # (LN, H, W)
+    in_child = jnp.any(cell_child, axis=0)
+
+    # centroid fallback (and the whole assignment when nn=False)
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    dy = y[None] - lane_cy[:, None, None]
+    dx = x[None] - lane_cx[:, None, None]
+    if wrap:
+        half = W / 2.0
+        dx = jnp.where(dx > half, dx - W, dx)
+        dx = jnp.where(dx < -half, dx + W, dx)
+    cd = dy * dy + dx * dx
+    cd = jnp.where(cell_child, cd, _INF)
+    fallback = jnp.argmin(cd, axis=0).astype(jnp.int32)
+
+    if nn:
+        pmask = jnp.logical_and(
+            gprev[None] == lane_parent[:, None, None], lane_valid[:, None, None]
+        )
+        d2 = _edt_dynwin(pmask, win_dyn, sizes.MAXWIN, wrap)
+        d = jnp.sqrt(d2)
+        d = jnp.where(d <= lane_md[:, None, None], d, _INF)
+        d = jnp.where(cell_child, d, _INF)
+        best = jnp.argmin(d, axis=0).astype(jnp.int32)
+        reached = jnp.isfinite(jnp.min(d, axis=0))
+        lane_sel = jnp.where(reached, best, fallback)
+    else:
+        lane_sel = fallback
+
+    upd = jnp.where(in_child, lane_piece[lane_sel], 0)
+    new_cur = jnp.where(upd > 0, upd, cur_loc)
+
+    # per-lane property components in one contraction
+    y_f = y.reshape(-1)
+    x_f = x.reshape(-1)
+    wall = jnp.stack(
+        [
+            jnp.ones_like(x_f),
+            y_f,
+            x_f,
+            (x_f > W / 2).astype(jnp.float32),
+            (x_f < EDGE_ZONE).astype(jnp.float32),
+            (x_f >= W - EDGE_ZONE).astype(jnp.float32),
+        ]
+    )  # (6, S)
+    one_hot = jnp.logical_and(
+        lane_sel[None] == jnp.arange(LN)[:, None, None], in_child[None]
+    ).reshape(LN, -1)
+    comps_lane = jnp.einsum("ls,cs->lc", one_hot.astype(jnp.float32), wall)  # (LN, 6)
+
+    pcomps = (
+        jnp.zeros((K * P + 1, 6), jnp.float32)
+        .at[lane_kp].set(comps_lane, mode="drop")[: K * P]
+        .reshape(K, P, 6)
+    )
+    return new_cur, pcomps, overflow
+
+
+# ---------------------------------------------------------------------------
+# the march
+# ---------------------------------------------------------------------------
+
+
+def _consolidate(state, pairs_back, sizes: MarchSizes):
+    """One consolidation pass (track.py:3422-3429 semantics): among the
+    thresholded back-pairs, every parent with more than one child has its
+    children renamed into the FIRST child (pair-row order); groups whose
+    first child is already consumed are skipped entirely. Returns the rename
+    table (chains resolved) to apply to maps, pairs and the object table."""
+    comps, alive, thr = state
+    ga, gb, w = pairs_back
+    MP, MAXC, NID = sizes.MP, sizes.MAXC, sizes.NID
+
+    keep = _threshold_keep(ga, gb, w, comps[:, 0], alive, thr, NID)
+    same_a = jnp.logical_and(ga[None, :] == ga[:, None], keep[None, :] & keep[:, None])
+    cnt_a = jnp.sum(same_a, axis=1)
+    multi = jnp.logical_and(keep, cnt_a > 1)
+    idx = jnp.arange(MP, dtype=jnp.int32)
+    gf = jnp.min(jnp.where(same_a, idx[None, :], MP), axis=1)  # first kept slot per group
+
+    def slot_body(i, carry):
+        alive_c, ren_old, ren_new, rc = carry
+        b_i = gb[i]
+        first_b = gb[jnp.clip(gf[i], 0, MP - 1)]
+        cond = jnp.logical_and(
+            jnp.logical_and(multi[i], i != gf[i]),
+            jnp.logical_and(
+                alive_c[jnp.clip(first_b, 0, NID - 1)], alive_c[jnp.clip(b_i, 0, NID - 1)]
+            ),
+        )
+        j = jnp.minimum(rc, MAXC - 1)
+        ren_old = ren_old.at[j].set(jnp.where(cond, b_i, ren_old[j]))
+        ren_new = ren_new.at[j].set(jnp.where(cond, first_b, ren_new[j]))
+        alive_c = alive_c.at[jnp.clip(b_i, 0, NID - 1)].set(
+            jnp.where(cond, False, alive_c[jnp.clip(b_i, 0, NID - 1)])
+        )
+        rc = rc + cond.astype(jnp.int32)
+        return alive_c, ren_old, ren_new, rc
+
+    ren_old0 = jnp.full((MAXC,), -1, jnp.int32)
+    ren_new0 = jnp.full((MAXC,), -1, jnp.int32)
+    alive2, ren_old, ren_new, rc = jax.lax.fori_loop(
+        0, MP, slot_body, (alive, ren_old0, ren_new0, jnp.int32(0))
+    )
+
+    # resolve chains by pointer jumping over the (old -> new) function
+    def jump(_, rn):
+        def one(x):
+            m = jnp.logical_and(ren_old == x, ren_old >= 0)
+            has = jnp.any(m)
+            j = jnp.argmax(m)
+            return jnp.where(has, rn[j], x)
+
+        return jax.vmap(one)(rn)
+
+    ren_res = jax.lax.fori_loop(0, 8, jump, ren_new)
+
+    # combine components of the consumed objects into their final targets
+    valid_r = ren_old >= 0
+    src = jnp.clip(jnp.where(valid_r, ren_old, NID), 0, NID)
+    dst = jnp.where(valid_r, jnp.clip(ren_res, 0, NID - 1), NID)
+    add = jnp.where(valid_r[:, None], comps[jnp.clip(src, 0, NID - 1)], 0.0)
+    comps2 = comps.at[dst].add(add, mode="drop")
+    return comps2, alive2, ren_old, ren_res, rc
+
+
+@partial(jax.jit, static_argnames=("sizes", "nn", "wrap"))
+def scan_march(
+    labels: jax.Array,      # (T, H, W) int32 per-slice-local dense labels
+    counts: jax.Array,      # (T,) int32 initial locals per slice
+    gmap0: jax.Array,       # (T, L+2) int32 initial local -> global (col 0 = 0)
+    comps0: jax.Array,      # (NID, 6) float32 initial components
+    alive0: jax.Array,      # (NID,) bool
+    next_new0: jax.Array,   # () int32 first free global id
+    thr: jax.Array,         # () float32 overlap threshold
+    sizes: MarchSizes,
+    nn: bool,
+    wrap: bool,
+):
+    """The complete split/merge march as ONE device program. Returns final
+    local labels, the local->global map, the object table, the pair state,
+    the merge ledger and the overflow flags. Requires T >= 2."""
+    T, H, W = labels.shape
+    L, MP, K, P, NID = sizes.L, sizes.MP, sizes.K, sizes.P, sizes.NID
+    MAXM = sizes.MAXM
+    GR = L + 2  # map-row length: locals 1..L, col 0 background, col L+1 spare
+    stride = L + 2
+
+    # ---- prologue: initial pair lists for every consecutive slice pair ----
+    def init_pairs(t):
+        pa, pb, pw, of = _extract_pairs_local(labels[t], labels[t + 1], MP, stride)
+        ga, gb, w = _map_pairs_to_global(pa, pb, pw, gmap0[t], gmap0[t + 1], MP)
+        return ga, gb, w, of
+
+    pga, pgb, pgw, of0 = jax.lax.map(init_pairs, jnp.arange(T - 1, dtype=jnp.int32))
+    flags0 = jnp.where(jnp.any(of0), FLAG_MP, 0).astype(jnp.int32)
+
+    ledger = dict(
+        m_t=jnp.zeros((MAXM,), jnp.int32),
+        m_np=jnp.zeros((MAXM,), jnp.int32),
+        m_parents=jnp.zeros((MAXM, P), jnp.int32),
+        m_children=jnp.zeros((MAXM, P), jnp.int32),
+        m_areas=jnp.zeros((MAXM, P), jnp.float32),
+    )
+
+    def step(carry, xs):
+        (prev, gmap, pga, pgb, pgw, comps, alive, next_new, m_cnt, ledger, flags,
+         nonconv, deleted, missing, dirty, perr) = carry
+        cur, count_t, t = xs
+        lused = count_t
+
+        gmap_prev = jax.lax.dynamic_slice(gmap, (t - 1, 0), (1, GR))[0]
+        gmap_cur = jax.lax.dynamic_slice(gmap, (t, 0), (1, GR))[0]
+
+        def get_pairs(arrs, i):
+            a, b, ww = arrs
+            return (
+                jax.lax.dynamic_slice(a, (i, 0), (1, MP))[0],
+                jax.lax.dynamic_slice(b, (i, 0), (1, MP))[0],
+                jax.lax.dynamic_slice(ww, (i, 0), (1, MP))[0],
+            )
+
+        def set_pairs(arrs, i, vals):
+            a, b, ww = arrs
+            na, nb, nw = vals
+            return (
+                jax.lax.dynamic_update_slice(a, na[None], (i, 0)),
+                jax.lax.dynamic_update_slice(b, nb[None], (i, 0)),
+                jax.lax.dynamic_update_slice(ww, nw[None], (i, 0)),
+            )
+
+        # ---- refresh pairs[t-1] if the previous step's partition dirtied it
+        def do_refresh(args):
+            pairs, flags = args
+            pa, pb, pw, of = _extract_pairs_local(prev, cur, MP, stride)
+            vals = _map_pairs_to_global(pa, pb, pw, gmap_prev, gmap_cur, MP)
+            return set_pairs(pairs, t - 1, vals), flags | jnp.where(of, FLAG_MP, 0)
+
+        (pga, pgb, pgw), flags = jax.lax.cond(
+            dirty, do_refresh, lambda a: a, ((pga, pgb, pgw), flags)
+        )
+
+        # ---- consolidation of slice t-1 using pairs(t-2 -> t-1) ----
+        def do_consolidate(args):
+            gmap, pairs, comps, alive, gmap_prev, flags = args
+            back = get_pairs(pairs, t - 2)
+            comps2, alive2, ren_old, ren_res, rc = _consolidate((comps, alive, thr), back, sizes)
+            flags = flags | jnp.where(rc > sizes.MAXC, FLAG_MAXC, 0)
+            # local->global row of slice t-1
+            row = _rename_slots(gmap_prev, ren_old, ren_res)
+            gmap = jax.lax.dynamic_update_slice(gmap, row[None], (t - 1, 0))
+            # pairs(t-2): b side renamed; pairs(t-1): a side renamed
+            ba, bb, bw = back
+            bb2 = _rename_slots(bb, ren_old, ren_res)
+            pairs = set_pairs(pairs, t - 2, _sort_aggregate_global(ba, bb2, bw, MP))
+            fa, fb, fw = get_pairs(pairs, t - 1)
+            fa2 = _rename_slots(fa, ren_old, ren_res)
+            pairs = set_pairs(pairs, t - 1, _sort_aggregate_global(fa2, fb, fw, MP))
+            return gmap, pairs, comps2, alive2, row, flags
+
+        gmap, (pga, pgb, pgw), comps, alive, gmap_prev, flags = jax.lax.cond(
+            t >= 2,
+            do_consolidate,
+            lambda a: a,
+            (gmap, (pga, pgb, pgw), comps, alive, gmap_prev, flags),
+        )
+
+        # ---- iterative merge resolution at slice t (<=10 iterations) ----
+        def loop_cond(st):
+            return jnp.logical_and(st["it"] < 10, st["pending"])
+
+        def loop_body(st):
+            cur = st["cur"]
+            comps, alive = st["comps"], st["alive"]
+            ga, gb, w = st["pairs"]
+            gmap_cur = st["gmap_cur"]
+
+            keep = _threshold_keep(ga, gb, w, comps[:, 0], alive, thr, NID)
+            same_b = jnp.logical_and(gb[None, :] == gb[:, None], keep[None, :] & keep[:, None])
+            cnt_b = jnp.sum(same_b, axis=1)
+            merging = jnp.logical_and(keep, cnt_b > 1)
+            has = jnp.any(merging)
+
+            def do_partition(st):
+                cur, comps, alive = st["cur"], st["comps"], st["alive"]
+                ga, gb, w = st["pairs"]
+                gmap_cur = st["gmap_cur"]
+                next_new, lused = st["next_new"], st["lused"]
+                m_cnt, ledger, flags = st["m_cnt"], st["ledger"], st["flags"]
+                perr = st["perr"]
+
+                # distinct merging children, ascending global id
+                def child_slot(prev_c, _):
+                    cand = jnp.where(jnp.logical_and(merging, gb > prev_c), gb, _IMAX)
+                    c = jnp.min(cand)
+                    return c, jnp.where(c != _IMAX, c, -1)
+
+                _, childs = jax.lax.scan(child_slot, jnp.int32(-1), None, length=K)
+                childs = childs.astype(jnp.int32)
+                child_valid = childs >= 0
+                n_children = jnp.sum(child_valid.astype(jnp.int32))
+                # distinct merging children (slots are (a,b)-sorted, so equal
+                # b values are NOT adjacent — count first-occurrences pairwise)
+                idx_mp = jnp.arange(MP, dtype=jnp.int32)
+                msame = jnp.logical_and(gb[None, :] == gb[:, None], merging[None, :] & merging[:, None])
+                mfirst = jnp.min(jnp.where(msame, idx_mp[None, :], MP), axis=1)
+                n_merging_total = jnp.sum(jnp.logical_and(merging, idx_mp == mfirst).astype(jnp.int32))
+                flags = flags | jnp.where(n_merging_total > K, FLAG_K, 0)
+
+                # parents of each child, pair-row (ascending) order
+                def parents_of(c):
+                    m = jnp.logical_and(gb == c, keep)
+                    order = jnp.argsort(jnp.where(m, jnp.arange(MP, dtype=jnp.int32), MP))
+                    sel = order[:P]
+                    pvalid = m[sel]
+                    return (
+                        jnp.where(pvalid, ga[sel], 0),
+                        jnp.where(pvalid, w[sel], 0.0),
+                        pvalid,
+                        jnp.sum(m.astype(jnp.int32)),
+                    )
+
+                par_g, par_w, pvalid, n_par = jax.vmap(parents_of)(jnp.where(child_valid, childs, -1))
+                n_par = jnp.where(child_valid, n_par, 0)
+                over_p = jnp.logical_and(child_valid, n_par > P)
+                flags = flags | jnp.where(jnp.any(over_p), FLAG_P, 0)
+                first_over = jnp.argmax(over_p)
+                perr = jnp.where(
+                    jnp.logical_and(jnp.any(over_p), perr[0] < 0),
+                    jnp.stack([t, childs[first_over], n_par[first_over]]),
+                    perr,
+                )
+
+                # new global ids: children ascending, parents in row order
+                n_new = jnp.where(child_valid, jnp.maximum(n_par - 1, 0), 0)
+                cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(n_new)[:-1]])
+                total_new = jnp.sum(n_new)
+                flags = flags | jnp.where(next_new + total_new > NID, FLAG_NID, 0)
+                flags = flags | jnp.where(lused + total_new > L, FLAG_L, 0)
+
+                pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+                piece_g = jnp.where(
+                    pidx == 0,
+                    childs[:, None],
+                    next_new + cum[:, None] + pidx - 1,
+                )
+                piece_g = jnp.where(pvalid, piece_g, 0)
+
+                # piece LOCAL ids: slot 0 reuses the child's local id
+                child_loc = jax.vmap(
+                    lambda c: jnp.where(
+                        c >= 0,
+                        jnp.argmax(jnp.where(gmap_cur == c, 1, 0)).astype(jnp.int32),
+                        0,
+                    )
+                )(childs)
+                piece_l = jnp.where(
+                    pidx == 0, child_loc[:, None], lused + cum[:, None] + pidx - 1 + 1
+                )
+                piece_l = jnp.where(pvalid, piece_l, 0)
+
+                # register new locals in the map row of slice t (sentinel GR
+                # falls outside the row and is dropped)
+                flat_l = jnp.where(
+                    jnp.logical_and(pvalid, jnp.logical_and(pidx > 0, piece_l <= L)), piece_l, GR
+                ).reshape(-1)
+                flat_g = piece_g.reshape(-1)
+                gmap_cur = gmap_cur.at[flat_l].set(flat_g, mode="drop")
+
+                # merge ledger rows (child order)
+                mrow = jnp.clip(m_cnt + jnp.cumsum(child_valid.astype(jnp.int32)) - 1, 0, MAXM - 1)
+                mrow = jnp.where(child_valid, mrow, MAXM)
+                ledger = dict(
+                    m_t=ledger["m_t"].at[mrow].set(t, mode="drop"),
+                    m_np=ledger["m_np"].at[mrow].set(jnp.minimum(n_par, P), mode="drop"),
+                    m_parents=ledger["m_parents"].at[mrow].set(par_g, mode="drop"),
+                    m_children=ledger["m_children"].at[mrow].set(piece_g, mode="drop"),
+                    m_areas=ledger["m_areas"].at[mrow].set(par_w, mode="drop"),
+                )
+                m_cnt2 = m_cnt + n_children
+                flags = flags | jnp.where(m_cnt2 > MAXM, FLAG_MAXM, 0)
+
+                # parent centroids + NN caps from the live table
+                pc = jnp.clip(par_g, 0, NID - 1)
+                cy, cx = _comps_to_centroid(comps[pc], W, wrap)
+                cents = jnp.stack([cy, cx], axis=-1)
+                cents = jnp.where(pvalid[..., None], cents, 0.0)
+                par_area = jnp.where(pvalid, comps[pc, 0], 0.0)
+                max_area = jnp.max(par_area, axis=1)
+                mdist = jnp.maximum(jnp.floor(jnp.sqrt(max_area) * 3.0), 40.0)
+                mdist = jnp.where(child_valid, mdist, 0.0)
+                win_dyn = jnp.ceil(jnp.max(mdist)).astype(jnp.int32)
+                # a window of H rows always covers the grid (y is not
+                # periodic), so only flag when the bucket can actually grow
+                if nn and sizes.MAXWIN < H:
+                    flags = flags | jnp.where(win_dyn > sizes.MAXWIN, FLAG_WIN, 0)
+                win_dyn = jnp.clip(win_dyn, 0, sizes.MAXWIN)
+
+                gprev = gmap_prev[jnp.clip(prev, 0, L + 1)]
+                new_cur, pcomps, lane_of = _partition_batch(
+                    gprev, cur, child_loc * child_valid, piece_l, par_g, pvalid,
+                    cents, mdist, win_dyn, sizes, nn, wrap,
+                )
+                flags = flags | jnp.where(lane_of, FLAG_LN, 0)
+
+                # table updates: pieces with area > 0 live; an empty piece 0
+                # deletes the child (parents split/morphed); empty new pieces
+                # are simply never added
+                flat_gid = jnp.clip(jnp.where(pvalid, piece_g, NID).reshape(-1), 0, NID)
+                flat_comps = pcomps.reshape(-1, 6)
+                has_area = flat_comps[:, 0] > 0
+                comps = comps.at[flat_gid].set(
+                    jnp.where(has_area[:, None], flat_comps, comps[jnp.clip(flat_gid, 0, NID - 1)]),
+                    mode="drop",
+                )
+                alive = alive.at[flat_gid].set(
+                    jnp.where(pvalid.reshape(-1), has_area, alive[jnp.clip(flat_gid, 0, NID - 1)]),
+                    mode="drop",
+                )
+                deleted_now = jnp.sum(
+                    jnp.logical_and(jnp.logical_and(pvalid[:, 0], child_valid), pcomps[:, 0, 0] <= 0)
+                )
+                missing_now = jnp.sum(
+                    jnp.logical_and(
+                        jnp.logical_and(pvalid, pidx > 0), pcomps[..., 0] <= 0
+                    )
+                )
+
+                # refresh pairs(t-1 -> t) from the rewritten slice
+                pa, pb, pw_, of = _extract_pairs_local(prev, new_cur, MP, stride)
+                ga2, gb2, w2 = _map_pairs_to_global(pa, pb, pw_, gmap_prev, gmap_cur, MP)
+                flags = flags | jnp.where(of, FLAG_MP, 0)
+
+                return dict(
+                    st,
+                    cur=new_cur,
+                    comps=comps,
+                    alive=alive,
+                    pairs=(ga2, gb2, w2),
+                    gmap_cur=gmap_cur,
+                    next_new=next_new + total_new,
+                    lused=lused + total_new,
+                    m_cnt=m_cnt2,
+                    ledger=ledger,
+                    flags=flags,
+                    perr=perr,
+                    deleted=st["deleted"] + deleted_now.astype(jnp.int32),
+                    missing=st["missing"] + missing_now.astype(jnp.int32),
+                    pending=jnp.bool_(True),
+                    touched=jnp.bool_(True),
+                )
+
+            def no_partition(st):
+                return dict(st, pending=jnp.bool_(False))
+
+            st = jax.lax.cond(has, do_partition, no_partition, st)
+            return dict(st, it=st["it"] + 1)
+
+        st0 = dict(
+            it=jnp.int32(0),
+            pending=jnp.bool_(True),
+            touched=jnp.bool_(False),
+            cur=cur,
+            comps=comps,
+            alive=alive,
+            pairs=get_pairs((pga, pgb, pgw), t - 1),
+            gmap_cur=gmap_cur,
+            next_new=next_new,
+            lused=lused,
+            m_cnt=m_cnt,
+            ledger=ledger,
+            flags=flags,
+            perr=perr,
+            deleted=deleted,
+            missing=missing,
+        )
+        st = jax.lax.while_loop(loop_cond, loop_body, st0)
+
+        nonconv = nonconv + jnp.logical_and(st["it"] >= 10, st["pending"]).astype(jnp.int32)
+        pga, pgb, pgw = set_pairs((pga, pgb, pgw), t - 1, st["pairs"])
+        gmap = jax.lax.dynamic_update_slice(gmap, st["gmap_cur"][None], (t, 0))
+
+        carry = (
+            st["cur"], gmap, pga, pgb, pgw, st["comps"], st["alive"], st["next_new"],
+            st["m_cnt"], st["ledger"], st["flags"], nonconv, st["deleted"], st["missing"],
+            st["touched"], st["perr"],
+        )
+        return carry, prev
+
+    perr0 = jnp.full((3,), -1, jnp.int32)
+    init = (
+        labels[0], gmap0, pga, pgb, pgw, comps0, alive0, next_new0,
+        jnp.int32(0), ledger, flags0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.bool_(False), perr0,
+    )
+    xs = (labels[1:], counts[1:], jnp.arange(1, T, dtype=jnp.int32))
+    (last, gmap, pga, pgb, pgw, comps, alive, next_new, m_cnt, ledger, flags,
+     nonconv, deleted, missing, dirty, perr), ys = jax.lax.scan(step, init, xs)
+
+    final_labels = jnp.concatenate([ys, last[None]], axis=0)
+    return dict(
+        labels=final_labels,
+        gmap=gmap,
+        pga=pga,
+        pgb=pgb,
+        pgw=pgw,
+        comps=comps,
+        alive=alive,
+        next_new=next_new,
+        m_cnt=m_cnt,
+        flags=flags,
+        nonconv=nonconv,
+        deleted=deleted,
+        missing=missing,
+        perr=perr,
+        **ledger,
+    )
+
+
+@jax.jit
+def map_to_global(labels: jax.Array, gmap: jax.Array) -> jax.Array:
+    """Final local -> global relabel: one gather per slice."""
+
+    def one(lab, row):
+        return row[jnp.clip(lab, 0, row.shape[0] - 1)]
+
+    return jax.vmap(one)(labels, gmap)

@@ -88,6 +88,50 @@ def event_global_id(new_flat: jax.Array, old_flat: jax.Array, n_events: int, tim
     return gid.reshape(T_pad, n_events + 2)[:T, : n_events + 1]
 
 
+@partial(jax.jit, static_argnames=("n_labels",))
+def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
+    """
+    Raw per-label property components on a regular grid — the six sums the
+    periodic-centroid formula (track.py:2075-2107) is built from:
+    ``[area, sum_y, sum_x, count(x > W/2), count(x < EDGE_ZONE),
+    count(x >= W - EDGE_ZONE)]``. Unlike :func:`grid_label_props` this
+    returns the components themselves, which combine EXACTLY under object
+    merges by addition — the on-device merge march's analytic object table.
+
+    labels : (T, H, W) int32 dense in [0, n_labels]
+    Returns (T, n_labels + 1, 6) float32.
+    """
+    T, H, W = labels.shape
+    lf = labels.reshape(T, H * W)
+    y_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(H * W)
+    x_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(H * W)
+    w = jnp.ones((H * W,), jnp.float32)
+    wall = jnp.stack(
+        [
+            w,
+            y_idx,
+            x_idx,
+            (x_idx > W / 2).astype(jnp.float32),
+            (x_idx < EDGE_ZONE).astype(jnp.float32),
+            (x_idx >= W - EDGE_ZONE).astype(jnp.float32),
+        ]
+    )  # (6, S)
+
+    def block(lfb):
+        def per_label(_, lbl):
+            m = (lfb == lbl).astype(jnp.float32)
+            return None, jnp.einsum("ks,ts->tk", wall, m)
+
+        _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
+        return jnp.moveaxis(out, 0, 1)
+
+    tb = min(64, T)
+    n_blocks = -(-T // tb)
+    T_pad = n_blocks * tb
+    lf_p = jnp.pad(lf, ((0, T_pad - T), (0, 0)), constant_values=-1) if T_pad != T else lf
+    return jax.lax.map(block, lf_p.reshape(n_blocks, tb, H * W)).reshape(T_pad, n_labels + 1, 6)[:T]
+
+
 @partial(jax.jit, static_argnames=("n_labels", "wrap"))
 def grid_label_props(
     labels: jax.Array, n_labels: int, wrap: bool, cell_weights: jax.Array | None = None

@@ -32,6 +32,7 @@ from .core.field import Coord, Field, FieldSet, as_field
 from .exceptions import ConfigurationError, TrackingError, create_coordinate_error, create_data_validation_error
 from .logging_config import configure_logging, get_logger, log_array_info, log_memory_usage, log_timing
 from .ops import label as _label
+from .ops import march as _march
 from .ops import morphology as _morph
 from .ops import overlap as _overlap
 from .ops import partition as _part
@@ -40,6 +41,10 @@ from .ops import properties as _props
 logger = get_logger(__name__)
 
 MAX_PARENTS = 10  # padded parent capacity per merge event (track.py:3827-3830)
+
+# last successful scan-march capacity buckets per problem shape: repeat runs
+# (benchmarks, parameter sweeps) skip the capacity-retry ladder entirely
+_SCAN_SIZE_CACHE: Dict[Tuple, Dict[str, int]] = {}
 
 
 # ============================
@@ -1079,15 +1084,21 @@ class tracker:
         labels_slices, counts = self._label_slices(data_bin)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
-        object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
-        logger.info("Finished calculating object properties")
+        scan_result = None
+        if self._scan_march_enabled():
+            scan_result = self._split_and_merge_scan(labels_slices, counts, offsets)
+        if scan_result is not None:
+            labels_dev, object_table, overlap_list, merge_events = scan_result
+        else:
+            object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
+            logger.info("Finished calculating object properties")
 
-        labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
-        del labels_slices  # free the pre-offset full-field buffer
-        logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
+            labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
+            del labels_slices  # free the pre-offset full-field buffer
+            logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
 
-        store = _SliceStore(labels_dev)
-        labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
+            store = _SliceStore(labels_dev)
+            labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
         logger.info("Finished splitting and merging objects")
 
         events_ds, N_events = self._cluster_rename(labels_dev, object_table, overlap_list, merge_events)
@@ -1533,6 +1544,254 @@ class tracker:
                 )
 
         merge_events = _build_merge_events(merge_times, merge_child_ids, merge_parent_ids, merge_areas)
+        return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
+
+    def _scan_march_enabled(self) -> bool:
+        """The fully on-device scan march covers the gridded path (both
+        regional and global, nn and centroid partitioning); unstructured
+        meshes still use the per-step device march."""
+        if self.unstructured_grid:
+            return False
+        return getattr(self, "use_scan_march", True) and os.environ.get("MAREX_NO_SCAN_MARCH", "") != "1"
+
+    def _split_and_merge_scan(self, labels_local: jnp.ndarray, counts: np.ndarray, offsets: np.ndarray):
+        """
+        Run the split/merge march as ONE device program (ops/march.py) —
+        identical semantics to :meth:`_split_and_merge_device` but with ~3
+        dispatch round-trips total instead of several per merge-active
+        timestep. Returns ``(labels_dev, table, overlap_list, merge_events)``
+        or ``None`` to fall back to the per-step device march (tiny inputs or
+        repeated capacity-bucket overflows).
+        """
+        T = int(labels_local.shape[0])
+        H, W = int(labels_local.shape[1]), int(labels_local.shape[2])
+        Lmax = int(counts.max()) if counts.size else 0
+        total = int(counts.sum())
+        if T < 2 or Lmax == 0:
+            return None
+
+        def pow2(n: int) -> int:
+            return 1 << max(0, int(n - 1).bit_length())
+
+        comps_loc = np.asarray(_props.grid_label_comps(labels_local, Lmax))  # (T, Lmax+1, 6)
+        self._count_dispatch("march_comps")
+
+        sizes = dict(
+            L=max(pow2(2 * Lmax + 16), 32),
+            MP=min(max(pow2(4 * Lmax), 128), 2048),
+            K=8,
+            P=MAX_PARENTS,
+            NID=pow2(2 * total + 1024),
+            MAXC=128,
+            MAXM=4096,
+            MAXWIN=min(128, H) if self.nn_partitioning else 8,
+            LN=32,
+        )
+        wrap = not self.regional_mode
+        # start from the last successful buckets for this problem shape so
+        # repeat runs skip the capacity-retry ladder (and its recompiles)
+        cache_key = (T, H, W, bool(self.nn_partitioning), wrap)
+        cached = _SCAN_SIZE_CACHE.get(cache_key)
+        if cached:
+            for k, v in cached.items():
+                sizes[k] = max(sizes[k], v)
+
+        out = None
+        for attempt in range(7):
+            L = sizes["L"]
+            NID = sizes["NID"]
+            gmap0 = np.zeros((T, L + 2), np.int32)
+            comps0 = np.zeros((NID, 6), np.float32)
+            alive0 = np.zeros((NID,), bool)
+            for t in range(T):
+                n = int(counts[t])
+                if n == 0:
+                    continue
+                g0 = int(offsets[t]) + 1
+                gmap0[t, 1 : n + 1] = np.arange(g0, g0 + n, dtype=np.int32)
+                comps0[g0 : g0 + n] = comps_loc[t, 1 : n + 1]
+                alive0[g0 : g0 + n] = True
+
+            msizes = _march.MarchSizes(**sizes)
+            out = _march.scan_march(
+                jnp.asarray(labels_local),
+                jnp.asarray(counts.astype(np.int32)),
+                jnp.asarray(gmap0),
+                jnp.asarray(comps0),
+                jnp.asarray(alive0),
+                jnp.int32(total + 1),
+                jnp.float32(self.overlap_threshold),
+                msizes,
+                bool(self.nn_partitioning),
+                wrap,
+            )
+            self._count_dispatch("march_scan")
+            flags = int(out["flags"])
+            if flags & _march.FLAG_P:
+                perr = np.asarray(out["perr"])
+                raise TrackingError(
+                    "Too many parent objects for tracking",
+                    details=f"Child {int(perr[1])} has {int(perr[2])} parents (limit: {MAX_PARENTS})",
+                    suggestions=[
+                        "Increase overlap_threshold to reduce fragmentation",
+                        "Apply stronger area filtering",
+                    ],
+                    context={"child_id": int(perr[1]), "n_parents": int(perr[2]), "limit": MAX_PARENTS},
+                )
+            if flags == 0:
+                _SCAN_SIZE_CACHE[cache_key] = dict(sizes)
+                break
+            # grow the offending capacity buckets and recompile (rare)
+            if flags & _march.FLAG_MP:
+                sizes["MP"] = min(sizes["MP"] * 4, 1 << 14)
+            if flags & _march.FLAG_K:
+                sizes["K"] *= 2
+            if flags & _march.FLAG_L:
+                sizes["L"] *= 2
+            if flags & _march.FLAG_MAXC:
+                sizes["MAXC"] *= 2
+            if flags & _march.FLAG_MAXM:
+                sizes["MAXM"] *= 4
+            if flags & _march.FLAG_NID:
+                sizes["NID"] *= 2
+            if flags & _march.FLAG_WIN:
+                sizes["MAXWIN"] = min(sizes["MAXWIN"] * 2, H)
+            if flags & _march.FLAG_LN:
+                sizes["LN"] *= 2
+            sizes["LN"] = max(sizes["LN"], 2 * sizes["K"])
+            logger.info(f"Scan march capacity retry {attempt + 1}: flags={flags:#x} -> {sizes}")
+            out = None
+        if out is None:
+            logger.warning("Scan march exceeded capacity retries; falling back to per-step march")
+            return None
+
+        # ---- host epilogue -------------------------------------------------
+        gmap = np.asarray(out["gmap"]).copy()
+        comps = np.asarray(out["comps"]).astype(np.float64)
+        alive = np.asarray(out["alive"]).copy()
+        pga = np.asarray(out["pga"]).copy()
+        pgb = np.asarray(out["pgb"]).copy()
+        pgw = np.asarray(out["pgw"]).astype(np.float64)
+
+        def thresholded(t_idx: int):
+            va = pga[t_idx] >= 0
+            a = pga[t_idx][va].astype(np.int64)
+            b = pgb[t_idx][va].astype(np.int64)
+            w = pgw[t_idx][va]
+            ok = alive[a] & alive[b]
+            a, b, w = a[ok], b[ok], w[ok]
+            min_area = np.minimum(comps[a, 0], comps[b, 0])
+            keep = (min_area > 0) & (w / np.maximum(min_area, 1e-300) >= self.overlap_threshold)
+            return np.column_stack([a[keep], b[keep], w[keep]]).astype(np.float64)
+
+        # end-of-series consolidation of slice T-1 (parity with the host
+        # march's final _consolidate_slice_device call)
+        back = thresholded(T - 2)
+        if len(back):
+            parents, counts_p = np.unique(back[:, 0], return_counts=True)
+            ren: Dict[int, int] = {}
+            for parent_id in parents[counts_p > 1]:
+                children = back[back[:, 0] == parent_id, 1].astype(np.int64)
+                first = int(children[0])
+                if not alive[first]:
+                    continue
+                changed = False
+                for child in children[1:]:
+                    child = int(child)
+                    if not alive[child]:
+                        continue
+                    ren[child] = first
+                    alive[child] = False
+                    changed = True
+            if ren:
+
+                def resolve(x: int) -> int:
+                    seen = set()
+                    while x in ren and x not in seen:
+                        seen.add(x)
+                        x = ren[x]
+                    return x
+
+                for old in list(ren):
+                    tgt = resolve(old)
+                    comps[tgt] += comps[old]
+                row = gmap[T - 1]
+                for old in ren:
+                    row[row == old] = resolve(old)
+                vb = pgb[T - 2]
+                for old in ren:
+                    vb[vb == old] = resolve(old)
+                # aggregate duplicate (a, b) rows created by the renames
+                va = pga[T - 2] >= 0
+                key = pga[T - 2].astype(np.int64) * (1 << 32) + vb.astype(np.int64)
+                key[~va] = -1
+                uniq, inv = np.unique(key, return_inverse=True)
+                wagg = np.zeros(len(uniq))
+                np.add.at(wagg, inv, pgw[T - 2])
+                newa = np.full_like(pga[T - 2], -1)
+                newb = np.full_like(pgb[T - 2], -1)
+                neww = np.zeros_like(pgw[T - 2])
+                valid_u = uniq >= 0
+                nvu = int(valid_u.sum())
+                newa[:nvu] = (uniq[valid_u] >> 32).astype(np.int32)
+                newb[:nvu] = (uniq[valid_u] & 0xFFFFFFFF).astype(np.int32)
+                neww[:nvu] = wagg[valid_u]
+                pga[T - 2], pgb[T - 2], pgw[T - 2] = newa, newb, neww
+
+        # final overlap list: every thresholded pair of the final state
+        overlaps = [thresholded(t) for t in range(T - 1)]
+        overlap_list = np.concatenate(overlaps) if overlaps else np.empty((0, 3))
+        if len(overlap_list):
+            uc, cc = np.unique(overlap_list[:, 1], return_counts=True)
+            dups = uc[cc > 1]
+            if len(dups):
+                logger.warning(
+                    f"There are {len(dups)} children with multiple parents after splitting/merging "
+                    "(expected for disjoint objects grouped by the overlap logic)"
+                )
+
+        # final table
+        table = ObjectTable()
+        ids = np.nonzero(alive)[0]
+        area_v = comps[ids, 0]
+        safe = np.maximum(area_v, 1e-300)
+        cy_v = comps[ids, 1] / safe
+        cx_plain = comps[ids, 2] / safe
+        cx_adj = (comps[ids, 2] - W * comps[ids, 3]) / safe
+        cx_adj = np.where(cx_adj < 0, cx_adj + W, cx_adj)
+        wrapped = wrap & (comps[ids, 4] > 0) & (comps[ids, 5] > 0)
+        cx_v = np.where(wrapped, cx_adj, cx_plain)
+        for i, gid in enumerate(ids):
+            if area_v[i] > 0:
+                table.add(int(gid), float(area_v[i]), float(cy_v[i]), float(cx_v[i]))
+
+        # merge ledger -> merge_events
+        m_cnt = int(out["m_cnt"])
+        m_t = np.asarray(out["m_t"])[:m_cnt]
+        m_np_ = np.asarray(out["m_np"])[:m_cnt]
+        m_parents = np.asarray(out["m_parents"])[:m_cnt]
+        m_children = np.asarray(out["m_children"])[:m_cnt]
+        m_areas = np.asarray(out["m_areas"])[:m_cnt]
+        time_values = np.asarray(self.data_bin.coords[self.timecoord].values)
+        merge_times = [time_values[int(m_t[i])] for i in range(m_cnt)]
+        merge_child_ids = [m_children[i, : m_np_[i]].astype(np.int64) for i in range(m_cnt)]
+        merge_parent_ids = [m_parents[i, : m_np_[i]].astype(np.int64) for i in range(m_cnt)]
+        merge_areas = [m_areas[i, : m_np_[i]].astype(np.float64) for i in range(m_cnt)]
+        merge_events = _build_merge_events(merge_times, merge_child_ids, merge_parent_ids, merge_areas)
+
+        nonconv = int(out["nonconv"])
+        if nonconv:
+            logger.warning(f"Resolving mergers did not converge after 10 iterations at {nonconv} timestep(s)")
+        deleted = int(out["deleted"])
+        if deleted:
+            logger.info(f"Deleted {deleted} child object(s) because parents have split/morphed")
+        missing = int(out["missing"])
+        if missing:
+            logger.warning(f"Missing {missing} newly created child object(s) because parents have split/morphed")
+
+        labels_dev = _march.map_to_global(out["labels"], jnp.asarray(gmap))
+        self._count_dispatch("march_map")
+        logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
         return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
 
     def _split_and_merge(self, store: "_SliceStore", table: ObjectTable):
