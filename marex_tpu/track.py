@@ -306,7 +306,19 @@ class tracker:
         self._resolve_area_filtering_parameters(area_filter_quartile, area_filter_absolute)
         self.allow_merging = allow_merging
         self.nn_partitioning = nn_partitioning
-        self.overlap_threshold = overlap_threshold
+        if not (0.0 <= float(overlap_threshold) <= 1.0):
+            # a threshold outside [0, 1] silently disables (or trivially
+            # accepts) every overlap link — reject it up front
+            raise ConfigurationError(
+                f"Invalid overlap_threshold {overlap_threshold}",
+                details="overlap_threshold is the minimum overlap fraction (0-1) for linking objects in time",
+                suggestions=[
+                    "Use a value between 0 and 1 (the reference default is 0.5)",
+                    "Lower the threshold to link more objects; raise it to link fewer",
+                ],
+                context={"overlap_threshold": overlap_threshold},
+            )
+        self.overlap_threshold = float(overlap_threshold)
 
         self.lat = np.asarray(self.data_bin.coords[self.ycoord].values, dtype=np.float64)
         self.lon = np.asarray(self.data_bin.coords[self.xcoord].values, dtype=np.float64)

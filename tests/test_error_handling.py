@@ -171,3 +171,184 @@ class TestErrorStructure:
             assert d["context"]["threshold_percentile"] == 10
         else:  # pragma: no cover
             pytest.fail("expected ConfigurationError")
+
+
+class TestExceptionHierarchy:
+    """Unit coverage of every exception class and factory
+    (cf. marEx/exceptions.py and tests/test_error_handling.py)."""
+
+    ALL_CLASSES = [
+        (marEx.exceptions.MarExError, "MAREX_ERROR"),
+        (marEx.exceptions.DataValidationError, "DATA_VALIDATION_ERROR"),
+        (marEx.exceptions.CoordinateError, "COORDINATE_ERROR"),
+        (marEx.exceptions.ProcessingError, "PROCESSING_ERROR"),
+        (marEx.exceptions.ConfigurationError, "CONFIGURATION_ERROR"),
+        (marEx.exceptions.DependencyError, "DEPENDENCY_ERROR"),
+        (marEx.exceptions.TrackingError, "TRACKING_ERROR"),
+        (marEx.exceptions.VisualisationError, "VISUALISATION_ERROR"),
+        (marEx.exceptions.DeviceError, "DEVICE_ERROR"),
+    ]
+
+    @pytest.mark.parametrize("cls,code", ALL_CLASSES, ids=[c.__name__ for c, _ in ALL_CLASSES])
+    def test_default_error_codes(self, cls, code):
+        err = cls("boom")
+        assert err.error_code == code
+        assert isinstance(err, marEx.exceptions.MarExError)
+        assert str(err) == "boom"
+
+    def test_explicit_code_overrides_default(self):
+        err = marEx.exceptions.ProcessingError("x", error_code="CUSTOM_42")
+        assert err.error_code == "CUSTOM_42"
+
+    def test_formatting_includes_all_sections(self):
+        err = marEx.exceptions.ConfigurationError(
+            "Bad parameter",
+            details="R_fill must be non-negative",
+            suggestions=["Use R_fill >= 0", "See the docs"],
+            context={"R_fill": -3},
+        )
+        text = str(err)
+        assert "Bad parameter" in text
+        assert "Details: R_fill must be non-negative" in text
+        assert "Suggestions:" in text and "- Use R_fill >= 0" in text
+        assert "Context:" in text and "R_fill=-3" in text
+
+    def test_to_dict_round_trip(self):
+        err = marEx.exceptions.TrackingError(
+            "march failed", suggestions=["lower threshold"], context={"step": 7}
+        )
+        d = err.to_dict()
+        assert d["type"] == "TrackingError"
+        assert d["message"] == "march failed"
+        assert d["suggestions"] == ["lower threshold"]
+        assert d["context"] == {"step": 7}
+        assert d["error_code"] == "TRACKING_ERROR"
+
+    def test_data_validation_data_info_merges_into_context(self):
+        err = marEx.exceptions.DataValidationError(
+            "bad data", data_info={"shape": (3, 4)}, context={"stage": "detect"}
+        )
+        assert err.context["shape"] == (3, 4)
+        assert err.context["stage"] == "detect"
+        assert err.data_info == {"shape": (3, 4)}
+
+    def test_tracking_error_dict_details_becomes_context(self):
+        err = marEx.exceptions.TrackingError("overflow", details={"child_id": 9, "n_parents": 12})
+        assert err.context["child_id"] == 9
+        assert err.details is None
+
+    def test_tracking_error_string_details_preserved(self):
+        err = marEx.exceptions.TrackingError("overflow", details="child 9 has 12 parents")
+        assert err.details == "child 9 has 12 parents"
+
+
+class TestFactories:
+    def test_create_data_validation_error(self):
+        err = marEx.exceptions.create_data_validation_error(
+            "bad", details="d", suggestions=["s"], data_info={"dtype": "float16"}
+        )
+        assert isinstance(err, marEx.exceptions.DataValidationError)
+        assert err.context["dtype"] == "float16" and err.suggestions == ["s"]
+
+    def test_create_coordinate_error(self):
+        err = marEx.exceptions.create_coordinate_error("bad coord", context={"lat_range": (-95, 90)})
+        assert isinstance(err, marEx.exceptions.CoordinateError)
+        assert err.context["lat_range"] == (-95, 90)
+
+    def test_create_processing_error(self):
+        err = marEx.exceptions.create_processing_error("stage died", suggestions=["retry"])
+        assert isinstance(err, marEx.exceptions.ProcessingError)
+        assert err.suggestions == ["retry"]
+
+    def test_create_tracking_error(self):
+        err = marEx.exceptions.create_tracking_error("no overlap", details="d")
+        assert isinstance(err, marEx.exceptions.TrackingError)
+        assert err.details == "d"
+
+
+class TestWrapException:
+    def test_wraps_foreign_exception_with_cause(self):
+        orig = ValueError("negative size")
+        wrapped = marEx.exceptions.wrap_exception(orig)
+        assert isinstance(wrapped, marEx.exceptions.ProcessingError)
+        assert wrapped.__cause__ is orig
+        assert wrapped.context["original_type"] == "ValueError"
+        assert "negative size" in wrapped.message
+
+    def test_passthrough_marex_error_without_message(self):
+        orig = marEx.exceptions.ConfigurationError("already typed")
+        assert marEx.exceptions.wrap_exception(orig) is orig
+
+    def test_rewrap_marex_error_with_message(self):
+        orig = marEx.exceptions.ConfigurationError("inner")
+        wrapped = marEx.exceptions.wrap_exception(orig, message="outer view", error_class=marEx.exceptions.TrackingError)
+        assert wrapped is not orig
+        assert isinstance(wrapped, marEx.exceptions.TrackingError)
+        assert wrapped.message == "outer view"
+
+    def test_custom_class_and_suggestions(self):
+        wrapped = marEx.exceptions.wrap_exception(
+            KeyError("lat"), message="missing coordinate",
+            error_class=marEx.exceptions.CoordinateError, suggestions=["add a lat coord"],
+        )
+        assert isinstance(wrapped, marEx.exceptions.CoordinateError)
+        assert wrapped.suggestions == ["add a lat coord"]
+
+
+class TestPublicExceptionSurface:
+    def test_exceptions_exported_at_top_level(self):
+        for name in (
+            "MarExError", "DataValidationError", "CoordinateError", "ProcessingError",
+            "ConfigurationError", "DependencyError", "TrackingError", "VisualisationError",
+        ):
+            assert hasattr(marEx, name), f"marEx.{name} missing from the public surface"
+
+    def test_catching_base_class_catches_all(self, sst):
+        with pytest.raises(marEx.MarExError):
+            marEx.preprocess_data(sst, method_anomaly="nope", quiet=True)
+
+
+class TestTrackerErrorDepth:
+    def _blob(self, T=4):
+        data = np.zeros((T, 12, 24), bool)
+        data[:, 4:8, 6:12] = True
+        return Field(
+            data,
+            ("time", "lat", "lon"),
+            coords={
+                "time": pd.date_range("2020-01-01", periods=T, freq="D").to_numpy(),
+                "lat": np.linspace(-30, 30, 12),
+                "lon": np.linspace(0, 360, 24, endpoint=False),
+            },
+            name="extreme_events",
+        )
+
+    def _mask(self):
+        return Field(
+            np.ones((12, 24), bool),
+            ("lat", "lon"),
+            coords={"lat": np.linspace(-30, 30, 12), "lon": np.linspace(0, 360, 24, endpoint=False)},
+            name="mask",
+        )
+
+    def test_overlap_threshold_out_of_range(self):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.tracker(self._blob(), self._mask(), R_fill=0, area_filter_quartile=0.5,
+                          overlap_threshold=1.5, quiet=True)
+        _expect(ei, "overlap")
+
+    def test_quartile_out_of_range(self):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.tracker(self._blob(), self._mask(), R_fill=0, area_filter_quartile=1.5, quiet=True)
+        _expect(ei, "quartile")
+
+    def test_non_boolean_input_rejected_with_context(self):
+        bad = self._blob()._replace(data=self._blob().values.astype(np.float32))
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.tracker(bad, self._mask(), R_fill=0, area_filter_quartile=0.5, quiet=True)
+        assert ei.value.suggestions
+
+    def test_both_area_filters_rejected(self):
+        with pytest.raises(marEx.ConfigurationError):
+            marEx.tracker(self._blob(), self._mask(), R_fill=0, area_filter_quartile=0.5,
+                          area_filter_absolute=10, quiet=True)

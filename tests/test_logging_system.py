@@ -184,3 +184,133 @@ class TestProgressLogger:
                 p.update()
         assert not any("silent" in r.message for r in caplog.records)
         set_normal_logging()
+
+
+class TestFormats:
+    def test_quiet_format_is_bare(self, tmp_path, capsys):
+        lg = configure_logging(quiet=True)
+        fmt = [h.formatter._fmt for h in lg.handlers if not isinstance(h, logging.handlers.RotatingFileHandler)][0]
+        assert fmt == "%(levelname)s: %(message)s"
+
+    def test_verbose_format_has_location(self):
+        lg = configure_logging(verbose=True)
+        fmt = [h.formatter._fmt for h in lg.handlers][0]
+        assert "%(filename)s" in fmt and "%(lineno)d" in fmt
+
+    def test_normal_format_has_timestamp_and_name(self):
+        lg = configure_logging()
+        fmt = [h.formatter._fmt for h in lg.handlers][0]
+        assert "%(asctime)s" in fmt and "%(name)s" in fmt
+        assert "%(filename)s" not in fmt
+
+    def test_file_handler_always_verbose_format(self, tmp_path):
+        lg = configure_logging(quiet=True, log_file=str(tmp_path / "f.log"))
+        fh = [h for h in lg.handlers if isinstance(h, logging.handlers.RotatingFileHandler)][0]
+        assert "%(filename)s" in fh.formatter._fmt
+
+
+class TestEnvFlagParsing:
+    @pytest.mark.parametrize("val", ["1", "true", "yes", "on", "TRUE", " Yes "])
+    def test_truthy(self, val, monkeypatch):
+        monkeypatch.setenv("MAREX_VERBOSE", val)
+        configure_logging()
+        assert is_verbose_mode()
+
+    @pytest.mark.parametrize("val", ["0", "false", "no", "off", "", "2"])
+    def test_falsy(self, val, monkeypatch):
+        monkeypatch.setenv("MAREX_VERBOSE", val)
+        configure_logging()
+        assert not is_verbose_mode()
+
+    def test_invalid_log_level_falls_back(self, monkeypatch):
+        monkeypatch.setenv("MAREX_LOG_LEVEL", "chatty")
+        lg = configure_logging()
+        assert lg.level == logging.INFO  # normal-mode default
+
+
+class TestRotationBehaviour:
+    def test_file_actually_rotates(self, tmp_path):
+        """Write past maxBytes and verify backup files appear (the reference
+        pins real rollover, tests/test_logging_system.py)."""
+        path = tmp_path / "rot.log"
+        lg = configure_logging(log_file=str(path), max_file_size_mb=1, backup_count=2)
+        fh = [h for h in lg.handlers if isinstance(h, logging.handlers.RotatingFileHandler)][0]
+        fh.maxBytes = 4096  # shrink so the test stays fast
+        payload = "x" * 512
+        for _ in range(40):
+            lg.warning(payload)
+        for h in lg.handlers:
+            h.flush()
+        backups = sorted(tmp_path.glob("rot.log.*"))
+        assert path.exists() and len(backups) >= 1
+        assert len(backups) <= 2  # backup_count respected
+        configure_logging()  # release handles
+
+    def test_reconfigure_closes_previous_file(self, tmp_path):
+        configure_logging(log_file=str(tmp_path / "one.log"))
+        lg = configure_logging(log_file=str(tmp_path / "two.log"))
+        fhs = [h for h in lg.handlers if isinstance(h, logging.handlers.RotatingFileHandler)]
+        assert len(fhs) == 1 and fhs[0].baseFilename.endswith("two.log")
+
+
+class TestTimingDepth:
+    def test_log_timing_reports_memory_delta(self, caplog):
+        lg = get_logger("marex_tpu.test_timing_mem")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            with log_timing(lg, "mem-op", log_memory=True):
+                _ = np.zeros(1000)
+        done = [r.message for r in caplog.records if "mem-op" in r.message][-1]
+        assert "host mem" in done and "MB" in done
+
+    def test_log_timing_show_progress_start_line(self, caplog):
+        set_normal_logging()
+        logging.getLogger("marex_tpu").propagate = True
+        lg = get_logger("marex_tpu.test_timing_prog")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            with log_timing(lg, "staged-op", show_progress=True):
+                pass
+        msgs = [r.message for r in caplog.records]
+        assert any(m.startswith("Starting: staged-op") for m in msgs)
+        assert any(m.startswith("Completed: staged-op") for m in msgs)
+
+    def test_log_timing_survives_exception(self, caplog):
+        lg = get_logger("marex_tpu.test_timing_exc")
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            with pytest.raises(ValueError):
+                with log_timing(lg, "failing-op"):
+                    raise ValueError("boom")
+        assert any("failing-op" in r.message for r in caplog.records)
+
+    def test_log_function_call_times_and_propagates_errors(self, caplog):
+        lg = get_logger("marex_tpu.test_decor2")
+
+        @log_function_call(lg, level=logging.INFO)
+        def explode():
+            raise RuntimeError("nope")
+
+        with caplog.at_level(logging.INFO, logger="marex_tpu"):
+            with pytest.raises(RuntimeError):
+                explode()
+        joined = " ".join(r.message for r in caplog.records)
+        assert "Finished" in joined and "explode" in joined
+
+
+class TestLoggerHierarchy:
+    def test_get_logger_prefixing(self):
+        assert get_logger().name == "marex_tpu"
+        assert get_logger("marex_tpu").name == "marex_tpu"
+        assert get_logger("detect").name == "marex_tpu.detect"
+        assert get_logger("marex_tpu.track").name == "marex_tpu.track"
+
+    def test_package_logger_does_not_propagate_after_configure(self):
+        lg = configure_logging()
+        assert lg.propagate is False
+
+    def test_quiet_mode_from_pipeline_kwarg(self):
+        """preprocess_data(quiet=True) routes through configure_logging."""
+        from marex_tpu.logging_config import configure_logging as cl
+
+        cl(quiet=True)
+        assert is_quiet_mode()
+        lg = get_logger()
+        assert lg.level >= logging.WARNING
