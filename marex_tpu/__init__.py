@@ -139,7 +139,15 @@ def __getattr__(name):
     if name in ("specify_grid", "PlotConfig", "plotX"):
         mod = importlib.import_module(".plotX", __name__)
         return mod if name == "plotX" else getattr(mod, name)
-    if name in ("configure_dask", "configure_devices", "start_local_cluster", "start_distributed_cluster", "helper"):
+    if name in (
+        "configure_dask",
+        "configure_devices",
+        "start_local_cluster",
+        "start_distributed_cluster",
+        "helper",
+        "check_device_health",
+        "run_with_retries",
+    ):
         mod = importlib.import_module(".helper", __name__)
         return mod if name == "helper" else getattr(mod, name)
     if name == "io":

@@ -230,3 +230,128 @@ def memory_summary() -> Dict[str, float]:
     except Exception:  # pragma: no cover
         pass
     return out
+
+
+# ----------------------------------------------------------------------------
+# Failure detection / elastic recovery
+# ----------------------------------------------------------------------------
+#
+# The reference inherits worker-failure tolerance from Dask's nanny processes
+# (helper.py:49-66: dead workers restart and their tasks reschedule). A JAX
+# SPMD runtime has no task graph to reschedule, so the equivalent envelope is
+# built from three pieces: explicit device *health checks* (failure
+# detection), a *retry wrapper* that re-dispatches a failed stage after
+# clearing compiled state (recovery), and configuration-fingerprinted stage
+# checkpoints with ``tracker(checkpoint='auto')`` (crash resume).
+
+
+def check_device_health(raise_on_error: bool = True) -> Dict[str, Any]:
+    """
+    Probe every local accelerator device with a tiny compiled program.
+
+    Returns a dict with per-device ``ok`` status and error strings. With
+    ``raise_on_error`` a failing device raises :class:`DeviceError`
+    carrying the probe failures in its context.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .exceptions import DeviceError
+
+    report: Dict[str, Any] = {"devices": [], "ok": True}
+    for d in jax.local_devices():
+        entry: Dict[str, Any] = {"id": d.id, "kind": getattr(d, "device_kind", "?"), "ok": True}
+        try:
+            x = jax.device_put(jnp.arange(8, dtype=jnp.float32), d)
+            val = float(jax.jit(lambda v: jnp.sum(v * 2.0))(x))
+            if val != 56.0:
+                entry["ok"] = False
+                entry["error"] = f"probe returned {val}, expected 56.0"
+        except Exception as e:  # pragma: no cover - only on real device failure
+            entry["ok"] = False
+            entry["error"] = f"{type(e).__name__}: {e}"
+        report["devices"].append(entry)
+        report["ok"] &= entry["ok"]
+    if not report["ok"]:
+        bad = [e for e in report["devices"] if not e["ok"]]
+        logger.error(f"Device health check failed on {len(bad)} device(s): {bad}")
+        if raise_on_error:
+            raise DeviceError(
+                "Accelerator device health check failed",
+                details=f"{len(bad)} of {len(report['devices'])} local devices failed the compute probe",
+                suggestions=[
+                    "Restart the process to reinitialise the failed device",
+                    "Check host-side accelerator driver logs",
+                ],
+                context={"failed_devices": bad},
+            )
+    return report
+
+
+def _default_retry_exceptions() -> tuple:
+    from .exceptions import DeviceError
+
+    excs = [DeviceError, OSError]
+    try:
+        import jax
+
+        # XlaRuntimeError moved between modules across jax versions
+        err = getattr(getattr(jax, "errors", None), "JaxRuntimeError", None)
+        if err is not None:
+            excs.append(err)
+        from jax._src.lib import _jax  # type: ignore
+
+        xla_err = getattr(_jax, "XlaRuntimeError", None)
+        if xla_err is not None:
+            excs.append(xla_err)
+    except Exception:  # pragma: no cover
+        pass
+    return tuple(excs)
+
+
+def run_with_retries(
+    fn,
+    *args,
+    retries: int = 2,
+    retry_exceptions: Optional[tuple] = None,
+    on_retry=None,
+    health_check: bool = True,
+    **kwargs,
+):
+    """
+    Execute ``fn(*args, **kwargs)``, re-dispatching on device/runtime
+    failures — the stage-level recovery envelope (reference analogue: Dask
+    reschedules tasks of dead workers, helper.py:49-66).
+
+    Between attempts the JAX compiled-program caches are cleared (a failed
+    executable can poison retries) and the devices are health-checked so a
+    genuinely dead accelerator fails fast with a :class:`DeviceError`
+    instead of burning retries. ``on_retry(attempt, exc)`` runs before each
+    retry (e.g. to reload a stage checkpoint).
+    """
+    if retry_exceptions is None:
+        retry_exceptions = _default_retry_exceptions()
+    last: Optional[BaseException] = None
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args, **kwargs)
+        except retry_exceptions as e:  # type: ignore[misc]
+            last = e
+            if attempt >= retries:
+                break
+            logger.warning(
+                f"Stage '{getattr(fn, '__name__', 'fn')}' failed on attempt {attempt + 1}/{retries + 1} "
+                f"({type(e).__name__}: {e}); retrying"
+            )
+            try:
+                import jax
+
+                jax.clear_caches()
+            except Exception:  # pragma: no cover
+                pass
+            if health_check:
+                check_device_health(raise_on_error=True)
+            if on_retry is not None:
+                on_retry(attempt, e)
+    assert last is not None
+    raise last

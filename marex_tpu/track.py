@@ -876,11 +876,19 @@ class tracker:
 
     def run_preprocess(self, checkpoint: Optional[str] = None):
         """Morphological fill + area filtering (track.py:1234-1368),
-        with 'save'/'load' stage checkpointing (track.py:1253-1366)."""
+        with 'save'/'load' stage checkpointing (track.py:1253-1366).
+        ``checkpoint='auto'`` is the crash-resume mode (the TPU runtime's
+        answer to Dask's worker-failure tolerance, helper.py:49-66): resume
+        from an existing checkpoint of this exact configuration when one is
+        present, otherwise compute and save one."""
         if not checkpoint:
             checkpoint = self.checkpoint
         if checkpoint == "load":
             return self._load_checkpoint()
+        if checkpoint == "auto":
+            bin_path, stats_path = self._checkpoint_paths()
+            if os.path.exists(bin_path) and os.path.exists(stats_path):
+                return self._load_checkpoint()
 
         payload = self.data_bin.data
         if type(payload).__module__.startswith("jax"):
@@ -923,7 +931,7 @@ class tracker:
             preprocessed_area_fraction,
         )
 
-        if checkpoint and "save" in str(checkpoint):
+        if checkpoint and ("save" in str(checkpoint) or checkpoint == "auto"):
             self._save_checkpoint(data_filtered, object_stats)
 
         return data_filtered, object_stats

@@ -409,3 +409,106 @@ class TestPackageSurface:
 
         for name in m.__all__:
             assert getattr(m, name) is not None, name
+
+
+class TestFailureTolerance:
+    """Failure detection + elastic recovery (the TPU answer to Dask's
+    worker-failure tolerance, reference helper.py:49-66)."""
+
+    def test_device_health_check_ok(self):
+        report = marEx.helper.check_device_health()
+        assert report["ok"] is True
+        assert len(report["devices"]) >= 1
+        assert all(e["ok"] for e in report["devices"])
+
+    def test_run_with_retries_recovers(self):
+        from marex_tpu.exceptions import DeviceError
+
+        calls = {"n": 0}
+
+        def flaky(x):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise DeviceError("transient")
+            return x * 2
+
+        assert marEx.helper.run_with_retries(flaky, 21, retries=2) == 42
+        assert calls["n"] == 2
+
+    def test_run_with_retries_exhausts(self):
+        from marex_tpu.exceptions import DeviceError
+
+        def always_fails():
+            raise DeviceError("permanent")
+
+        with pytest.raises(DeviceError, match="permanent"):
+            marEx.helper.run_with_retries(always_fails, retries=1, health_check=False)
+
+    def test_run_with_retries_ignores_foreign_errors(self):
+        def boom():
+            raise ValueError("not a device problem")
+
+        with pytest.raises(ValueError):
+            marEx.helper.run_with_retries(boom, retries=3)
+
+    def test_on_retry_callback_sees_failure(self):
+        from marex_tpu.exceptions import DeviceError
+
+        seen = []
+
+        def flaky():
+            if not seen:
+                raise DeviceError("first")
+            return "ok"
+
+        def on_retry(attempt, exc):
+            seen.append((attempt, type(exc).__name__))
+
+        assert marEx.helper.run_with_retries(flaky, retries=1, on_retry=on_retry, health_check=False) == "ok"
+        assert seen == [(0, "DeviceError")]
+
+    def test_checkpoint_auto_resumes(self, tmp_path):
+        """First run computes and saves; a second tracker with the same
+        configuration resumes from the checkpoint without recomputing."""
+        T, NY, NX = 6, 12, 24
+        data = np.zeros((T, NY, NX), bool)
+        data[:, 4:8, 6:12] = True
+        coords = {
+            "time": pd.date_range("2021-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(-30, 30, NY),
+            "lon": np.linspace(0, 360, NX, endpoint=False),
+        }
+        da = Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+        mask = Field(np.ones((NY, NX), bool), ("lat", "lon"),
+                     coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+        kw = dict(R_fill=1, T_fill=0, area_filter_quartile=0.0, quiet=True,
+                  temp_dir=str(tmp_path), checkpoint="auto")
+
+        tr1 = marEx.tracker(da, mask, **kw)
+        data1, stats1 = tr1.run_preprocess()
+        bin_path, stats_path = tr1._checkpoint_paths()
+        assert os.path.exists(bin_path) and os.path.exists(stats_path)
+
+        tr2 = marEx.tracker(da, mask, **kw)
+        tr2.fill_holes = None  # would crash if the compute path ran again
+        data2, stats2 = tr2.run_preprocess()
+        np.testing.assert_array_equal(np.asarray(data1), np.asarray(data2))
+        assert stats1 == stats2
+
+    def test_checkpoint_auto_distinct_configs_do_not_collide(self, tmp_path):
+        T, NY, NX = 5, 10, 20
+        data = np.zeros((T, NY, NX), bool)
+        data[:, 3:7, 5:12] = True
+        coords = {
+            "time": pd.date_range("2021-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(-30, 30, NY),
+            "lon": np.linspace(0, 360, NX, endpoint=False),
+        }
+        da = Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+        mask = Field(np.ones((NY, NX), bool), ("lat", "lon"),
+                     coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+        base = dict(T_fill=0, area_filter_quartile=0.0, quiet=True,
+                    temp_dir=str(tmp_path), checkpoint="auto")
+        p1 = marEx.tracker(da, mask, R_fill=0, **base)._checkpoint_paths()
+        p2 = marEx.tracker(da, mask, R_fill=2, **base)._checkpoint_paths()
+        assert p1 != p2
