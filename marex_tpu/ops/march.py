@@ -89,16 +89,21 @@ FLAG_LN = 1 << 8      # partition lane capacity overflowed
 # ---------------------------------------------------------------------------
 
 
-def _extract_pairs_local(prev_loc: jax.Array, cur_loc: jax.Array, MP: int, stride: int):
-    """Distinct (a_local, b_local, count) triples between two local label
+def _extract_pairs_local(prev_loc: jax.Array, cur_loc: jax.Array, MP: int, stride: int, cell_w=None):
+    """Distinct (a_local, b_local, weight) triples between two local label
     slices by iterative min-extraction over packed int32 keys, as a compact
-    ``lax.scan`` over MP slots (ascending key order, -1 padded). The fourth
-    return value flags a full (possibly truncated) slot list."""
+    ``lax.scan`` over MP slots (ascending key order, -1 padded). ``cell_w``
+    weights each overlapping cell (None = pixel counts; cell areas on
+    unstructured meshes, track.py _cell_weights). The fourth return value
+    flags a full (possibly truncated) slot list."""
     a = prev_loc.reshape(-1)
     b = cur_loc.reshape(-1)
     both = jnp.logical_and(a > 0, b > 0)
     key = jnp.where(both, a * stride + b, _IMAX)
-    wf = both.astype(jnp.float32)
+    if cell_w is None:
+        wf = both.astype(jnp.float32)
+    else:
+        wf = jnp.where(both, cell_w.reshape(-1).astype(jnp.float32), 0.0)
 
     def slot(prev_key, _):
         cand = jnp.where(key > prev_key, key, _IMAX)
@@ -153,14 +158,15 @@ def _map_pairs_to_global(pa_loc, pb_loc, pw, gmap_a_row, gmap_b_row, MP):
 
 def _rename_slots(vals: jax.Array, olds: jax.Array, news: jax.Array):
     """Replace every occurrence of olds[j] by news[j] in a slot array.
-    Applied against original values (chains are pre-resolved by callers)."""
-
-    def body(v, pair):
-        o, n = pair
-        return jnp.where(jnp.logical_and(v == o, o >= 0), n, v), None
-
-    out, _ = jax.lax.scan(body, vals, (olds, news))
-    return out
+    Callers pre-resolve chains and olds are distinct (a consumed child is
+    consumed once), so one first-match compare matrix replaces the
+    sequential pair scan — a single fused op instead of MAXC dependent
+    iterations."""
+    valid = olds >= 0
+    m = jnp.logical_and(vals[:, None] == olds[None, :], valid[None, :])
+    has = jnp.any(m, axis=1)
+    j = jnp.argmax(m, axis=1)
+    return jnp.where(has, news[j], vals)
 
 
 def _threshold_keep(ga, gb, w, area, alive, thr, NID):
@@ -189,6 +195,19 @@ def _comps_to_centroid(comps: jax.Array, W: int, wrap: bool):
         wrapped = jnp.zeros(comps.shape[:-1], bool)
     cx = jnp.where(wrapped, cx_adj, cx_plain)
     return cy, cx
+
+
+def _comps_to_latlon(comps: jax.Array):
+    """(clat_deg, clon_deg) from the additive spherical components
+    ``[area, sum a*x, sum a*y, sum a*z]`` (unstructured_label_comps layout;
+    the spherical-centroid formula of track.py:2195-2230)."""
+    wx, wy, wz = comps[..., 1], comps[..., 2], comps[..., 3]
+    norm = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    norm = jnp.where(norm > 0, norm, 1.0)
+    clat = jnp.rad2deg(jnp.arcsin(jnp.clip(wz / norm, -1.0, 1.0)))
+    clon = jnp.rad2deg(jnp.arctan2(wy, wx))
+    clon = jnp.where(clon > 180.0, clon - 360.0, jnp.where(clon < -180.0, clon + 360.0, clon))
+    return clat, clon
 
 
 def _mask_comps(mask: jax.Array):
@@ -389,25 +408,119 @@ def _partition_batch(
     return new_cur, pcomps, overflow
 
 
+def _partition_batch_unstr(
+    gprev, cur_loc, child_loc, piece_loc, parent_gids, pvalid, cents, mdist, win_dyn,
+    sizes: MarchSizes, nn: bool, neighbours, lat_deg, lon_deg, cell_area,
+):
+    """Unstructured analogue of :func:`_partition_batch`: multi-source BFS
+    hop distance from each parent's overlap seeds with a TRACED depth
+    (``win_dyn`` covers the batch max hop cap), haversine centroid fallback
+    for unreached cells, per-piece additive spherical components — the
+    in-scan analogue of partition_children_unstructured_batched. ``cents``
+    holds (clat, clon) in degrees; ``mdist`` the per-child hop caps."""
+    C = cur_loc.shape[-1]
+    gp = gprev.reshape(C)
+    cur = cur_loc.reshape(C)
+    K, P = parent_gids.shape
+    LN = sizes.LN
+
+    valid = jnp.logical_and(pvalid, (child_loc > 0)[:, None])
+    vflat = valid.reshape(-1)
+    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    idx = jnp.where(vflat, pos, LN)
+    n_lanes = jnp.sum(vflat.astype(jnp.int32))
+    overflow = n_lanes > LN
+
+    def compact(x, fill):
+        return jnp.full((LN,), fill, x.dtype).at[idx].set(x.reshape(-1), mode="drop")
+
+    lane_child = compact(jnp.broadcast_to(child_loc[:, None], (K, P)), 0)
+    lane_parent = compact(parent_gids, 0)
+    lane_piece = compact(piece_loc, 0)
+    lane_clat = compact(cents[..., 0], 0.0)
+    lane_clon = compact(cents[..., 1], 0.0)
+    lane_md = compact(jnp.broadcast_to(mdist[:, None], (K, P)), 0.0)
+    lane_kp = jnp.full((LN,), K * P, jnp.int32).at[idx].set(
+        jnp.arange(K * P, dtype=jnp.int32), mode="drop"
+    )
+    lane_valid = jnp.arange(LN) < n_lanes
+
+    cell_child = jnp.logical_and(cur[None] == lane_child[:, None], lane_valid[:, None])  # (LN, C)
+    in_child = jnp.any(cell_child, axis=0)
+
+    # haversine fallback (and the whole assignment when nn=False) —
+    # haversine_to_centroids semantics (partition.py:374-389)
+    lat = jnp.deg2rad(lat_deg.astype(jnp.float32))
+    lon = jnp.deg2rad(lon_deg.astype(jnp.float32))
+    plat = jnp.deg2rad(lane_clat)
+    plon = jnp.deg2rad(lane_clon)
+    dlat = plat[:, None] - lat[None, :]
+    dlon = plon[:, None] - lon[None, :]
+    aa = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat)[None, :] * jnp.cos(plat)[:, None] * jnp.sin(dlon / 2) ** 2
+    hd = 2 * jnp.arctan2(jnp.sqrt(aa), jnp.sqrt(jnp.maximum(1 - aa, 0.0)))
+    hd = jnp.where(cell_child, hd, _INF)
+    fallback = jnp.argmin(hd, axis=0).astype(jnp.int32)
+
+    if nn:
+        pmask = jnp.logical_and(gp[None] == lane_parent[:, None], lane_valid[:, None])
+        seeds = jnp.logical_and(pmask, cell_child)
+        nb_idx = jnp.maximum(neighbours, 0)
+        nb_valid = neighbours >= 0
+
+        def body(d, state):
+            visited, dist = state
+            g = jnp.logical_and(visited[:, nb_idx], nb_valid[None])
+            new_visited = jnp.logical_or(visited, jnp.any(g, axis=1))
+            newly = jnp.logical_and(new_visited, jnp.logical_not(visited))
+            dist = jnp.where(newly, (d + 1).astype(jnp.float32), dist)
+            return new_visited, dist
+
+        dist0 = jnp.where(seeds, 0.0, _INF)
+        _, dist = jax.lax.fori_loop(0, win_dyn, body, (seeds, dist0))
+        d = jnp.where(dist <= lane_md[:, None], dist, _INF)
+        d = jnp.where(cell_child, d, _INF)
+        best = jnp.argmin(d, axis=0).astype(jnp.int32)
+        reached = jnp.isfinite(jnp.min(d, axis=0))
+        lane_sel = jnp.where(reached, best, fallback)
+    else:
+        lane_sel = fallback
+
+    upd = jnp.where(in_child, lane_piece[lane_sel], 0)
+    new_cur = jnp.where(upd > 0, upd, cur)
+
+    # per-lane additive spherical components (area, a*x, a*y, a*z, 0, 0)
+    a = cell_area.astype(jnp.float32)
+    cl = jnp.cos(lat)
+    zero = jnp.zeros_like(a)
+    wall = jnp.stack([a, a * cl * jnp.cos(lon), a * cl * jnp.sin(lon), a * jnp.sin(lat), zero, zero])  # (6, C)
+    one_hot = jnp.logical_and(lane_sel[None] == jnp.arange(LN)[:, None], in_child[None])  # (LN, C)
+    comps_lane = jnp.einsum("ls,cs->lc", one_hot.astype(jnp.float32), wall)  # (LN, 6)
+
+    pcomps = (
+        jnp.zeros((K * P + 1, 6), jnp.float32)
+        .at[lane_kp].set(comps_lane, mode="drop")[: K * P]
+        .reshape(K, P, 6)
+    )
+    return new_cur.reshape(cur_loc.shape), pcomps, overflow
+
+
 # ---------------------------------------------------------------------------
 # the march
 # ---------------------------------------------------------------------------
 
 
-def _consolidate(state, pairs_back, sizes: MarchSizes):
+def _consolidate(state, pairs_back, keep, same_a, multi, sizes: MarchSizes):
     """One consolidation pass (track.py:3422-3429 semantics): among the
     thresholded back-pairs, every parent with more than one child has its
     children renamed into the FIRST child (pair-row order); groups whose
     first child is already consumed are skipped entirely. Returns the rename
-    table (chains resolved) to apply to maps, pairs and the object table."""
-    comps, alive, thr = state
+    table (chains resolved) to apply to maps, pairs and the object table.
+    ``keep``/``same_a``/``multi`` are precomputed by the caller, which gates
+    this whole (sequential) pass on ``any(multi)``."""
+    comps, alive = state
     ga, gb, w = pairs_back
     MP, MAXC, NID = sizes.MP, sizes.MAXC, sizes.NID
 
-    keep = _threshold_keep(ga, gb, w, comps[:, 0], alive, thr, NID)
-    same_a = jnp.logical_and(ga[None, :] == ga[:, None], keep[None, :] & keep[:, None])
-    cnt_a = jnp.sum(same_a, axis=1)
-    multi = jnp.logical_and(keep, cnt_a > 1)
     idx = jnp.arange(MP, dtype=jnp.int32)
     gf = jnp.min(jnp.where(same_a, idx[None, :], MP), axis=1)  # first kept slot per group
 
@@ -457,7 +570,7 @@ def _consolidate(state, pairs_back, sizes: MarchSizes):
     return comps2, alive2, ren_old, ren_res, rc
 
 
-@partial(jax.jit, static_argnames=("sizes", "nn", "wrap"))
+@partial(jax.jit, static_argnames=("sizes", "nn", "wrap", "mode"))
 def scan_march(
     labels: jax.Array,      # (T, H, W) int32 per-slice-local dense labels
     counts: jax.Array,      # (T,) int32 initial locals per slice
@@ -469,19 +582,28 @@ def scan_march(
     sizes: MarchSizes,
     nn: bool,
     wrap: bool,
+    mode: str = "grid",     # "grid" | "unstr"
+    mesh=None,              # unstr: (neighbours (3,C), lat_deg, lon_deg, cell_area, mean_cell_area)
 ):
     """The complete split/merge march as ONE device program. Returns final
     local labels, the local->global map, the object table, the pair state,
-    the merge ledger and the overflow flags. Requires T >= 2."""
+    the merge ledger and the overflow flags. Requires T >= 2.
+
+    ``mode='unstr'`` runs the mesh variant: labels are (T, 1, C), the
+    object table carries additive spherical components, partitioning is
+    BFS hop distance from overlap seeds with haversine centroid fallback
+    (partition_children_unstructured_batched semantics), and the NN hop
+    cap follows the reference's mean-cell-area formula."""
     T, H, W = labels.shape
     L, MP, K, P, NID = sizes.L, sizes.MP, sizes.K, sizes.P, sizes.NID
+    cell_w = mesh[3] if mode == "unstr" else None
     MAXM = sizes.MAXM
     GR = L + 2  # map-row length: locals 1..L, col 0 background, col L+1 spare
     stride = L + 2
 
     # ---- prologue: initial pair lists for every consecutive slice pair ----
     def init_pairs(t):
-        pa, pb, pw, of = _extract_pairs_local(labels[t], labels[t + 1], MP, stride)
+        pa, pb, pw, of = _extract_pairs_local(labels[t], labels[t + 1], MP, stride, cell_w)
         ga, gb, w = _map_pairs_to_global(pa, pb, pw, gmap0[t], gmap0[t + 1], MP)
         return ga, gb, w, of
 
@@ -525,7 +647,7 @@ def scan_march(
         # ---- refresh pairs[t-1] if the previous step's partition dirtied it
         def do_refresh(args):
             pairs, flags = args
-            pa, pb, pw, of = _extract_pairs_local(prev, cur, MP, stride)
+            pa, pb, pw, of = _extract_pairs_local(prev, cur, MP, stride, cell_w)
             vals = _map_pairs_to_global(pa, pb, pw, gmap_prev, gmap_cur, MP)
             return set_pairs(pairs, t - 1, vals), flags | jnp.where(of, FLAG_MP, 0)
 
@@ -537,19 +659,34 @@ def scan_march(
         def do_consolidate(args):
             gmap, pairs, comps, alive, gmap_prev, flags = args
             back = get_pairs(pairs, t - 2)
-            comps2, alive2, ren_old, ren_res, rc = _consolidate((comps, alive, thr), back, sizes)
-            flags = flags | jnp.where(rc > sizes.MAXC, FLAG_MAXC, 0)
-            # local->global row of slice t-1
-            row = _rename_slots(gmap_prev, ren_old, ren_res)
-            gmap = jax.lax.dynamic_update_slice(gmap, row[None], (t - 1, 0))
-            # pairs(t-2): b side renamed; pairs(t-1): a side renamed
-            ba, bb, bw = back
-            bb2 = _rename_slots(bb, ren_old, ren_res)
-            pairs = set_pairs(pairs, t - 2, _sort_aggregate_global(ba, bb2, bw, MP))
-            fa, fb, fw = get_pairs(pairs, t - 1)
-            fa2 = _rename_slots(fa, ren_old, ren_res)
-            pairs = set_pairs(pairs, t - 1, _sort_aggregate_global(fa2, fb, fw, MP))
-            return gmap, pairs, comps2, alive2, row, flags
+            ga_b, gb_b, w_b = back
+            keep = _threshold_keep(ga_b, gb_b, w_b, comps[:, 0], alive, thr, NID)
+            same_a = jnp.logical_and(
+                ga_b[None, :] == ga_b[:, None], keep[None, :] & keep[:, None]
+            )
+            multi = jnp.logical_and(keep, jnp.sum(same_a, axis=1) > 1)
+
+            # the sequential rename machinery (slot fori, chain resolution,
+            # pair re-sorts) only runs when some parent actually has multiple
+            # thresholded children — most steps skip it entirely
+            def heavy(args2):
+                gmap, pairs, comps, alive, gmap_prev, flags = args2
+                comps2, alive2, ren_old, ren_res, rc = _consolidate(
+                    (comps, alive), back, keep, same_a, multi, sizes
+                )
+                flags = flags | jnp.where(rc > sizes.MAXC, FLAG_MAXC, 0)
+                # local->global row of slice t-1
+                row = _rename_slots(gmap_prev, ren_old, ren_res)
+                gmap = jax.lax.dynamic_update_slice(gmap, row[None], (t - 1, 0))
+                # pairs(t-2): b side renamed; pairs(t-1): a side renamed
+                bb2 = _rename_slots(gb_b, ren_old, ren_res)
+                pairs = set_pairs(pairs, t - 2, _sort_aggregate_global(ga_b, bb2, w_b, MP))
+                fa, fb, fw = get_pairs(pairs, t - 1)
+                fa2 = _rename_slots(fa, ren_old, ren_res)
+                pairs = set_pairs(pairs, t - 1, _sort_aggregate_global(fa2, fb, fw, MP))
+                return gmap, pairs, comps2, alive2, row, flags
+
+            return jax.lax.cond(jnp.any(multi), heavy, lambda a: a, args)
 
         gmap, (pga, pgb, pgw), comps, alive, gmap_prev, flags = jax.lax.cond(
             t >= 2,
@@ -675,25 +812,44 @@ def scan_march(
 
                 # parent centroids + NN caps from the live table
                 pc = jnp.clip(par_g, 0, NID - 1)
-                cy, cx = _comps_to_centroid(comps[pc], W, wrap)
-                cents = jnp.stack([cy, cx], axis=-1)
+                if mode == "unstr":
+                    clat, clon = _comps_to_latlon(comps[pc])
+                    cents = jnp.stack([clat, clon], axis=-1)
+                else:
+                    cy, cx = _comps_to_centroid(comps[pc], W, wrap)
+                    cents = jnp.stack([cy, cx], axis=-1)
                 cents = jnp.where(pvalid[..., None], cents, 0.0)
                 par_area = jnp.where(pvalid, comps[pc, 0], 0.0)
                 max_area = jnp.max(par_area, axis=1)
-                mdist = jnp.maximum(jnp.floor(jnp.sqrt(max_area) * 3.0), 40.0)
+                if mode == "unstr":
+                    # hop cap: max(int(sqrt(A/mean_cell_area)*2), 20) * 2
+                    # (track.py:1478 / reference track.py:5172)
+                    mca = mesh[4]
+                    mdist = jnp.maximum(jnp.floor(jnp.sqrt(max_area / mca) * 2.0), 20.0) * 2.0
+                else:
+                    mdist = jnp.maximum(jnp.floor(jnp.sqrt(max_area) * 3.0), 40.0)
                 mdist = jnp.where(child_valid, mdist, 0.0)
                 win_dyn = jnp.ceil(jnp.max(mdist)).astype(jnp.int32)
                 # a window of H rows always covers the grid (y is not
-                # periodic), so only flag when the bucket can actually grow
-                if nn and sizes.MAXWIN < H:
+                # periodic) and W cells of BFS saturate any mesh, so only
+                # flag when the bucket can actually grow
+                win_bound = W if mode == "unstr" else H
+                if nn and sizes.MAXWIN < win_bound:
                     flags = flags | jnp.where(win_dyn > sizes.MAXWIN, FLAG_WIN, 0)
                 win_dyn = jnp.clip(win_dyn, 0, sizes.MAXWIN)
 
                 gprev = gmap_prev[jnp.clip(prev, 0, L + 1)]
-                new_cur, pcomps, lane_of = _partition_batch(
-                    gprev, cur, child_loc * child_valid, piece_l, par_g, pvalid,
-                    cents, mdist, win_dyn, sizes, nn, wrap,
-                )
+                if mode == "unstr":
+                    new_cur, pcomps, lane_of = _partition_batch_unstr(
+                        gprev, cur, child_loc * child_valid, piece_l, par_g, pvalid,
+                        cents, mdist, win_dyn, sizes, nn,
+                        mesh[0], mesh[1], mesh[2], mesh[3],
+                    )
+                else:
+                    new_cur, pcomps, lane_of = _partition_batch(
+                        gprev, cur, child_loc * child_valid, piece_l, par_g, pvalid,
+                        cents, mdist, win_dyn, sizes, nn, wrap,
+                    )
                 flags = flags | jnp.where(lane_of, FLAG_LN, 0)
 
                 # table updates: pieces with area > 0 live; an empty piece 0
@@ -720,7 +876,7 @@ def scan_march(
                 )
 
                 # refresh pairs(t-1 -> t) from the rewritten slice
-                pa, pb, pw_, of = _extract_pairs_local(prev, new_cur, MP, stride)
+                pa, pb, pw_, of = _extract_pairs_local(prev, new_cur, MP, stride, cell_w)
                 ga2, gb2, w2 = _map_pairs_to_global(pa, pb, pw_, gmap_prev, gmap_cur, MP)
                 flags = flags | jnp.where(of, FLAG_MP, 0)
 

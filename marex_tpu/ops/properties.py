@@ -132,6 +132,42 @@ def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
     return jax.lax.map(block, lf_p.reshape(n_blocks, tb, H * W)).reshape(T_pad, n_labels + 1, 6)[:T]
 
 
+@partial(jax.jit, static_argnames=("n_labels",))
+def unstructured_label_comps(
+    labels: jax.Array, lat_deg: jax.Array, lon_deg: jax.Array, cell_area: jax.Array, n_labels: int
+) -> jax.Array:
+    """
+    Raw additive property components per label on an unstructured mesh: the
+    four sums the spherical-centroid formula (track.py:2195-2230) is built
+    from — ``[area, sum a*x, sum a*y, sum a*z]`` with (x, y, z) the unit-
+    sphere embedding. Like :func:`grid_label_comps` these combine EXACTLY
+    under object merges by addition (the scan march's object table).
+
+    labels : (T, C) int32 dense in [0, n_labels]
+    Returns (T, n_labels + 1, 4) float32.
+    """
+    T, C = labels.shape
+    lat = jnp.deg2rad(lat_deg.astype(jnp.float32))
+    lon = jnp.deg2rad(lon_deg.astype(jnp.float32))
+    cos_lat = jnp.cos(lat)
+    a = cell_area.astype(jnp.float32)
+    wall = jnp.stack([a, a * cos_lat * jnp.cos(lon), a * cos_lat * jnp.sin(lon), a * jnp.sin(lat)])  # (4, C)
+
+    def block(lfb):
+        def per_label(_, lbl):
+            m = (lfb == lbl).astype(jnp.float32)
+            return None, jnp.einsum("ks,ts->tk", wall, m)
+
+        _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
+        return jnp.moveaxis(out, 0, 1)
+
+    tb = min(64, T)
+    n_blocks = -(-T // tb)
+    T_pad = n_blocks * tb
+    lf_p = jnp.pad(labels, ((0, T_pad - T), (0, 0)), constant_values=-1) if T_pad != T else labels
+    return jax.lax.map(block, lf_p.reshape(n_blocks, tb, C)).reshape(T_pad, n_labels + 1, 4)[:T]
+
+
 @partial(jax.jit, static_argnames=("n_labels", "wrap"))
 def grid_label_props(
     labels: jax.Array, n_labels: int, wrap: bool, cell_weights: jax.Array | None = None

@@ -1567,11 +1567,9 @@ class tracker:
         return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
 
     def _scan_march_enabled(self) -> bool:
-        """The fully on-device scan march covers the gridded path (both
-        regional and global, nn and centroid partitioning); unstructured
-        meshes still use the per-step device march."""
-        if self.unstructured_grid:
-            return False
+        """The fully on-device scan march covers both grid types: gridded
+        (regional and global, nn and centroid partitioning) and unstructured
+        meshes (BFS-hop partitioning with haversine fallback)."""
         return getattr(self, "use_scan_march", True) and os.environ.get("MAREX_NO_SCAN_MARCH", "") != "1"
 
     def _split_and_merge_scan(self, labels_local: jnp.ndarray, counts: np.ndarray, offsets: np.ndarray):
@@ -1584,7 +1582,11 @@ class tracker:
         repeated capacity-bucket overflows).
         """
         T = int(labels_local.shape[0])
-        H, W = int(labels_local.shape[1]), int(labels_local.shape[2])
+        unstr = self.unstructured_grid
+        if unstr:
+            H, W = 1, int(labels_local.shape[1])
+        else:
+            H, W = int(labels_local.shape[1]), int(labels_local.shape[2])
         Lmax = int(counts.max()) if counts.size else 0
         total = int(counts.sum())
         if T < 2 or Lmax == 0:
@@ -1593,7 +1595,17 @@ class tracker:
         def pow2(n: int) -> int:
             return 1 << max(0, int(n - 1).bit_length())
 
-        comps_loc = np.asarray(_props.grid_label_comps(labels_local, Lmax))  # (T, Lmax+1, 6)
+        if unstr:
+            comps4 = np.asarray(
+                _props.unstructured_label_comps(
+                    labels_local, jnp.asarray(self.lat.astype(np.float32)),
+                    jnp.asarray(self.lon.astype(np.float32)), jnp.asarray(self.cell_area), Lmax
+                )
+            )  # (T, Lmax+1, 4)
+            comps_loc = np.zeros((T, Lmax + 1, 6), np.float32)
+            comps_loc[..., :4] = comps4
+        else:
+            comps_loc = np.asarray(_props.grid_label_comps(labels_local, Lmax))  # (T, Lmax+1, 6)
         self._count_dispatch("march_comps")
 
         sizes = dict(
@@ -1604,13 +1616,25 @@ class tracker:
             NID=pow2(2 * total + 1024),
             MAXC=128,
             MAXM=4096,
-            MAXWIN=min(128, H) if self.nn_partitioning else 8,
+            MAXWIN=(64 if unstr else min(128, H)) if self.nn_partitioning else 8,
             LN=32,
         )
-        wrap = not self.regional_mode
+        wrap = (not self.regional_mode) and not unstr
+        mode = "unstr" if unstr else "grid"
+        mesh_data = (
+            (
+                jnp.asarray(self.neighbours_int),
+                jnp.asarray(self.lat.astype(np.float32)),
+                jnp.asarray(self.lon.astype(np.float32)),
+                jnp.asarray(self.cell_area),
+                jnp.float32(self.mean_cell_area),
+            )
+            if unstr
+            else None
+        )
         # start from the last successful buckets for this problem shape so
         # repeat runs skip the capacity-retry ladder (and its recompiles)
-        cache_key = (T, H, W, bool(self.nn_partitioning), wrap)
+        cache_key = (T, H, W, bool(self.nn_partitioning), wrap, mode)
         cached = _SCAN_SIZE_CACHE.get(cache_key)
         if cached:
             for k, v in cached.items():
@@ -1634,7 +1658,7 @@ class tracker:
 
             msizes = _march.MarchSizes(**sizes)
             out = _march.scan_march(
-                jnp.asarray(labels_local),
+                jnp.asarray(labels_local).reshape(T, H, W),
                 jnp.asarray(counts.astype(np.int32)),
                 jnp.asarray(gmap0),
                 jnp.asarray(comps0),
@@ -1644,6 +1668,8 @@ class tracker:
                 msizes,
                 bool(self.nn_partitioning),
                 wrap,
+                mode=mode,
+                mesh=mesh_data,
             )
             self._count_dispatch("march_scan")
             flags = int(out["flags"])
@@ -1675,7 +1701,7 @@ class tracker:
             if flags & _march.FLAG_NID:
                 sizes["NID"] *= 2
             if flags & _march.FLAG_WIN:
-                sizes["MAXWIN"] = min(sizes["MAXWIN"] * 2, H)
+                sizes["MAXWIN"] = min(sizes["MAXWIN"] * 2, W if unstr else H)
             if flags & _march.FLAG_LN:
                 sizes["LN"] *= 2
             sizes["LN"] = max(sizes["LN"], 2 * sizes["K"])
@@ -1774,13 +1800,22 @@ class tracker:
         table = ObjectTable()
         ids = np.nonzero(alive)[0]
         area_v = comps[ids, 0]
-        safe = np.maximum(area_v, 1e-300)
-        cy_v = comps[ids, 1] / safe
-        cx_plain = comps[ids, 2] / safe
-        cx_adj = (comps[ids, 2] - W * comps[ids, 3]) / safe
-        cx_adj = np.where(cx_adj < 0, cx_adj + W, cx_adj)
-        wrapped = wrap & (comps[ids, 4] > 0) & (comps[ids, 5] > 0)
-        cx_v = np.where(wrapped, cx_adj, cx_plain)
+        if unstr:
+            # spherical centroid from the additive (a*x, a*y, a*z) sums
+            wx, wy, wz = comps[ids, 1], comps[ids, 2], comps[ids, 3]
+            norm = np.sqrt(wx * wx + wy * wy + wz * wz)
+            norm = np.where(norm > 0, norm, 1.0)
+            cy_v = np.rad2deg(np.arcsin(np.clip(wz / norm, -1.0, 1.0)))
+            cx_v = np.rad2deg(np.arctan2(wy, wx))
+            cx_v = np.where(cx_v > 180.0, cx_v - 360.0, np.where(cx_v < -180.0, cx_v + 360.0, cx_v))
+        else:
+            safe = np.maximum(area_v, 1e-300)
+            cy_v = comps[ids, 1] / safe
+            cx_plain = comps[ids, 2] / safe
+            cx_adj = (comps[ids, 2] - W * comps[ids, 3]) / safe
+            cx_adj = np.where(cx_adj < 0, cx_adj + W, cx_adj)
+            wrapped = wrap & (comps[ids, 4] > 0) & (comps[ids, 5] > 0)
+            cx_v = np.where(wrapped, cx_adj, cx_plain)
         for i, gid in enumerate(ids):
             if area_v[i] > 0:
                 table.add(int(gid), float(area_v[i]), float(cy_v[i]), float(cx_v[i]))
@@ -1809,7 +1844,7 @@ class tracker:
         if missing:
             logger.warning(f"Missing {missing} newly created child object(s) because parents have split/morphed")
 
-        labels_dev = _march.map_to_global(out["labels"], jnp.asarray(gmap))
+        labels_dev = _march.map_to_global(out["labels"], jnp.asarray(gmap)).reshape(labels_local.shape)
         self._count_dispatch("march_map")
         logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
         return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events

@@ -185,3 +185,58 @@ class TestScanMarchParity:
         assert calls["mp"][1] > calls["mp"][0]
         ev_step, mg_step, _ = _run(da, False)
         _assert_equal_runs((ev_scan, mg_scan), (ev_step, mg_step))
+
+
+class TestScanMarchUnstructured:
+    """The mesh variant of the scan march must match the per-step device
+    march exactly (BFS-hop partitioning, spherical additive components)."""
+
+    @staticmethod
+    def _mesh_case(T=40, n_side=28, seed=5):
+        from .conftest import make_unstructured_mesh
+
+        lat_c, lon_c, nb, areas = make_unstructured_mesh(n_side=n_side, seed=seed)
+        C = len(lat_c)
+        data = np.zeros((T, C), bool)
+        for t in range(T):
+            phase = (t % 20) / 20.0
+            sep = (1.0 - min(phase * 2, 1.0)) * 24 + 8
+            for band, lonc0 in ((20, 80), (-20, 250)):
+                for s in (-sep, sep):
+                    lonc = lonc0 + s
+                    d = np.abs(lon_c - lonc)
+                    data[t] |= (np.abs(lat_c - band) < 14) & (d < 16)
+        coords = {
+            "time": pd.date_range("2019-01-01", periods=T, freq="D").to_numpy(),
+            "lat": ("ncells", lat_c),
+            "lon": ("ncells", lon_c),
+        }
+        da = Field(data, ("time", "ncells"), coords=coords, name="extreme_events")
+        mask = Field(
+            np.ones(C, bool), ("ncells",),
+            coords={"lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}, name="mask",
+        )
+        nbf = Field(nb, ("nv", "ncells"), name="neighbours")
+        caf = Field(areas, ("ncells",), name="cell_areas")
+        return da, mask, nbf, caf
+
+    def _run(self, scan: bool, nn: bool, tmp_path):
+        da, mask, nbf, caf = self._mesh_case()
+        tr = marEx.tracker(
+            da, mask, R_fill=1, T_fill=0, area_filter_absolute=1,
+            allow_merging=True, nn_partitioning=nn, overlap_threshold=0.3,
+            unstructured_grid=True, dimensions={"x": "ncells"},
+            coordinates={"x": "lon", "y": "lat"}, coordinate_units="degrees",
+            temp_dir=str(tmp_path), neighbours=nbf, cell_areas=caf, quiet=True,
+        )
+        tr.use_scan_march = scan
+        events, merges = tr.run(return_merges=True)
+        return events, merges, tr
+
+    @pytest.mark.parametrize("nn", [True, False], ids=["nn", "centroid"])
+    def test_unstructured_merge_equivalence(self, nn, tmp_path):
+        ev_scan, mg_scan, tr_scan = self._run(True, nn, tmp_path / "a")
+        ev_step, mg_step, _ = self._run(False, nn, tmp_path / "b")
+        assert ev_scan.attrs["total_merges"] > 0
+        assert "march_scan" in tr_scan.dispatch_counts
+        _assert_equal_runs((ev_scan, mg_scan), (ev_step, mg_step))
