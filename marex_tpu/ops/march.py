@@ -1,5 +1,5 @@
 """
-Fully on-device merge march for gridded tracking.
+Fully on-device merge march for both grid types (gridded and unstructured).
 
 The split/merge march of the reference (track.py:3337-3802) is inherently
 sequential over timesteps: each step consolidates the previous slice against
