@@ -584,6 +584,8 @@ def scan_march(
     wrap: bool,
     mode: str = "grid",     # "grid" | "unstr"
     mesh=None,              # unstr: (neighbours (3,C), lat_deg, lon_deg, cell_area, mean_cell_area)
+    resume=None,            # carried state from a previous block (streamed tracking)
+    t0: jax.Array | int = 0,  # global time index of labels[0]
 ):
     """The complete split/merge march as ONE device program. Returns final
     local labels, the local->global map, the object table, the pair state,
@@ -593,13 +595,27 @@ def scan_march(
     object table carries additive spherical components, partitioning is
     BFS hop distance from overlap seeds with haversine centroid fallback
     (partition_children_unstructured_batched semantics), and the NN hop
-    cap follows the reference's mean-cell-area formula."""
+    cap follows the reference's mean-cell-area formula.
+
+    **Blockwise streaming**: the scan carry (object table, pair rows,
+    ledger) IS the streaming state, so the march runs over a time block at
+    a time. For block b>0 the caller prepends the previous block's final
+    slice as ``labels[0]`` (with its gmap row in ``gmap0[0]``), passes the
+    previous block's returned dict as ``resume`` (carrying comps/alive/
+    next_new/m_cnt/ledger/flags/nonconv/deleted/missing/perr and the
+    back-pair row), and sets ``t0`` to the global index of ``labels[0]``.
+    Pair-row index j of the returned ``pga/pgb/pgw`` holds pairs
+    (slice j-1 -> slice j) in block-local indexing; row 0 is the carried
+    back row (updated in place by boundary consolidations — the caller
+    must write it back over its stored copy), as must the returned
+    ``gmap`` row 0."""
     T, H, W = labels.shape
     L, MP, K, P, NID = sizes.L, sizes.MP, sizes.K, sizes.P, sizes.NID
     cell_w = mesh[3] if mode == "unstr" else None
     MAXM = sizes.MAXM
     GR = L + 2  # map-row length: locals 1..L, col 0 background, col L+1 spare
     stride = L + 2
+    t0 = jnp.asarray(t0, jnp.int32)
 
     # ---- prologue: initial pair lists for every consecutive slice pair ----
     def init_pairs(t):
@@ -607,21 +623,47 @@ def scan_march(
         ga, gb, w = _map_pairs_to_global(pa, pb, pw, gmap0[t], gmap0[t + 1], MP)
         return ga, gb, w, of
 
-    pga, pgb, pgw, of0 = jax.lax.map(init_pairs, jnp.arange(T - 1, dtype=jnp.int32))
-    flags0 = jnp.where(jnp.any(of0), FLAG_MP, 0).astype(jnp.int32)
-
-    ledger = dict(
-        m_t=jnp.zeros((MAXM,), jnp.int32),
-        m_np=jnp.zeros((MAXM,), jnp.int32),
-        m_parents=jnp.zeros((MAXM, P), jnp.int32),
-        m_children=jnp.zeros((MAXM, P), jnp.int32),
-        m_areas=jnp.zeros((MAXM, P), jnp.float32),
-    )
+    pga_n, pgb_n, pgw_n, of0 = jax.lax.map(init_pairs, jnp.arange(T - 1, dtype=jnp.int32))
+    if resume is None:
+        back = (
+            jnp.full((1, MP), -1, jnp.int32),
+            jnp.full((1, MP), -1, jnp.int32),
+            jnp.zeros((1, MP), jnp.float32),
+        )
+        flags_in = jnp.int32(0)
+        ledger = dict(
+            m_t=jnp.zeros((MAXM,), jnp.int32),
+            m_np=jnp.zeros((MAXM,), jnp.int32),
+            m_parents=jnp.zeros((MAXM, P), jnp.int32),
+            m_children=jnp.zeros((MAXM, P), jnp.int32),
+            m_areas=jnp.zeros((MAXM, P), jnp.float32),
+        )
+        m_cnt0 = jnp.int32(0)
+        nonconv0 = deleted0 = missing0 = jnp.int32(0)
+        perr0 = jnp.full((3,), -1, jnp.int32)
+    else:
+        back = (resume["pga"][-1:], resume["pgb"][-1:], resume["pgw"][-1:])
+        flags_in = resume["flags"]
+        ledger = {k: resume[k] for k in ("m_t", "m_np", "m_parents", "m_children", "m_areas")}
+        m_cnt0 = resume["m_cnt"]
+        nonconv0 = resume["nonconv"]
+        deleted0 = resume["deleted"]
+        missing0 = resume["missing"]
+        perr0 = resume["perr"]
+        comps0 = resume["comps"]
+        alive0 = resume["alive"]
+        next_new0 = resume["next_new"]
+    # pair row j = pairs(slice j-1 -> slice j); row 0 = carried back row
+    pga = jnp.concatenate([back[0], pga_n])
+    pgb = jnp.concatenate([back[1], pgb_n])
+    pgw = jnp.concatenate([back[2], pgw_n])
+    flags0 = (flags_in | jnp.where(jnp.any(of0), FLAG_MP, 0)).astype(jnp.int32)
 
     def step(carry, xs):
         (prev, gmap, pga, pgb, pgw, comps, alive, next_new, m_cnt, ledger, flags,
          nonconv, deleted, missing, dirty, perr) = carry
         cur, count_t, t = xs
+        g = t0 + t  # global time index (ledger rows, reference guards)
         lused = count_t
 
         gmap_prev = jax.lax.dynamic_slice(gmap, (t - 1, 0), (1, GR))[0]
@@ -644,12 +686,13 @@ def scan_march(
                 jax.lax.dynamic_update_slice(ww, nw[None], (i, 0)),
             )
 
-        # ---- refresh pairs[t-1] if the previous step's partition dirtied it
+        # ---- refresh the current pair row if the previous step's
+        # partition dirtied it (pair row t = pairs(slice t-1 -> slice t))
         def do_refresh(args):
             pairs, flags = args
             pa, pb, pw, of = _extract_pairs_local(prev, cur, MP, stride, cell_w)
             vals = _map_pairs_to_global(pa, pb, pw, gmap_prev, gmap_cur, MP)
-            return set_pairs(pairs, t - 1, vals), flags | jnp.where(of, FLAG_MP, 0)
+            return set_pairs(pairs, t, vals), flags | jnp.where(of, FLAG_MP, 0)
 
         (pga, pgb, pgw), flags = jax.lax.cond(
             dirty, do_refresh, lambda a: a, ((pga, pgb, pgw), flags)
@@ -658,7 +701,7 @@ def scan_march(
         # ---- consolidation of slice t-1 using pairs(t-2 -> t-1) ----
         def do_consolidate(args):
             gmap, pairs, comps, alive, gmap_prev, flags = args
-            back = get_pairs(pairs, t - 2)
+            back = get_pairs(pairs, t - 1)
             ga_b, gb_b, w_b = back
             keep = _threshold_keep(ga_b, gb_b, w_b, comps[:, 0], alive, thr, NID)
             same_a = jnp.logical_and(
@@ -678,18 +721,18 @@ def scan_march(
                 # local->global row of slice t-1
                 row = _rename_slots(gmap_prev, ren_old, ren_res)
                 gmap = jax.lax.dynamic_update_slice(gmap, row[None], (t - 1, 0))
-                # pairs(t-2): b side renamed; pairs(t-1): a side renamed
+                # back row (t-1): b side renamed; current row (t): a side renamed
                 bb2 = _rename_slots(gb_b, ren_old, ren_res)
-                pairs = set_pairs(pairs, t - 2, _sort_aggregate_global(ga_b, bb2, w_b, MP))
-                fa, fb, fw = get_pairs(pairs, t - 1)
+                pairs = set_pairs(pairs, t - 1, _sort_aggregate_global(ga_b, bb2, w_b, MP))
+                fa, fb, fw = get_pairs(pairs, t)
                 fa2 = _rename_slots(fa, ren_old, ren_res)
-                pairs = set_pairs(pairs, t - 1, _sort_aggregate_global(fa2, fb, fw, MP))
+                pairs = set_pairs(pairs, t, _sort_aggregate_global(fa2, fb, fw, MP))
                 return gmap, pairs, comps2, alive2, row, flags
 
             return jax.lax.cond(jnp.any(multi), heavy, lambda a: a, args)
 
         gmap, (pga, pgb, pgw), comps, alive, gmap_prev, flags = jax.lax.cond(
-            t >= 2,
+            g >= 2,
             do_consolidate,
             lambda a: a,
             (gmap, (pga, pgb, pgw), comps, alive, gmap_prev, flags),
@@ -757,7 +800,7 @@ def scan_march(
                 first_over = jnp.argmax(over_p)
                 perr = jnp.where(
                     jnp.logical_and(jnp.any(over_p), perr[0] < 0),
-                    jnp.stack([t, childs[first_over], n_par[first_over]]),
+                    jnp.stack([g, childs[first_over], n_par[first_over]]),
                     perr,
                 )
 
@@ -801,7 +844,7 @@ def scan_march(
                 mrow = jnp.clip(m_cnt + jnp.cumsum(child_valid.astype(jnp.int32)) - 1, 0, MAXM - 1)
                 mrow = jnp.where(child_valid, mrow, MAXM)
                 ledger = dict(
-                    m_t=ledger["m_t"].at[mrow].set(t, mode="drop"),
+                    m_t=ledger["m_t"].at[mrow].set(g, mode="drop"),
                     m_np=ledger["m_np"].at[mrow].set(jnp.minimum(n_par, P), mode="drop"),
                     m_parents=ledger["m_parents"].at[mrow].set(par_g, mode="drop"),
                     m_children=ledger["m_children"].at[mrow].set(piece_g, mode="drop"),
@@ -912,7 +955,7 @@ def scan_march(
             cur=cur,
             comps=comps,
             alive=alive,
-            pairs=get_pairs((pga, pgb, pgw), t - 1),
+            pairs=get_pairs((pga, pgb, pgw), t),
             gmap_cur=gmap_cur,
             next_new=next_new,
             lused=lused,
@@ -926,7 +969,7 @@ def scan_march(
         st = jax.lax.while_loop(loop_cond, loop_body, st0)
 
         nonconv = nonconv + jnp.logical_and(st["it"] >= 10, st["pending"]).astype(jnp.int32)
-        pga, pgb, pgw = set_pairs((pga, pgb, pgw), t - 1, st["pairs"])
+        pga, pgb, pgw = set_pairs((pga, pgb, pgw), t, st["pairs"])
         gmap = jax.lax.dynamic_update_slice(gmap, st["gmap_cur"][None], (t, 0))
 
         carry = (
@@ -936,10 +979,9 @@ def scan_march(
         )
         return carry, prev
 
-    perr0 = jnp.full((3,), -1, jnp.int32)
     init = (
         labels[0], gmap0, pga, pgb, pgw, comps0, alive0, next_new0,
-        jnp.int32(0), ledger, flags0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m_cnt0, ledger, flags0, nonconv0, deleted0, missing0,
         jnp.bool_(False), perr0,
     )
     xs = (labels[1:], counts[1:], jnp.arange(1, T, dtype=jnp.int32))

@@ -1657,22 +1657,69 @@ class tracker:
                 alive0[g0 : g0 + n] = True
 
             msizes = _march.MarchSizes(**sizes)
-            out = _march.scan_march(
-                jnp.asarray(labels_local).reshape(T, H, W),
-                jnp.asarray(counts.astype(np.int32)),
-                jnp.asarray(gmap0),
-                jnp.asarray(comps0),
-                jnp.asarray(alive0),
-                jnp.int32(total + 1),
-                jnp.float32(self.overlap_threshold),
-                msizes,
-                bool(self.nn_partitioning),
-                wrap,
-                mode=mode,
-                mesh=mesh_data,
-            )
-            self._count_dispatch("march_scan")
-            flags = int(out["flags"])
+            # blockwise execution: the scan carry (object table, pair rows,
+            # ledger) is the streaming state, so the march runs over time
+            # blocks — each block prepends the previous block's final slice
+            # and resumes from the carried state. block_T=None runs one block
+            # (the monolithic program); the streamed tracker feeds blocks
+            # from zarr through the same loop.
+            block_T = getattr(self, "march_block_T", None) or T
+            labels3 = jnp.asarray(labels_local).reshape(T, H, W)
+            counts_i = counts.astype(np.int32)
+            MPc = sizes["MP"]
+            gmap_host = gmap0
+            pga_h = np.full((T, MPc), -1, np.int32)
+            pgb_h = np.full((T, MPc), -1, np.int32)
+            pgw_h = np.zeros((T, MPc), np.float32)
+            label_blocks = []
+            resume = None
+            out = None
+            flags = 0
+            s0 = 0
+            while s0 < T:
+                s1 = min(s0 + block_T, T)
+                ext0 = s0 if s0 == 0 else s0 - 1
+                if s0 == 0:
+                    labels_ext = labels3[ext0:s1]
+                else:
+                    # the boundary slice must be its FINAL pixels (partition
+                    # pieces included), i.e. the previous block's last output
+                    labels_ext = jnp.concatenate([out["labels"][-1:], labels3[s0:s1]])
+                out = _march.scan_march(
+                    labels_ext,
+                    jnp.asarray(counts_i[ext0:s1]),
+                    jnp.asarray(gmap_host[ext0:s1]),
+                    resume["comps"] if resume is not None else jnp.asarray(comps0),
+                    resume["alive"] if resume is not None else jnp.asarray(alive0),
+                    resume["next_new"] if resume is not None else jnp.int32(total + 1),
+                    jnp.float32(self.overlap_threshold),
+                    msizes,
+                    bool(self.nn_partitioning),
+                    wrap,
+                    mode=mode,
+                    mesh=mesh_data,
+                    resume=resume,
+                    t0=ext0,
+                )
+                self._count_dispatch("march_scan")
+                flags = int(out["flags"])
+                if flags:
+                    break
+                gmap_host[ext0:s1] = np.asarray(out["gmap"])
+                pga_h[ext0:s1] = np.asarray(out["pga"])
+                pgb_h[ext0:s1] = np.asarray(out["pgb"])
+                pgw_h[ext0:s1] = np.asarray(out["pgw"])
+                label_blocks.append(out["labels"] if s0 == 0 else out["labels"][1:])
+                resume = dict(
+                    pga=out["pga"][-1:], pgb=out["pgb"][-1:], pgw=out["pgw"][-1:],
+                    comps=out["comps"], alive=out["alive"], next_new=out["next_new"],
+                    m_cnt=out["m_cnt"], m_t=out["m_t"], m_np=out["m_np"],
+                    m_parents=out["m_parents"], m_children=out["m_children"],
+                    m_areas=out["m_areas"], flags=out["flags"],
+                    nonconv=out["nonconv"], deleted=out["deleted"],
+                    missing=out["missing"], perr=out["perr"],
+                )
+                s0 = s1
             if flags & _march.FLAG_P:
                 perr = np.asarray(out["perr"])
                 raise TrackingError(
@@ -1712,18 +1759,20 @@ class tracker:
             return None
 
         # ---- host epilogue -------------------------------------------------
-        gmap = np.asarray(out["gmap"]).copy()
+        gmap = gmap_host
         comps = np.asarray(out["comps"]).astype(np.float64)
         alive = np.asarray(out["alive"]).copy()
-        pga = np.asarray(out["pga"]).copy()
-        pgb = np.asarray(out["pgb"]).copy()
-        pgw = np.asarray(out["pgw"]).astype(np.float64)
+        pga = pga_h
+        pgb = pgb_h
+        pgw = pgw_h.astype(np.float64)
 
-        def thresholded(t_idx: int):
-            va = pga[t_idx] >= 0
-            a = pga[t_idx][va].astype(np.int64)
-            b = pgb[t_idx][va].astype(np.int64)
-            w = pgw[t_idx][va]
+        # pair row j holds pairs(slice j-1 -> slice j); row 0 is the march's
+        # carried back row (empty for a monolithic run)
+        def thresholded(row: int):
+            va = pga[row] >= 0
+            a = pga[row][va].astype(np.int64)
+            b = pgb[row][va].astype(np.int64)
+            w = pgw[row][va]
             ok = alive[a] & alive[b]
             a, b, w = a[ok], b[ok], w[ok]
             min_area = np.minimum(comps[a, 0], comps[b, 0])
@@ -1732,7 +1781,7 @@ class tracker:
 
         # end-of-series consolidation of slice T-1 (parity with the host
         # march's final _consolidate_slice_device call)
-        back = thresholded(T - 2)
+        back = thresholded(T - 1)
         if len(back):
             parents, counts_p = np.unique(back[:, 0], return_counts=True)
             ren: Dict[int, int] = {}
@@ -1764,28 +1813,28 @@ class tracker:
                 row = gmap[T - 1]
                 for old in ren:
                     row[row == old] = resolve(old)
-                vb = pgb[T - 2]
+                vb = pgb[T - 1]
                 for old in ren:
                     vb[vb == old] = resolve(old)
                 # aggregate duplicate (a, b) rows created by the renames
-                va = pga[T - 2] >= 0
-                key = pga[T - 2].astype(np.int64) * (1 << 32) + vb.astype(np.int64)
+                va = pga[T - 1] >= 0
+                key = pga[T - 1].astype(np.int64) * (1 << 32) + vb.astype(np.int64)
                 key[~va] = -1
                 uniq, inv = np.unique(key, return_inverse=True)
                 wagg = np.zeros(len(uniq))
-                np.add.at(wagg, inv, pgw[T - 2])
-                newa = np.full_like(pga[T - 2], -1)
-                newb = np.full_like(pgb[T - 2], -1)
-                neww = np.zeros_like(pgw[T - 2])
+                np.add.at(wagg, inv, pgw[T - 1])
+                newa = np.full_like(pga[T - 1], -1)
+                newb = np.full_like(pgb[T - 1], -1)
+                neww = np.zeros_like(pgw[T - 1])
                 valid_u = uniq >= 0
                 nvu = int(valid_u.sum())
                 newa[:nvu] = (uniq[valid_u] >> 32).astype(np.int32)
                 newb[:nvu] = (uniq[valid_u] & 0xFFFFFFFF).astype(np.int32)
                 neww[:nvu] = wagg[valid_u]
-                pga[T - 2], pgb[T - 2], pgw[T - 2] = newa, newb, neww
+                pga[T - 1], pgb[T - 1], pgw[T - 1] = newa, newb, neww
 
         # final overlap list: every thresholded pair of the final state
-        overlaps = [thresholded(t) for t in range(T - 1)]
+        overlaps = [thresholded(row) for row in range(1, T)]
         overlap_list = np.concatenate(overlaps) if overlaps else np.empty((0, 3))
         if len(overlap_list):
             uc, cc = np.unique(overlap_list[:, 1], return_counts=True)
@@ -1844,7 +1893,8 @@ class tracker:
         if missing:
             logger.warning(f"Missing {missing} newly created child object(s) because parents have split/morphed")
 
-        labels_dev = _march.map_to_global(out["labels"], jnp.asarray(gmap)).reshape(labels_local.shape)
+        labels_final = label_blocks[0] if len(label_blocks) == 1 else jnp.concatenate(label_blocks, axis=0)
+        labels_dev = _march.map_to_global(labels_final, jnp.asarray(gmap)).reshape(labels_local.shape)
         self._count_dispatch("march_map")
         logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
         return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events

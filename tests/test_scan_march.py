@@ -240,3 +240,52 @@ class TestScanMarchUnstructured:
         assert ev_scan.attrs["total_merges"] > 0
         assert "march_scan" in tr_scan.dispatch_counts
         _assert_equal_runs((ev_scan, mg_scan), (ev_step, mg_step))
+
+
+class TestScanMarchBlockwise:
+    """Blockwise (streamed) march equality: running the scan march over
+    time blocks with carried state must reproduce the monolithic program
+    and the per-step march exactly — the correctness core of
+    larger-than-memory tracking."""
+
+    @pytest.mark.parametrize("block_T", [7, 16, 25], ids=["b7", "b16", "b25"])
+    def test_blockwise_equals_monolithic(self, block_T):
+        from marex_tpu import track as _trackmod
+
+        da = merge_dense_field(T=50, n_pairs=4, seed=7)
+        _trackmod._SCAN_SIZE_CACHE.clear()
+        ev_mono, mg_mono, _ = _run(da, True)
+
+        _trackmod._SCAN_SIZE_CACHE.clear()
+        kwargs = dict(R_fill=2, T_fill=0, area_filter_quartile=0.0,
+                      allow_merging=True, overlap_threshold=0.3, quiet=True)
+        tr = marEx.tracker(da, _mask(), **kwargs)
+        tr.use_scan_march = True
+        tr.march_block_T = block_T
+        ev_blk, mg_blk = tr.run(return_merges=True)
+        n_blocks = -(-50 // block_T)
+        assert tr.dispatch_counts["march_scan"] >= n_blocks
+        assert ev_blk.attrs["total_merges"] > 0
+        _assert_equal_runs((ev_blk, mg_blk), (ev_mono, mg_mono))
+
+    def test_blockwise_unstructured(self, tmp_path):
+        from marex_tpu import track as _trackmod
+
+        helper = TestScanMarchUnstructured()
+        _trackmod._SCAN_SIZE_CACHE.clear()
+        ev_mono, mg_mono, _ = helper._run(True, True, tmp_path / "m")
+
+        _trackmod._SCAN_SIZE_CACHE.clear()
+        da, mask, nbf, caf = helper._mesh_case()
+        tr = marEx.tracker(
+            da, mask, R_fill=1, T_fill=0, area_filter_absolute=1,
+            allow_merging=True, nn_partitioning=True, overlap_threshold=0.3,
+            unstructured_grid=True, dimensions={"x": "ncells"},
+            coordinates={"x": "lon", "y": "lat"}, coordinate_units="degrees",
+            temp_dir=str(tmp_path / "b"), neighbours=nbf, cell_areas=caf, quiet=True,
+        )
+        tr.use_scan_march = True
+        tr.march_block_T = 13
+        ev_blk, mg_blk = tr.run(return_merges=True)
+        assert ev_blk.attrs["total_merges"] > 0
+        _assert_equal_runs((ev_blk, mg_blk), (ev_mono, mg_mono))
