@@ -21,6 +21,8 @@ march dispatch counts, and a modeled HBM-traffic rate:
      merging patches
   6. merge-dense stress: overhead factor + dispatch accounting
   7. streamed larger-than-memory detect (lat-tile streaming -> zarr)
+  8. streamed larger-than-memory tracking (lazy zarr -> blockwise scan
+     march -> region-written ID_field, bounded memory budget)
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
@@ -561,6 +563,53 @@ def config7_streamed(da_host, ny, nx):
     }
 
 
+def config8_streamed_track(da, ny, nx):
+    """Streamed larger-than-memory TRACKING at full resolution: detect once,
+    write the binary extremes to a chunked zarr store, then stream the whole
+    tracking pipeline (lazy reads, blockwise scan march, region-written
+    ID_field) under a bounded memory budget. The out-of-core counterpart of
+    config 4's track stage (reference analogue: zarr-region batched
+    split/merge, track.py:3804-4814)."""
+    import shutil
+
+    import marex_tpu as marEx
+    from marex_tpu.io import zarr_lite
+
+    src = "/tmp/marex_bench_trkstream_src.zarr"
+    outp = "/tmp/marex_bench_trkstream_out.zarr"
+    with _silence:
+        ds = marEx.preprocess_data(da, quiet=True, **DETECT_FIXED)
+        ev, mask = ds.extreme_events, ds.mask
+        ev_host = marEx.Field(np.asarray(ev.data), ev.dims, dict(ev.coords), name="extreme_events")
+        del ds, ev
+        zarr_lite.to_zarr(ev_host, src, chunks={"time": 64})
+        del ev_host
+        lazy = zarr_lite.open_zarr(src, lazy=True)
+        kw = dict(allow_merging=True, nn_partitioning=True, overlap_threshold=0.25, **_prod_track_kwargs(ny))
+
+        def run():
+            shutil.rmtree(outp, ignore_errors=True)
+            tr = marEx.tracker(lazy["extreme_events"], mask, quiet=True, **kw)
+            t0 = time.perf_counter()
+            events = tr.run_streamed(outp, memory_budget_mb=2048)
+            return events, tr, time.perf_counter() - t0
+
+        run()
+        events, tr, wall = run()
+    T = da.sizes["time"]
+    out = {
+        "track_wall_s": round(wall, 2),
+        "gpd_per_s": round(T * ny * nx / wall, 1),
+        "n_events": int(events.attrs["N_events_final"]),
+        "total_merges": int(events.attrs["total_merges"]),
+        "march_blocks": int(tr.dispatch_counts.get("march_scan", 0)),
+        "memory_budget_mb": 2048,
+    }
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(outp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -576,7 +625,7 @@ def main() -> None:
     ny = int(os.environ.get("MAREX_BENCH_NY", "720"))
     nx = int(os.environ.get("MAREX_BENCH_NX", "1440"))
     n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "1048576"))
-    which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7").split(","))
+    which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(","))
 
     da_host = make_data(n_years, ny, nx)
     T = da_host.sizes["time"]
@@ -584,7 +633,7 @@ def main() -> None:
 
     detail = {"shape": [T, ny, nx], "configs": {}}
     da = None
-    if which & {"1", "4"}:
+    if which & {"1", "4", "8"}:
         da = _stage(da_host)
 
     if "1" in which:
@@ -612,6 +661,9 @@ def main() -> None:
 
     if "7" in which:
         detail["configs"]["7_streamed"] = config7_streamed(da_host, ny, nx)
+
+    if "8" in which:
+        detail["configs"]["8_streamed_track"] = config8_streamed_track(da, ny, nx)
 
     if headline is not None:
         throughput = headline["gpd_per_s"]

@@ -620,6 +620,29 @@ class tracker:
             return events_ds, merges_ds
         return events_ds
 
+    def run_streamed(
+        self,
+        out_path: str,
+        memory_budget_mb: int = 4096,
+        block_T: Optional[int] = None,
+        return_merges: bool = False,
+    ):
+        """
+        Larger-than-memory tracking: stream the full pipeline (morphology,
+        area filtering, split/merge march, event relabeling) over time
+        blocks into ``out_path`` — the TPU counterpart of the reference's
+        lazy Dask execution with zarr checkpoints (README.md:161,
+        track.py:3804-4814). ``data_bin`` may be backed by a lazy zarr
+        array; host RSS and HBM stay bounded by the block working set.
+        Bit-identical to :meth:`run` (tests/test_streaming_track.py).
+        """
+        from .track_stream import run_tracking_streamed
+
+        return run_tracking_streamed(
+            self, out_path, memory_budget_mb=memory_budget_mb,
+            block_T=block_T, return_merges=return_merges,
+        )
+
     # ------------------------------------------------------------------
     # Stage 1: preprocessing
     # ------------------------------------------------------------------
@@ -1759,7 +1782,22 @@ class tracker:
             return None
 
         # ---- host epilogue -------------------------------------------------
-        gmap = gmap_host
+        table, overlap_list, merge_events = self._march_epilogue(
+            gmap_host, pga_h, pgb_h, pgw_h, out, T, W, unstr, wrap
+        )
+
+        labels_final = label_blocks[0] if len(label_blocks) == 1 else jnp.concatenate(label_blocks, axis=0)
+        labels_dev = _march.map_to_global(labels_final, jnp.asarray(gmap_host)).reshape(labels_local.shape)
+        self._count_dispatch("march_map")
+        logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
+        return labels_dev, table, overlap_list, merge_events
+
+    def _march_epilogue(self, gmap, pga_h, pgb_h, pgw_h, out, T: int, W: int, unstr: bool, wrap: bool):
+        """Host epilogue shared by the in-memory and streamed march drivers:
+        end-of-series consolidation of slice T-1 (parity with the per-step
+        march's final _consolidate_slice_device), the final thresholded
+        overlap list, the object table and the merge genealogy. Mutates
+        ``gmap``/``pga_h``/``pgb_h``/``pgw_h`` in place (row T-1 renames)."""
         comps = np.asarray(out["comps"]).astype(np.float64)
         alive = np.asarray(out["alive"]).copy()
         pga = pga_h
@@ -1893,11 +1931,9 @@ class tracker:
         if missing:
             logger.warning(f"Missing {missing} newly created child object(s) because parents have split/morphed")
 
-        labels_final = label_blocks[0] if len(label_blocks) == 1 else jnp.concatenate(label_blocks, axis=0)
-        labels_dev = _march.map_to_global(labels_final, jnp.asarray(gmap)).reshape(labels_local.shape)
-        self._count_dispatch("march_map")
-        logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
-        return labels_dev, table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
+        # pgw was float64 locally; propagate the consolidated row back
+        pgw_h[T - 1] = pgw[T - 1]
+        return table, overlap_list[:, :2] if len(overlap_list) else np.empty((0, 2)), merge_events
 
     def _split_and_merge(self, store: "_SliceStore", table: ObjectTable):
         """

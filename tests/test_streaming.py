@@ -17,7 +17,10 @@ import sys
 import numpy as np
 import pytest
 
+import pandas as pd
+
 import marex_tpu as marEx
+from marex_tpu.core.field import Field
 from marex_tpu.io import zarr_lite as zl
 
 from .conftest import make_gridded_sst, make_unstructured_sst
@@ -312,3 +315,78 @@ class TestBoundedMemory:
             f"trace={ {k: round(v/2**20) for k, v in stats['trace'].items()} }"
         )
         assert stats["n_ex_probe"] > 0
+
+
+class TestStreamedTracking:
+    """Larger-than-memory tracking: the streamed pipeline (lazy zarr input,
+    blockwise march, region-written ID_field) must be bit-identical to the
+    in-memory tracker on merge-dense data."""
+
+    @staticmethod
+    def _field(T=50, NY=48, NX=180, n_pairs=4, seed=7):
+        data = np.zeros((T, NY, NX), bool)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        rng = np.random.default_rng(seed)
+        centers = [(int(rng.integers(NY // 5, 4 * NY // 5)), int(rng.integers(0, NX))) for _ in range(n_pairs)]
+        r = 5
+        for t in range(T):
+            phase = (t % 20) / 20.0
+            sep = int((1.0 - min(phase * 2, 1.0)) * 3 * r) + r
+            for cy, cx0 in centers:
+                for s in (-sep, sep):
+                    cx = (cx0 + s) % NX
+                    dx = np.minimum(np.abs(xx - cx), NX - np.abs(xx - cx))
+                    data[t] |= (yy - cy) ** 2 + dx**2 <= r * r
+        coords = {
+            "time": pd.date_range("2021-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(-40, 40, NY),
+            "lon": np.linspace(0, 360, NX, endpoint=False),
+        }
+        da = Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+        mask = Field(np.ones((NY, NX), bool), ("lat", "lon"),
+                     coords={"lat": coords["lat"], "lon": coords["lon"]}, name="mask")
+        return da, mask
+
+    def test_streamed_equals_in_memory(self, tmp_path):
+        from marex_tpu import track as _trackmod
+        from marex_tpu.io import zarr_lite
+
+        da, mask = self._field()
+        kw = dict(R_fill=2, T_fill=2, area_filter_quartile=0.5, allow_merging=True,
+                  nn_partitioning=True, overlap_threshold=0.3, quiet=True)
+
+        _trackmod._SCAN_SIZE_CACHE.clear()
+        ev_mem, mg_mem = marEx.tracker(da, mask, **kw).run(return_merges=True)
+
+        # streamed: lazy zarr input, small blocks
+        src = str(tmp_path / "extremes.zarr")
+        zarr_lite.to_zarr(da, src, chunks={"time": 10})
+        lazy = zarr_lite.open_zarr(src, lazy=True)
+        tr = marEx.tracker(lazy["extreme_events"], mask, **kw)
+        ev_st, mg_st = tr.run_streamed(
+            str(tmp_path / "events.zarr"), block_T=13, return_merges=True
+        )
+        assert tr.dispatch_counts["march_scan"] >= 4  # really ran blockwise
+
+        np.testing.assert_array_equal(np.asarray(ev_st.ID_field.values), ev_mem.ID_field.values)
+        assert ev_st.attrs["N_events_final"] == ev_mem.attrs["N_events_final"]
+        assert ev_st.attrs["total_merges"] == ev_mem.attrs["total_merges"]
+        assert ev_st.attrs["total_merges"] > 0
+        for name in ("presence", "area", "centroid", "global_ID", "merge_ledger"):
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(ev_st[name].values, np.float64), nan=-999.0),
+                np.nan_to_num(np.asarray(ev_mem[name].values, np.float64), nan=-999.0),
+                rtol=1e-5, atol=1e-5,
+            )
+        for name in ("parent_IDs", "child_IDs", "merge_time", "n_parents"):
+            np.testing.assert_array_equal(mg_st[name].values, mg_mem[name].values)
+        # key preprocessing statistics survive the streamed path
+        for key in ("N_objects_prefiltered", "N_objects_filtered", "allow_merging"):
+            assert ev_st.attrs[key] == ev_mem.attrs[key]
+
+    def test_streamed_rejects_no_merge(self, tmp_path):
+        da, mask = self._field(T=12)
+        tr = marEx.tracker(da, mask, R_fill=1, T_fill=0, area_filter_quartile=0.0,
+                           allow_merging=False, quiet=True)
+        with pytest.raises(marEx.ConfigurationError, match="allow_merging"):
+            tr.run_streamed(str(tmp_path / "x.zarr"))
