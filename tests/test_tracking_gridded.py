@@ -362,3 +362,83 @@ class TestMidLevelAPI:
         assert pairs.shape[1] == 3 and len(pairs) == 1
         allpairs = tr.find_overlapping_objects(lv)
         assert len(allpairs) == 3  # 3 consecutive transitions
+
+
+class TestSplittingAndPhysics:
+    """Splitting genealogy, physical areas, and overlap-threshold
+    sensitivity (reference yardstick: test_gridded_tracking.py)."""
+
+    def test_split_keeps_single_event(self):
+        """One blob splits into two pieces that both persist: the overlap
+        graph keeps both children in the parent's event (splits do not mint
+        new events), and the merge ledger stays empty."""
+        T = 24
+        data = np.zeros((T, NY, NX), bool)
+        yy, xx = np.mgrid[0:NY, 0:NX]
+        for t in range(T):
+            if t < 10:
+                data[t] = (yy - 20) ** 2 + (xx - 60) ** 2 <= 100  # one wide blob
+            else:
+                off = min(4 + (t - 10) * 2, 14)
+                data[t] |= (yy - 20) ** 2 + (xx - (60 - off)) ** 2 <= 30
+                data[t] |= (yy - 20) ** 2 + (xx - (60 + off)) ** 2 <= 30
+        data[0, 0:6, 200:206] = True  # first-object decoy
+        da = Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
+        events, merges = marEx.tracker(
+            da, ocean_mask(), R_fill=1, T_fill=0, area_filter_quartile=0.0,
+            allow_merging=True, overlap_threshold=0.2, quiet=True,
+        ).run(return_merges=True)
+        assert events.attrs["total_merges"] == 0
+        ids = np.asarray(events.ID_field.values)
+        blob_event = np.unique(ids[5][ids[5] > 0])
+        assert len(blob_event) == 1
+        after = np.unique(ids[T - 1][ids[T - 1] > 0])
+        # both split pieces still carry the original event id
+        assert list(after) == list(blob_event)
+
+    def test_grid_resolution_physical_areas(self):
+        """grid_resolution switches areas to spherical km^2: equatorial
+        events report larger areas than identical-footprint polar events."""
+        T = 6
+        data = np.zeros((T, NY, NX), bool)
+        data[:, 18:22, 60:70] = True    # near equator (lat ~ 0)
+        data[:, 36:40, 160:170] = True  # near +40 lat
+        data[0, 0:3, 200:203] = True    # decoy
+        da = Field(data, ("time", "lat", "lon"), coords=_grid_coords(T), name="extreme_events")
+        events = marEx.tracker(
+            da, ocean_mask(), R_fill=0, T_fill=0, area_filter_absolute=5,
+            allow_merging=True, grid_resolution=1.5, quiet=True,
+        ).run()
+        areas = np.asarray(events.area.values)  # (T, ID)
+        a = np.nanmean(areas, axis=0)
+        assert len(a) == 2
+        # equator cells are larger; identical pixel footprints -> area ratio
+        # ~ cos(0)/cos(38deg) > 1.2
+        assert a.max() / a.min() > 1.2
+        # magnitudes are physical: a 4x10-cell patch of 1.5-degree cells at
+        # the equator is ~ 4*10 * (1.5*111km)^2 ~ 1.1e6 km^2
+        assert 2e5 < a.max() < 5e6
+
+    def test_overlap_threshold_sensitivity(self):
+        """A fast-moving blob (small frame-to-frame overlap) stays one event
+        at a permissive threshold and fragments at a strict one."""
+        path = lambda t: (20, 10 + 9 * t)  # ~75% displacement per step at r=6
+        da = with_decoy(make_blob_field(T=18, r=6, path=path))
+        kw = dict(R_fill=1, T_fill=0, area_filter_quartile=0.0, allow_merging=True, quiet=True)
+        ev_loose = marEx.tracker(da, ocean_mask(), overlap_threshold=0.05, **kw).run()
+        ev_strict = marEx.tracker(da, ocean_mask(), overlap_threshold=0.9, **kw).run()
+        assert ev_loose.attrs["N_events_final"] < ev_strict.attrs["N_events_final"]
+
+    def test_time_start_end_consistent_with_presence(self):
+        da = with_decoy(make_blob_field(T=20, path=lambda t: (20, 40 + 2 * t)))
+        events = marEx.tracker(
+            da, ocean_mask(), R_fill=2, T_fill=0, area_filter_quartile=0.5,
+            allow_merging=True, quiet=True,
+        ).run()
+        presence = np.asarray(events.presence.values)
+        tvals = np.asarray(events.ID_field.coords["time"].values)
+        for j in range(presence.shape[1]):
+            col = presence[:, j]
+            if col.any():
+                assert events.time_start.values[j] == tvals[int(np.argmax(col))]
+                assert events.time_end.values[j] == tvals[len(col) - 1 - int(np.argmax(col[::-1]))]
