@@ -188,12 +188,17 @@ def run_tracking_streamed(
     total_new = int(counts_new.sum())
     Lmax_old = int(counts_old.max()) if counts_old.size else 0
     Lmax_new = int(counts_new.max()) if counts_new.size else 0
-    # per-slice old-dense -> new-dense renumber rows (0 = dropped/background)
-    remap_rows = np.zeros((T, Lmax_old + 1), np.int32)
-    for t in range(T):
-        k = keep_per_slice[t]
-        if len(k):
-            remap_rows[t, 1 : len(k) + 1] = np.where(k, np.cumsum(k), 0)
+
+    def _remap_rows(s0: int, s1: int) -> np.ndarray:
+        """Per-slice old-dense -> new-dense renumber rows for one block
+        (0 = dropped/background) — built per block so the (T, Lmax) table
+        never materialises at century scale."""
+        rows = np.zeros((s1 - s0, Lmax_old + 1), np.int32)
+        for t in range(s0, s1):
+            k = keep_per_slice[t]
+            if len(k):
+                rows[t - s0, 1 : len(k) + 1] = np.where(k, np.cumsum(k), 0)
+        return rows
 
     accepted_area = float(stats_areas[stats_areas > area_threshold].sum())
     total_area_IDed = float(stats_areas.sum())
@@ -275,7 +280,7 @@ def run_tracking_streamed(
                 s1 = min(s0 + block_T, T)
                 ext0 = s0 if s0 == 0 else s0 - 1
                 lab_old = jnp.asarray(np.asarray(lab_lazy[s0:s1]))
-                rows_dev = jnp.asarray(remap_rows[s0:s1])
+                rows_dev = jnp.asarray(_remap_rows(s0, s1))
                 lab_new = _remap_block(lab_old, rows_dev)
                 total_processed += float(tr.compute_area(lab_new > 0).sum())
                 # stage this block's initial object rows into the carried table
