@@ -239,6 +239,9 @@ def _detect_track(da, detect_kwargs, track_kwargs):
     (events, tracker, t_detect, t_track)."""
     import marex_tpu as marEx
 
+    import gc
+
+    gc.collect()  # free the previous run's device buffers before the peak
     t0 = time.perf_counter()
     ds = marEx.preprocess_data(da, quiet=True, **detect_kwargs)
     _block(ds.extreme_events.data)
@@ -639,6 +642,9 @@ def main() -> None:
     if "1" in which:
         detail["configs"]["1_fixed_global_production"] = config1_production_nomerge(da, ny, nx)
 
+    import gc
+
+    gc.collect()
     if "2" in which:
         detail["configs"]["2_shifting_hobday"] = config2_hobday_shifting(
             max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64)

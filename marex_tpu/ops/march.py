@@ -91,11 +91,14 @@ FLAG_LN = 1 << 8      # partition lane capacity overflowed
 
 def _extract_pairs_local(prev_loc: jax.Array, cur_loc: jax.Array, MP: int, stride: int, cell_w=None):
     """Distinct (a_local, b_local, weight) triples between two local label
-    slices by iterative min-extraction over packed int32 keys, as a compact
-    ``lax.scan`` over MP slots (ascending key order, -1 padded). ``cell_w``
-    weights each overlapping cell (None = pixel counts; cell areas on
-    unstructured meshes, track.py _cell_weights). The fourth return value
-    flags a full (possibly truncated) slot list."""
+    slices: sort the packed int32 keys once, segment-sum the run weights,
+    and compact the first MP distinct runs into slots (ascending key order,
+    -1 padded) — O(S log S) total, vs the old iterative min-extraction's
+    O(MP*S) sequential slot scan (the march's worst asymptotic term at
+    production pair counts). ``cell_w`` weights each overlapping cell
+    (None = pixel counts; cell areas on unstructured meshes, track.py
+    _cell_weights). The fourth return value flags an overflowing (possibly
+    truncated) slot list."""
     a = prev_loc.reshape(-1)
     b = cur_loc.reshape(-1)
     both = jnp.logical_and(a > 0, b > 0)
@@ -105,17 +108,21 @@ def _extract_pairs_local(prev_loc: jax.Array, cur_loc: jax.Array, MP: int, strid
     else:
         wf = jnp.where(both, cell_w.reshape(-1).astype(jnp.float32), 0.0)
 
-    def slot(prev_key, _):
-        cand = jnp.where(key > prev_key, key, _IMAX)
-        k = jnp.min(cand)
-        s = jnp.sum(jnp.where(key == k, wf, 0.0))
-        valid = k != _IMAX
-        pa = jnp.where(valid, k // stride, -1)
-        pb = jnp.where(valid, k % stride, -1)
-        return k, (pa.astype(jnp.int32), pb.astype(jnp.int32), jnp.where(valid, s, 0.0))
+    order = jnp.argsort(key)
+    ks = key[order]
+    ws = wf[order]
+    valid = ks != _IMAX
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    first = jnp.logical_and(first, valid)
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1  # run id per element
+    rid = jnp.where(valid, rid, MP)
+    wagg = jnp.zeros((MP,), jnp.float32).at[rid].add(ws, mode="drop")
+    n_runs = jnp.sum(first.astype(jnp.int32))
 
-    _, (pa, pb, pw) = jax.lax.scan(slot, jnp.int32(-1), None, length=MP)
-    return pa, pb, pw, pa[MP - 1] >= 0
+    slot_idx = jnp.where(jnp.logical_and(first, rid < MP), rid, MP)
+    pa = jnp.full((MP,), -1, jnp.int32).at[slot_idx].set((ks // stride).astype(jnp.int32), mode="drop")
+    pb = jnp.full((MP,), -1, jnp.int32).at[slot_idx].set((ks % stride).astype(jnp.int32), mode="drop")
+    return pa, pb, wagg, n_runs > MP
 
 
 def _sort_aggregate_global(ga: jax.Array, gb: jax.Array, w: jax.Array, MP: int):
@@ -524,19 +531,31 @@ def _consolidate(state, pairs_back, keep, same_a, multi, sizes: MarchSizes):
     idx = jnp.arange(MP, dtype=jnp.int32)
     gf = jnp.min(jnp.where(same_a, idx[None, :], MP), axis=1)  # first kept slot per group
 
-    def slot_body(i, carry):
+    # compact the multi slots (ascending slot order preserved) into MAXC
+    # lanes so the inherently sequential alive/rename walk runs over the
+    # handful of actual candidates instead of all MP slots
+    cand = jnp.logical_and(multi, idx != gf)  # non-first members of multi groups
+    pos = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    lane_idx = jnp.where(cand, pos, MAXC)
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    lane_b = jnp.full((MAXC,), -1, jnp.int32).at[lane_idx].set(gb, mode="drop")
+    first_b_all = gb[jnp.clip(gf, 0, MP - 1)]
+    lane_first = jnp.full((MAXC,), -1, jnp.int32).at[lane_idx].set(first_b_all, mode="drop")
+    lane_valid0 = jnp.arange(MAXC) < jnp.minimum(n_cand, MAXC)
+
+    def lane_body(j, carry):
         alive_c, ren_old, ren_new, rc = carry
-        b_i = gb[i]
-        first_b = gb[jnp.clip(gf[i], 0, MP - 1)]
+        b_i = lane_b[j]
+        first_b = lane_first[j]
         cond = jnp.logical_and(
-            jnp.logical_and(multi[i], i != gf[i]),
+            lane_valid0[j],
             jnp.logical_and(
                 alive_c[jnp.clip(first_b, 0, NID - 1)], alive_c[jnp.clip(b_i, 0, NID - 1)]
             ),
         )
-        j = jnp.minimum(rc, MAXC - 1)
-        ren_old = ren_old.at[j].set(jnp.where(cond, b_i, ren_old[j]))
-        ren_new = ren_new.at[j].set(jnp.where(cond, first_b, ren_new[j]))
+        k = jnp.minimum(rc, MAXC - 1)
+        ren_old = ren_old.at[k].set(jnp.where(cond, b_i, ren_old[k]))
+        ren_new = ren_new.at[k].set(jnp.where(cond, first_b, ren_new[k]))
         alive_c = alive_c.at[jnp.clip(b_i, 0, NID - 1)].set(
             jnp.where(cond, False, alive_c[jnp.clip(b_i, 0, NID - 1)])
         )
@@ -546,8 +565,9 @@ def _consolidate(state, pairs_back, keep, same_a, multi, sizes: MarchSizes):
     ren_old0 = jnp.full((MAXC,), -1, jnp.int32)
     ren_new0 = jnp.full((MAXC,), -1, jnp.int32)
     alive2, ren_old, ren_new, rc = jax.lax.fori_loop(
-        0, MP, slot_body, (alive, ren_old0, ren_new0, jnp.int32(0))
+        0, MAXC, lane_body, (alive, ren_old0, ren_new0, jnp.int32(0))
     )
+    rc = jnp.where(n_cand > MAXC, n_cand, rc)  # overflow -> FLAG_MAXC upstream
 
     # resolve chains by pointer jumping over the (old -> new) function
     def jump(_, rn):
