@@ -635,41 +635,52 @@ def main() -> None:
     gpd = T * ny * nx
 
     detail = {"shape": [T, ny, nx], "configs": {}}
+
+    def _try(name, fn, *args, **kw):
+        """Per-config fault isolation: an OOM/failure in one config records
+        an error entry instead of zeroing the whole benchmark."""
+        import gc
+        import traceback
+
+        try:
+            detail["configs"][name] = fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001
+            traceback.print_exc()
+            detail["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
+        gc.collect()
+        return detail["configs"][name]
     da = None
     if which & {"1", "4", "8"}:
         da = _stage(da_host)
 
     if "1" in which:
-        detail["configs"]["1_fixed_global_production"] = config1_production_nomerge(da, ny, nx)
+        _try("1_fixed_global_production", config1_production_nomerge, da, ny, nx)
 
     import gc
 
     gc.collect()
     if "2" in which:
-        detail["configs"]["2_shifting_hobday"] = config2_hobday_shifting(
-            max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64)
-        )
+        _try("2_shifting_hobday", config2_hobday_shifting, max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64))
 
     if "3" in which:
-        detail["configs"]["3_regional"] = config3_regional(n_years, max(ny // 2, 32), max(nx // 2, 64))
+        _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
 
     headline = None
     if "4" in which:
-        c4 = config4_merge_production(da, ny, nx)
-        detail["configs"]["4_merge_production"] = c4
-        headline = c4
+        c4 = _try("4_merge_production", config4_merge_production, da, ny, nx)
+        headline = c4 if "gpd_per_s" in c4 else None
 
     if "5" in which:
-        detail["configs"]["5_unstructured"] = config5_unstructured(max(n_years // 2, 2), n_cells)
+        _try("5_unstructured", config5_unstructured, max(n_years // 2, 2), n_cells)
 
     if "6" in which or "merge_dense" in which:
-        detail["configs"]["6_merge_dense"] = config6_merge_dense(max(ny // 4, 60), max(nx // 4, 120))
+        _try("6_merge_dense", config6_merge_dense, max(ny // 4, 60), max(nx // 4, 120))
 
     if "7" in which:
-        detail["configs"]["7_streamed"] = config7_streamed(da_host, ny, nx)
+        _try("7_streamed", config7_streamed, da_host, ny, nx)
 
     if "8" in which:
-        detail["configs"]["8_streamed_track"] = config8_streamed_track(da, ny, nx)
+        _try("8_streamed_track", config8_streamed_track, da, ny, nx)
 
     if headline is not None:
         throughput = headline["gpd_per_s"]

@@ -28,20 +28,40 @@ def _scatter_ymd(data: jax.Array, year_idx: jax.Array, doy_idx: jax.Array, n_yea
     return out.at[year_idx, doy_idx].set(data)
 
 
-def _doy_nanmean_direct(data: jax.Array, doy_idx: jax.Array, clim_time_mask: jax.Array) -> jax.Array:
+def _doy_nanmean_direct(
+    data: jax.Array, doy_idx: jax.Array, clim_time_mask: jax.Array, time_block: int = 128
+) -> jax.Array:
     """
     Per-day-of-year nanmean straight from the (T, S) block via (366, S)
-    scatter-adds of sums and counts. Equivalent to the dense
-    ``(Y, 366, S)`` scatter + ``nanmean_over_years`` (each (doy, point)
-    accumulates its <= Y samples in increasing-time order either way) but
-    the peak intermediate is 2x(366, S) instead of (Y, 366, S) — the
-    difference between fitting a century of 0.25 deg data in HBM and not.
+    scatter-adds of sums and counts, accumulated over TIME BLOCKS so the
+    masked-value temporary is (time_block, S) instead of a full (T, S)
+    copy. Equivalent to the dense ``(Y, 366, S)`` scatter +
+    ``nanmean_over_years`` (each (doy, point) accumulates its <= Y samples
+    either way); the peak intermediate drops from (T, S)+(Y, 366, S) to
+    2x(366, S) + one block — the difference between the production-
+    resolution in-memory detect fitting one 16 GB chip and not.
     """
-    S = data.shape[1]
-    valid = jnp.logical_and(clim_time_mask[:, None], jnp.isfinite(data))
-    vals = jnp.where(valid, data, 0.0).astype(jnp.float32)
-    sums = jnp.zeros((366, S), jnp.float32).at[doy_idx].add(vals)
-    cnts = jnp.zeros((366, S), jnp.float32).at[doy_idx].add(valid.astype(jnp.float32))
+    T, S = data.shape
+    tb = min(time_block, T)
+    k = T // tb
+
+    def _acc(carry, db, doyb, mb):
+        sums, cnts = carry
+        valid = jnp.logical_and(mb[:, None], jnp.isfinite(db))
+        sums = sums.at[doyb].add(jnp.where(valid, db, 0.0).astype(jnp.float32))
+        cnts = cnts.at[doyb].add(valid.astype(jnp.float32))
+        return sums, cnts
+
+    def body(i, carry):
+        db = jax.lax.dynamic_slice(data, (i * tb, 0), (tb, S))
+        doyb = jax.lax.dynamic_slice(doy_idx, (i * tb,), (tb,))
+        mb = jax.lax.dynamic_slice(clim_time_mask, (i * tb,), (tb,))
+        return _acc(carry, db, doyb, mb)
+
+    init = (jnp.zeros((366, S), jnp.float32), jnp.zeros((366, S), jnp.float32))
+    sums, cnts = jax.lax.fori_loop(0, k, body, init)
+    if T - k * tb:
+        sums, cnts = _acc((sums, cnts), data[k * tb :], doy_idx[k * tb :], clim_time_mask[k * tb :])
     return jnp.where(cnts > 0, sums / cnts, jnp.nan)
 
 
