@@ -17,4 +17,4 @@ python __graft_entry__.py
 python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
 
 echo "== bench (small) =="
-MAREX_BENCH_YEARS=1 MAREX_BENCH_NY=30 MAREX_BENCH_NX=60 python bench.py
+MAREX_BENCH_YEARS=2 MAREX_BENCH_NY=30 MAREX_BENCH_NX=60 python bench.py
