@@ -147,7 +147,17 @@ def to_zarr(
         return tuple(int(chunks.get(d, s)) for d, s in zip(dims, shape))
 
     for name, fld in data.data_vars.items():
-        _write_array(path, name, fld.values, fld.dims, fld.attrs, chunks=_chunks_for(fld.dims, fld.shape))
+        attrs = dict(fld.attrs)
+        # xarray convention: auxiliary coords (not named after their dim,
+        # e.g. per-cell lat/lon on unstructured meshes) are recorded in the
+        # variable's "coordinates" attribute so readers re-attach them
+        aux = [
+            c for c, coord in data.coords.items()
+            if c not in data.data_vars and set(coord.dims) <= set(fld.dims) and tuple(coord.dims) != (c,)
+        ]
+        if aux:
+            attrs["coordinates"] = " ".join(sorted(aux))
+        _write_array(path, name, fld.values, fld.dims, attrs, chunks=_chunks_for(fld.dims, fld.shape))
     for name, coord in data.coords.items():
         if name in data.data_vars:
             continue

@@ -103,6 +103,8 @@ def run_tracking_streamed(
     halo = 2 * int(tr.T_fill)
     logger.info(f"Streamed tracking: T={T}, block_T={block_T}, halo={halo}, spatial={sshape}")
 
+    if tr.temp_dir:
+        os.makedirs(tr.temp_dir, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="marex_trkstream_", dir=tr.temp_dir or None)
     lab_store = os.path.join(tmp, "labels_local.zarr")
     fin_store = os.path.join(tmp, "labels_final.zarr")

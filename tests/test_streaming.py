@@ -390,3 +390,53 @@ class TestStreamedTracking:
                            allow_merging=False, quiet=True)
         with pytest.raises(marEx.ConfigurationError, match="allow_merging"):
             tr.run_streamed(str(tmp_path / "x.zarr"))
+
+    def test_streamed_unstructured_equals_in_memory(self, tmp_path):
+        """The streamed pipeline on a triangular mesh (BFS march blocks,
+        spherical additive components, cell-area weights) matches the
+        in-memory tracker exactly."""
+        from .conftest import make_unstructured_mesh
+        from marex_tpu import track as _trackmod
+        from marex_tpu.core.field import Coord
+        from marex_tpu.io import zarr_lite
+
+        lat_c, lon_c, nb, areas = make_unstructured_mesh(n_side=28, seed=5)
+        C = len(lat_c)
+        T = 40
+        data = np.zeros((T, C), bool)
+        for t in range(T):
+            phase = (t % 20) / 20.0
+            sep = (1.0 - min(phase * 2, 1.0)) * 24 + 8
+            for band, lonc0 in ((20, 80), (-20, 250)):
+                for s in (-sep, sep):
+                    d = np.abs(lon_c - (lonc0 + s))
+                    data[t] |= (np.abs(lat_c - band) < 14) & (d < 16)
+        coords = {"time": pd.date_range("2019-01-01", periods=T, freq="D").to_numpy(),
+                  "lat": Coord("ncells", lat_c), "lon": Coord("ncells", lon_c)}
+        da = Field(data, ("time", "ncells"), coords=coords, name="extreme_events")
+        mask = Field(np.ones(C, bool), ("ncells",),
+                     coords={"lat": Coord("ncells", lat_c), "lon": Coord("ncells", lon_c)}, name="mask")
+        nbf = Field(nb, ("nv", "ncells"), name="neighbours")
+        caf = Field(areas, ("ncells",), name="cell_areas")
+        kw = dict(R_fill=1, T_fill=2, area_filter_absolute=1, allow_merging=True,
+                  nn_partitioning=True, overlap_threshold=0.3, unstructured_grid=True,
+                  dimensions={"x": "ncells"}, coordinates={"x": "lon", "y": "lat"},
+                  coordinate_units="degrees", neighbours=nbf, cell_areas=caf, quiet=True)
+
+        _trackmod._SCAN_SIZE_CACHE.clear()
+        ev_mem = marEx.tracker(da, mask, temp_dir=str(tmp_path / "m"), **kw).run()
+
+        src = str(tmp_path / "ev_unstr.zarr")
+        zarr_lite.to_zarr(da, src, chunks={"time": 10})
+        lazy = zarr_lite.open_zarr(src, lazy=True)
+        tr = marEx.tracker(lazy["extreme_events"], mask, temp_dir=str(tmp_path / "s"), **kw)
+        ev_st = tr.run_streamed(str(tmp_path / "events_u.zarr"), block_T=13)
+        assert tr.dispatch_counts["march_scan"] >= 4
+        assert ev_st.attrs["total_merges"] == ev_mem.attrs["total_merges"] > 0
+        np.testing.assert_array_equal(np.asarray(ev_st.ID_field.values), ev_mem.ID_field.values)
+        for name in ("presence", "area", "centroid"):
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(ev_st[name].values, np.float64), nan=-999.0),
+                np.nan_to_num(np.asarray(ev_mem[name].values, np.float64), nan=-999.0),
+                rtol=1e-5, atol=1e-5,
+            )
