@@ -151,3 +151,42 @@ class TestCheckpointing:
         back = open_zarr(path)
         np.testing.assert_array_equal(back.ID_field.values, events.ID_field.values)
         assert back.attrs["N_events_final"] == events.attrs["N_events_final"]
+
+
+class TestMethodMatrix:
+    """Every anomaly x extreme x percentile combination runs end-to-end
+    (detect -> track) with statistically sane extremes — the reference's
+    method-combination consistency sweep (test_integration.py)."""
+
+    @pytest.mark.parametrize("method_anomaly", [
+        "fixed_baseline", "detrend_harmonic", "shifting_baseline", "detrend_fixed_baseline",
+    ])
+    @pytest.mark.parametrize("method_extreme,method_percentile", [
+        ("global_extreme", "exact"),
+        ("global_extreme", "approximate"),
+        ("hobday_extreme", "approximate"),
+    ])
+    def test_combo_end_to_end(self, method_anomaly, method_extreme, method_percentile):
+        sst = make_gridded_sst(n_years=12, ny=12, nx=24, seed=5)
+        kw = dict(
+            method_anomaly=method_anomaly,
+            method_extreme=method_extreme,
+            method_percentile=method_percentile,
+            threshold_percentile=90,
+            quiet=True,
+        )
+        if method_anomaly == "shifting_baseline":
+            kw.update(window_year_baseline=5, smooth_days_baseline=11)
+        if method_extreme == "hobday_extreme":
+            kw.update(window_days_hobday=11)
+        ds = marEx.preprocess_data(sst, **kw)
+        freq = float(np.asarray(ds.extreme_events.data)[:, np.asarray(ds.mask.values)].mean())
+        # 90th percentile -> ~10% frequency (shifting_baseline trims early years)
+        assert 0.04 < freq < 0.2, f"{method_anomaly}/{method_extreme}/{method_percentile}: freq={freq}"
+
+        events = marEx.tracker(
+            ds.extreme_events, ds.mask, R_fill=1, T_fill=0,
+            area_filter_quartile=0.5, allow_merging=True, overlap_threshold=0.25, quiet=True,
+        ).run()
+        assert events.attrs["N_events_final"] > 0
+        assert set(events.data_vars) >= {"ID_field", "global_ID", "area", "centroid", "presence"}
