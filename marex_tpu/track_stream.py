@@ -450,15 +450,40 @@ def _cluster_rename_streamed(
 
     N = n_events
     zarr_lite.create_group(out_path)
+    sdims_t = tr._spatial_dims()
     zarr_lite.create_array(
-        out_path, "ID_field", (T,) + sshape, np.int32, (tr.timedim,) + tr._spatial_dims(),
+        out_path, "ID_field", (T,) + sshape, np.int32, (tr.timedim,) + sdims_t,
         chunks=(block_T,) + sshape, compressor="zlib",
     )
+    # per-(time, event) tables stream to the store too: at century scale
+    # they are tens of GB and must never materialise whole on the host
+    have_merges = "parent_IDs" in merge_events.data_vars and merge_events["parent_IDs"].shape[0] > 0
+    sibling = int(merge_events["parent_IDs"].shape[1]) if have_merges else MAX_PARENTS
+    NW = max(N, 1)
+    zarr_lite.create_array(out_path, "global_ID", (T, NW), np.int32, (tr.timedim, "ID"), chunks=(block_T, NW))
+    zarr_lite.create_array(out_path, "area", (T, NW), np.float32, (tr.timedim, "ID"), chunks=(block_T, NW))
+    zarr_lite.create_array(
+        out_path, "centroid", (2, T, NW), np.float32, ("component", tr.timedim, "ID"), chunks=(2, block_T, NW)
+    )
+    zarr_lite.create_array(out_path, "presence", (T, NW), bool, (tr.timedim, "ID"), chunks=(block_T, NW))
+    zarr_lite.create_array(
+        out_path, "merge_ledger", (T, NW, sibling), np.int32, (tr.timedim, "ID", "sibling_ID"),
+        chunks=(block_T, NW, sibling),
+    )
 
-    global_id = np.zeros((T, N + 1), np.int32)
-    areas = np.zeros((T, N + 1), np.float32)
-    clat = np.zeros((T, N + 1), np.float32)
-    clon = np.zeros((T, N + 1), np.float32)
+    time_vals = np.asarray(tr.data_bin.coords[tr.timecoord].values)
+    merge_rows_by_t: Dict[int, list] = {}
+    if have_merges:
+        pids_all = merge_events["parent_IDs"].values
+        mtimes = merge_events["merge_time"].values
+        time_to_idx = {v: i for i, v in enumerate(time_vals)}
+        for m in range(pids_all.shape[0]):
+            tixd = time_to_idx.get(mtimes[m])
+            if tixd is not None:
+                merge_rows_by_t.setdefault(tixd, []).append(m)
+
+    first_idx = np.full(N + 1, -1, np.int64)
+    last_idx = np.zeros(N + 1, np.int64)
 
     lab_lazy = zarr_lite.LazyZarrArray(os.path.join(fin_store, "labels"))
     cellw = jnp.asarray(tr.cell_area) if not unstr else None
@@ -469,78 +494,100 @@ def _cluster_rename_streamed(
         mapped = _march.map_to_global(loc.reshape(s1 - s0, 1, -1), rows).reshape(loc.shape)
         new_field = jnp.take(lookup_dev, jnp.clip(mapped, 0, max_id + 1))
         zarr_lite.write_region(out_path, "ID_field", (s0,) + (0,) * len(sshape), np.asarray(new_field))
+        gid_b = np.zeros((s1 - s0, NW), np.int32)
+        area_b = np.full((s1 - s0, NW), np.nan, np.float32)
+        clat_b = np.zeros((s1 - s0, NW), np.float32)
+        clon_b = np.zeros((s1 - s0, NW), np.float32)
         if N:
             nf = new_field.reshape(s1 - s0, -1)
             of = mapped.reshape(s1 - s0, -1)
-            global_id[s0:s1] = np.asarray(_props.event_global_id(nf, of, N))
+            gid_b = np.asarray(_props.event_global_id(nf, of, N))[:, 1:]
             if unstr:
                 a_b, la_b, lo_b = _props.unstructured_label_props(
                     new_field, jnp.asarray(tr.lat), jnp.asarray(tr.lon), jnp.asarray(tr.cell_area), N
                 )
-                areas[s0:s1], clat[s0:s1], clon[s0:s1] = map(np.asarray, (a_b, la_b, lo_b))
+                a_b = np.asarray(a_b)[:, 1:]
+                clat_b = np.asarray(la_b)[:, 1:]
+                clon_b = np.asarray(lo_b)[:, 1:]
             else:
                 a_b, cy_b, cx_b = _props.grid_label_props(new_field, N, wrap=wrap, cell_weights=cellw)
                 cy_b = _props.interp_coord(cy_b, jnp.asarray(tr.lat.astype(np.float32)))
                 cx_b = _props.interp_coord(cx_b, jnp.asarray(tr.lon.astype(np.float32)))
-                pres = a_b > 0
-                areas[s0:s1] = np.asarray(a_b)
-                clat[s0:s1] = np.asarray(jnp.where(pres, cy_b, jnp.nan))
-                clon[s0:s1] = np.asarray(jnp.where(pres, cx_b, jnp.nan))
+                pres_d = a_b > 0
+                a_b = np.asarray(a_b)[:, 1:]
+                clat_b = np.asarray(jnp.where(pres_d, cy_b, jnp.nan))[:, 1:]
+                clon_b = np.asarray(jnp.where(pres_d, cx_b, jnp.nan))[:, 1:]
+            area_b = np.where(a_b > 0, a_b, np.nan).astype(np.float32)
+        pres_b = gid_b > 0
+        # incremental first/last presence (time_start/time_end)
+        any_rows = pres_b.any(axis=0)
+        col_first = s0 + pres_b.argmax(axis=0)
+        col_last = s0 + (s1 - s0 - 1) - pres_b[::-1].argmax(axis=0)
+        upd = np.flatnonzero(any_rows) + 1
+        newly = upd[first_idx[upd] < 0]
+        first_idx[newly] = col_first[newly - 1]
+        last_idx[upd] = col_last[upd - 1]
 
-    presence = global_id > 0
-    time_vals = np.asarray(tr.data_bin.coords[tr.timecoord].values)
-    first_idx = presence.argmax(axis=0)
-    last_idx = T - 1 - presence[::-1].argmax(axis=0)
+        ledger_b = np.full((s1 - s0, NW, sibling), -1, np.int32)
+        for tixd in range(s0, s1):
+            for m in merge_rows_by_t.get(tixd, ()):
+                parents_old = pids_all[m][pids_all[m] > 0]
+                parents_new = lookup[np.clip(parents_old, 0, max_id + 1)]
+                parents_new = parents_new[parents_new > 0]
+                if tr.merge_ledger_mode == "reference":
+                    for pn in parents_new:
+                        ledger_b[tixd - s0, pn - 1, :] = pn
+                else:
+                    for pn in parents_new:
+                        k = min(len(parents_new), sibling)
+                        ledger_b[tixd - s0, pn - 1, :k] = parents_new[:k]
+
+        zarr_lite.write_region(out_path, "global_ID", (s0, 0), gid_b)
+        zarr_lite.write_region(out_path, "area", (s0, 0), area_b)
+        zarr_lite.write_region(out_path, "centroid", (0, s0, 0), np.stack([clat_b, clon_b]))
+        zarr_lite.write_region(out_path, "presence", (s0, 0), pres_b)
+        zarr_lite.write_region(out_path, "merge_ledger", (s0, 0, 0), ledger_b)
+
+    never = first_idx < 0
+    # match the in-memory argmax semantics for never-present ids
+    first_idx[never] = 0
+    last_idx[never] = T - 1
     time_start = time_vals[first_idx]
     time_end = time_vals[last_idx]
-    areas = np.where(areas > 0, areas, np.nan).astype(np.float32)
-
-    have_merges = "parent_IDs" in merge_events.data_vars and merge_events["parent_IDs"].shape[0] > 0
-    sibling = int(merge_events["parent_IDs"].shape[1]) if have_merges else MAX_PARENTS
-    ledger = np.full((T, N + 1, sibling), -1, dtype=np.int32)
-    if have_merges:
-        pids = merge_events["parent_IDs"].values
-        mtimes = merge_events["merge_time"].values
-        time_to_idx = {v: i for i, v in enumerate(time_vals)}
-        for m in range(pids.shape[0]):
-            tixd = time_to_idx.get(mtimes[m])
-            if tixd is None:
-                continue
-            parents_old = pids[m][pids[m] > 0]
-            parents_new = lookup[np.clip(parents_old, 0, max_id + 1)]
-            parents_new = parents_new[parents_new > 0]
-            if tr.merge_ledger_mode == "reference":
-                for pn in parents_new:
-                    ledger[tixd, pn, :] = pn
-            else:
-                for pn in parents_new:
-                    k = min(len(parents_new), sibling)
-                    ledger[tixd, pn, :k] = parents_new[:k]
 
     tdims = (tr.timedim,)
     sdims = tr._spatial_dims()
     coords = dict(tr.data_bin.coords)
     id_coord = Coord("ID", np.arange(1, N + 1, dtype=np.int32))
-    id_lazy = zarr_lite.LazyZarrArray(os.path.join(out_path, "ID_field"))
 
+    def _lazy(name):
+        if N == 0:  # zero-width tables (no events): lazy (T, 1) stores would misalign
+            arr = zarr_lite.LazyZarrArray(os.path.join(out_path, name))
+            if name == "ID_field":
+                return arr
+            a = np.asarray(arr)
+            return a[:, :0] if a.ndim >= 2 and name != "centroid" else a[..., :0]
+        return zarr_lite.LazyZarrArray(os.path.join(out_path, name))
+
+    id_c = {**coords, "ID": id_coord}
     events_ds = FieldSet(
         {
-            "ID_field": Field(id_lazy, tdims + sdims, coords, name="ID_field"),
-            "global_ID": Field(global_id[:, 1:], (tr.timedim, "ID"), {**coords, "ID": id_coord}, name="global_ID"),
-            "area": Field(areas[:, 1:], (tr.timedim, "ID"), {**coords, "ID": id_coord}, name="area"),
+            "ID_field": Field(_lazy("ID_field"), tdims + sdims, coords, name="ID_field"),
+            "global_ID": Field(_lazy("global_ID"), (tr.timedim, "ID"), id_c, name="global_ID"),
+            "area": Field(_lazy("area"), (tr.timedim, "ID"), id_c, name="area"),
             "centroid": Field(
-                np.stack([clat[:, 1:], clon[:, 1:]], axis=0),
+                _lazy("centroid"),
                 ("component", tr.timedim, "ID"),
-                {**coords, "ID": id_coord, "component": Coord("component", np.array([0, 1]))},
+                {**id_c, "component": Coord("component", np.array([0, 1]))},
                 name="centroid",
             ),
-            "presence": Field(presence[:, 1:], (tr.timedim, "ID"), {**coords, "ID": id_coord}, name="presence"),
+            "presence": Field(_lazy("presence"), (tr.timedim, "ID"), id_c, name="presence"),
             "time_start": Field(time_start[1:], ("ID",), {"ID": id_coord}, name="time_start"),
             "time_end": Field(time_end[1:], ("ID",), {"ID": id_coord}, name="time_end"),
             "merge_ledger": Field(
-                ledger[:, 1:, :],
+                _lazy("merge_ledger"),
                 (tr.timedim, "ID", "sibling_ID"),
-                {**coords, "ID": id_coord, "sibling_ID": Coord("sibling_ID", np.arange(sibling))},
+                {**id_c, "sibling_ID": Coord("sibling_ID", np.arange(sibling))},
                 name="merge_ledger",
             ),
         },
