@@ -38,17 +38,22 @@ def _host_tag() -> str:
         flags = platform.processor()
     return hashlib.sha1(f"{platform.machine()}:{flags}".encode()).hexdigest()[:12]
 
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", f".pytest_jax_cache_{_host_tag()}")
-os.makedirs(_cache_dir, exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    # XLA:CPU executable serialization ("all") segfaults mid-suite inside
-    # compilation_cache.put_executable_and_time at high RSS (observed twice,
-    # different tests each time). Cache only the stable HLO-level artifacts.
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
-except Exception:  # pragma: no cover
-    pass
+# The persistent compilation cache is OPT-IN for tests (MAREX_TEST_CACHE=1):
+# XLA:CPU executable (de)serialization is not reliable across process
+# configurations even on ONE host — cache READS segfault inside
+# compilation_cache.get_executable_and_time with target-feature mismatches
+# (+prefer-no-scatter/-gather pseudo-flags) that the host fingerprint below
+# cannot capture, and WRITES have crashed at high RSS. Correctness of
+# `pytest tests/` beats compile-time savings.
+if os.environ.get("MAREX_TEST_CACHE", "") == "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", f".pytest_jax_cache_{_host_tag()}")
+    os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:  # pragma: no cover
+        pass
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -213,3 +218,17 @@ def gridded_sst_long():
 @pytest.fixture(scope="session")
 def unstructured_sst():
     return make_unstructured_sst()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_programs():
+    """Drop compiled-executable references after each test module: a full
+    one-process suite accumulates hundreds of XLA:CPU executables, and the
+    compiler has been observed to segfault (backend_compile_and_load) late
+    in such runs. Per-module clearing bounds resident compiled state; each
+    module mostly compiles distinct shapes anyway."""
+    yield
+    try:
+        jax.clear_caches()
+    except Exception:  # pragma: no cover
+        pass
