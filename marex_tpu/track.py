@@ -329,7 +329,11 @@ class tracker:
 
         # ---- cell areas -------------------------------------------------
         if self.unstructured_grid:
-            self.cell_area = np.asarray(as_field(cell_areas).values, dtype=np.float32)
+            if isinstance(cell_areas, np.ndarray):
+                ca_f = as_field(cell_areas, dims=(self.xdim,), name="cell_areas")
+            else:
+                ca_f = as_field(cell_areas)
+            self.cell_area = np.asarray(ca_f.values, dtype=np.float32)
         else:
             if grid_resolution is not None:
                 logger.info(f"Calculating cell areas from grid resolution: {grid_resolution} degrees")
@@ -361,7 +365,11 @@ class tracker:
 
         # ---- unstructured grid setup ------------------------------------
         if unstructured_grid:
-            nb = as_field(neighbours)
+            if isinstance(neighbours, np.ndarray):
+                # raw connectivity arrays get the canonical dims (nv, ncells)
+                nb = as_field(neighbours, dims=("nv", self.xdim), name="neighbours")
+            else:
+                nb = as_field(neighbours)
             nb_vals = np.asarray(nb.values, dtype=np.int32)
             if nb_vals.shape[0] != 3:
                 raise create_data_validation_error(
@@ -882,6 +890,17 @@ class tracker:
         from .io.zarr_lite import open_zarr
 
         bin_path, stats_path = self._checkpoint_paths()
+        if not (os.path.exists(bin_path) and os.path.exists(stats_path)):
+            raise TrackingError(
+                "No preprocessing checkpoint found for this configuration",
+                details=f"Expected checkpoint files at {bin_path} and {stats_path}",
+                suggestions=[
+                    "Run once with checkpoint='save' (or 'auto') to create the checkpoint",
+                    "Check that temp_dir matches the directory used when saving",
+                    "Checkpoint paths embed the tracker configuration - parameters must match the saving run",
+                ],
+                context={"bin_path": bin_path, "stats_path": stats_path},
+            )
         ds = open_zarr(bin_path)
         data = jnp.asarray(np.asarray(ds["data_bin_preproc"].values, dtype=bool))
         npz = np.load(stats_path)

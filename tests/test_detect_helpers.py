@@ -233,3 +233,144 @@ class TestGlobalThresholdsBinarySearch:
             # same bin selections and interpolation up to FMA-fusion ULPs
             assert np.isnan(old).tolist() == np.isnan(new).tolist()
             np.testing.assert_allclose(new[~np.isnan(new)], old[~np.isnan(old)], rtol=0, atol=1e-6)
+
+
+class TestPreprocessingStepsProvenance:
+    """The preprocessing_steps provenance strings cover every method
+    combination (reference tests/test_detect_helpers.py
+    TestGetPreprocessingSteps)."""
+
+    def _steps(self, **kw):
+        from marex_tpu.detect import _get_preprocessing_steps
+
+        base = dict(
+            method_anomaly="detrend_harmonic",
+            method_extreme="global_extreme",
+            std_normalise=False,
+            detrend_orders=[1],
+            window_year_baseline=15,
+            smooth_days_baseline=21,
+            window_days_hobday=11,
+            window_spatial_hobday=None,
+            reference_period=None,
+        )
+        base.update(kw)
+        return _get_preprocessing_steps(**base)
+
+    def test_detrend_harmonic_steps(self):
+        steps = self._steps(detrend_orders=[1, 2])
+        assert any("polynomial trend orders=[1, 2]" in s for s in steps)
+        assert any("seasonal cycle" in s for s in steps)
+
+    def test_detrend_harmonic_with_std_normalise(self):
+        steps = self._steps(std_normalise=True)
+        assert any("rolling STD" in s for s in steps)
+
+    def test_shifting_baseline_steps(self):
+        steps = self._steps(method_anomaly="shifting_baseline", window_year_baseline=10, smooth_days_baseline=31)
+        assert any("10 years" in s for s in steps)
+        assert any("31-day window" in s for s in steps)
+
+    def test_fixed_baseline_reference_period(self):
+        steps = self._steps(method_anomaly="fixed_baseline", reference_period=(1991, 2020))
+        assert any("1991-2020" in s for s in steps)
+        steps_full = self._steps(method_anomaly="fixed_baseline")
+        assert any("full time series" in s for s in steps_full)
+
+    def test_detrend_fixed_baseline_steps(self):
+        steps = self._steps(method_anomaly="detrend_fixed_baseline", detrend_orders=[1])
+        assert any("polynomial trend" in s for s in steps)
+        assert any("detrended data" in s for s in steps)
+
+    def test_hobday_extreme_steps(self):
+        steps = self._steps(method_extreme="hobday_extreme", window_days_hobday=11)
+        assert any("11 day window" in s for s in steps)
+        steps_sp = self._steps(method_extreme="hobday_extreme", window_spatial_hobday=5)
+        assert any("5 spatial neighbours" in s for s in steps_sp)
+
+    def test_all_combinations_nonempty_and_distinct(self):
+        anomalies = ["detrend_harmonic", "shifting_baseline", "fixed_baseline", "detrend_fixed_baseline"]
+        extremes = ["global_extreme", "hobday_extreme"]
+        seen = set()
+        for a in anomalies:
+            for e in extremes:
+                steps = tuple(self._steps(method_anomaly=a, method_extreme=e))
+                assert len(steps) >= 2, (a, e)
+                assert steps not in seen, "step descriptions must be distinct per method pair"
+                seen.add(steps)
+
+
+class TestHistogramQuantileEdgeCases:
+    """Histogram quantile behaviours beyond the happy path (reference
+    TestComputeHistogramQuantile1D/2D edge cases)."""
+
+    def test_multiple_quantiles_monotone(self):
+        import jax.numpy as jnp
+
+        from marex_tpu.ops import quantile as Q
+
+        rng = np.random.default_rng(3)
+        data = rng.normal(0, 1, size=(4000, 7)).astype(np.float32)
+        edges = np.linspace(-6, 6, 241).astype(np.float32)
+        centers = (edges[:-1] + edges[1:]) / 2
+        idx = np.clip(np.digitize(data, edges) - 1, 0, 239)
+        hist = np.zeros((7, 240), np.int32)
+        for c in range(7):
+            np.add.at(hist[c], idx[:, c], 1)
+        prev = -np.inf
+        for q in (0.5, 0.8, 0.9, 0.95, 0.99):
+            thr = np.asarray(Q.histogram_quantile_cdf(jnp.asarray(hist), q, jnp.asarray(centers)))
+            exact = np.quantile(data, q, axis=0)
+            np.testing.assert_allclose(thr, exact, atol=0.06)
+            assert (thr >= prev - 1e-6).all(), "quantiles must be monotone in q"
+            prev = thr
+
+    def test_custom_coarse_bins_still_close(self):
+        import jax.numpy as jnp
+
+        from marex_tpu.ops import quantile as Q
+
+        rng = np.random.default_rng(4)
+        data = rng.normal(0, 1, size=(8000,)).astype(np.float32)
+        edges = np.linspace(-5, 5, 41).astype(np.float32)  # coarse 0.25-wide bins
+        centers = (edges[:-1] + edges[1:]) / 2
+        hist = np.histogram(data, bins=edges)[0].astype(np.int32)
+        thr = float(Q.histogram_quantile_cdf(jnp.asarray(hist), 0.95, jnp.asarray(centers)))
+        assert abs(thr - np.quantile(data, 0.95)) < 0.25
+
+    def test_counts_path_empty_histogram_nan(self):
+        import jax.numpy as jnp
+
+        from marex_tpu.ops import quantile as Q
+
+        centers = jnp.linspace(-1, 1, 16)
+        hist = jnp.zeros((3, 16), jnp.int32)
+        thr = np.asarray(Q.histogram_quantile_counts(hist, 0.9, centers))
+        assert np.isnan(thr).all()
+
+    def test_counts_path_single_bin_mass(self):
+        import jax.numpy as jnp
+
+        from marex_tpu.ops import quantile as Q
+
+        centers = jnp.linspace(0, 15, 16)
+        hist = jnp.zeros((16,), jnp.int32).at[7].set(100)
+        thr = float(Q.histogram_quantile_counts(hist, 0.9, centers))
+        assert abs(thr - 7.0) <= 0.5
+
+    def test_hobday_window_sizes_change_thresholds(self):
+        import jax.numpy as jnp
+
+        from marex_tpu.ops import quantile as Q
+
+        rng = np.random.default_rng(5)
+        # 3 years daily, 6 cells, with a seasonal cycle so the DOY window matters
+        Y, D, S = 3, 366, 6
+        doyv = np.arange(D)
+        base = 2.0 * np.sin(2 * np.pi * doyv / 365.0)[None, :, None]
+        data = (base + rng.normal(0, 1, size=(Y, D, S))).astype(np.float32)
+        t5 = np.asarray(Q.hobday_thresholds_exact(jnp.asarray(data), 0.9, 5))
+        t31 = np.asarray(Q.hobday_thresholds_exact(jnp.asarray(data), 0.9, 31))
+        assert t5.shape == t31.shape == (D, S)
+        # wider windows pool more of the seasonal cycle -> thresholds differ
+        assert np.nanmax(np.abs(t5 - t31)) > 0.05

@@ -352,3 +352,223 @@ class TestTrackerErrorDepth:
         with pytest.raises(marEx.ConfigurationError):
             marEx.tracker(self._blob(), self._mask(), R_fill=0, area_filter_quartile=0.5,
                           area_filter_absolute=10, quiet=True)
+
+
+class TestExtremeMethodPreclusions:
+    """Mutually-exclusive extreme-method parameters (reference
+    tests/test_error_handling.py TestIdentifyExtremesConfigurationErrors)."""
+
+    def test_low_percentile_with_approximate_rejected(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="fixed_baseline", method_extreme="global_extreme",
+                method_percentile="approximate", threshold_percentile=40, quiet=True,
+            )
+        _expect(ei, "approximate", "60")
+
+    def test_low_percentile_with_exact_allowed(self, sst):
+        ds = marEx.preprocess_data(
+            sst, method_anomaly="fixed_baseline", method_extreme="global_extreme",
+            method_percentile="exact", threshold_percentile=40, quiet=True,
+        )
+        assert bool(np.asarray(ds.extreme_events.values).any())
+
+    def test_window_spatial_with_global_extreme_rejected(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="fixed_baseline", method_extreme="global_extreme",
+                window_spatial_hobday=5, quiet=True,
+            )
+        _expect(ei, "window_spatial_hobday", "hobday_extreme")
+
+    def test_window_spatial_with_exact_percentile_rejected(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="fixed_baseline", method_extreme="hobday_extreme",
+                method_percentile="exact", window_spatial_hobday=5, quiet=True,
+            )
+        _expect(ei, "window_spatial_hobday", "exact")
+
+    def test_even_window_days_hobday_rejected(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="fixed_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=10, quiet=True,
+            )
+        _expect(ei, "odd")
+
+    def test_even_window_spatial_hobday_rejected(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="fixed_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=11, window_spatial_hobday=4, quiet=True,
+            )
+        _expect(ei, "odd")
+
+    def test_precision_error_names_offender(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="fixed_baseline", method_extreme="global_extreme",
+                method_percentile="exact", precision=0.5, quiet=True,
+            )
+        assert ei.value.context.get("provided_precision") == 0.5
+
+
+class TestInsufficientDataValidation:
+    """shifting_baseline demands enough years (reference
+    TestInsufficientDataValidation)."""
+
+    def test_default_window_insufficient_years(self, sst):
+        # sst spans 3 years; default window_year_baseline=15
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=11, quiet=True,
+            )
+        _expect(ei, "insufficient", "years")
+
+    def test_error_reports_available_and_required(self, sst):
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=11, window_year_baseline=10, quiet=True,
+            )
+        info = ei.value.context
+        assert info.get("available_years") == 3
+        assert info.get("required_years") == 10
+
+    def test_small_custom_window_accepted(self, sst):
+        ds = marEx.preprocess_data(
+            sst, method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
+            window_days_hobday=11, window_year_baseline=2, smooth_days_baseline=3, quiet=True,
+        )
+        # the first window_year_baseline years are trimmed from the output
+        assert ds.extreme_events.sizes[ds.extreme_events.dims[0]] < sst.sizes["time"]
+
+
+class TestRegionalCoordinateUnits:
+    """regional_mode coordinate-unit validation (reference
+    TestTrackerCoordinateErrors)."""
+
+    @staticmethod
+    def _binary(T=4, NY=12, NX=24):
+        rng = np.random.default_rng(11)
+        da = Field(
+            rng.random((T, NY, NX)) > 0.7,
+            ("time", "lat", "lon"),
+            coords={
+                "time": pd.date_range("2020-01-01", periods=T, freq="D").to_numpy(),
+                "lat": np.linspace(30, 60, NY),
+                "lon": np.linspace(-20, 30, NX),
+            },
+            name="extreme_events",
+        )
+        m = Field(
+            np.ones((NY, NX), bool), ("lat", "lon"),
+            coords={"lat": np.linspace(30, 60, NY), "lon": np.linspace(-20, 30, NX)},
+        )
+        return da, m
+
+    def test_regional_requires_units(self):
+        da, m = self._binary()
+        with pytest.raises(marEx.MarExError) as ei:
+            marEx.tracker(
+                da, m, R_fill=1, T_fill=0, area_filter_quartile=0.5,
+                regional_mode=True,
+            )
+        _expect(ei, "coordinate_units")
+
+    def test_regional_invalid_units(self):
+        da, m = self._binary()
+        with pytest.raises(marEx.MarExError) as ei:
+            marEx.tracker(
+                da, m, R_fill=1, T_fill=0, area_filter_quartile=0.5,
+                regional_mode=True, coordinate_units="furlongs",
+            )
+        _expect(ei, "degrees", "radians")
+
+    def test_global_invalid_units_rejected(self):
+        da, m = self._binary()
+        with pytest.raises(marEx.MarExError):
+            marEx.tracker(
+                da, m, R_fill=1, T_fill=0, area_filter_quartile=0.5,
+                coordinate_units="kilometres",
+            )
+
+
+class TestNeighbourArrayValidation:
+    @staticmethod
+    def _unstr(C=64):
+        lat = np.linspace(-30, 30, C)
+        lon = np.linspace(0, 350, C)
+        ev = Field(
+            np.ones((4, C), bool), ("time", "ncells"),
+            coords={"time": pd.date_range("2020-01-01", periods=4).to_numpy(),
+                    "lat": ("ncells", lat), "lon": ("ncells", lon)},
+        )
+        m = Field(np.ones(C, bool), ("ncells",), coords={"lat": ("ncells", lat), "lon": ("ncells", lon)})
+        return ev, m
+
+    def test_wrong_leading_dim_rejected(self):
+        ev, m = self._unstr()
+        nb = np.full((4, 64), -1, np.int32)  # quad mesh: not (3, ncells)
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.tracker(
+                ev, m, R_fill=0, area_filter_quartile=0.5, unstructured_grid=True,
+                dimensions={"x": "ncells"}, coordinates={"x": "lon", "y": "lat"},
+                neighbours=nb, cell_areas=np.ones(64, np.float32),
+                coordinate_units="degrees",
+            )
+        _expect(ei, "triangular")
+
+    def test_missing_neighbours_rejected(self):
+        ev, m = self._unstr()
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.tracker(
+                ev, m, R_fill=0, area_filter_quartile=0.5, unstructured_grid=True,
+                dimensions={"x": "ncells"}, coordinates={"x": "lon", "y": "lat"},
+                cell_areas=np.ones(64, np.float32), coordinate_units="degrees",
+            )
+        _expect(ei, "neighbours")
+
+    def test_missing_cell_areas_rejected(self):
+        ev, m = self._unstr()
+        nb = np.full((3, 64), -1, np.int32)
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.tracker(
+                ev, m, R_fill=0, area_filter_quartile=0.5, unstructured_grid=True,
+                dimensions={"x": "ncells"}, coordinates={"x": "lon", "y": "lat"},
+                neighbours=nb, coordinate_units="degrees",
+            )
+        _expect(ei, "cell_areas")
+
+
+class TestHelpfulErrorMessages:
+    """Every MarExError string includes details and numbered suggestions
+    (reference TestHelpfulErrorMessages)."""
+
+    def test_formatting_has_suggestions_section(self, sst):
+        with pytest.raises(marEx.ConfigurationError) as ei:
+            marEx.preprocess_data(sst, method_anomaly="nope", quiet=True)
+        text = str(ei.value)
+        assert "Suggestions:" in text
+        assert "\n  - " in text  # bulleted suggestion list
+        assert "Context:" in text
+
+    def test_insufficient_data_suggests_fixes(self, sst):
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=11, quiet=True,
+            )
+        assert any("window_year_baseline" in s for s in ei.value.suggestions)
+
+    def test_tracker_dim_error_names_expected_dims(self):
+        da = Field(
+            np.ones((4, 6), bool), ("time", "lat"),
+            coords={"time": pd.date_range("2020-01-01", periods=4).to_numpy(),
+                    "lat": np.arange(6.0), "lon": ("lat", np.arange(6.0))},
+        )
+        m = Field(np.ones(6, bool), ("lat",), coords={"lat": np.arange(6.0)})
+        with pytest.raises(marEx.MarExError):
+            marEx.tracker(da, m, R_fill=1, area_filter_quartile=0.5)

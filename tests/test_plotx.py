@@ -408,3 +408,112 @@ class TestAnimationDepth:
         import os
 
         assert os.path.basename(out).startswith("anoms")
+
+
+class TestCustomDimensions:
+    """Plotting with renamed dims/coords (reference tests/test_plotx.py
+    TestCustomDimensions)."""
+
+    @pytest.fixture
+    def gridded_custom(self):
+        T, NY, NX = 4, 14, 28
+        rng = np.random.default_rng(7)
+        return Field(
+            rng.standard_normal((T, NY, NX)).astype(np.float32),
+            ("t", "yy", "xx"),
+            coords={
+                "t": pd.date_range("2020-01-01", periods=T, freq="D").to_numpy(),
+                "latitude": Coord("yy", np.linspace(-70, 70, NY)),
+                "longitude": Coord("xx", np.linspace(0, 360, NX, endpoint=False)),
+            },
+            name="anoms",
+        )
+
+    def test_detection_with_custom_dims(self, gridded_custom):
+        from marex_tpu.plotX import _detect_grid_type
+
+        dims = {"time": "t", "y": "yy", "x": "xx"}
+        assert _detect_grid_type(gridded_custom, dims) == "gridded"
+        # without the mapping the y dim is absent -> unstructured fallback
+        assert _detect_grid_type(gridded_custom) == "unstructured"
+
+    def test_single_plot_custom_dims(self, gridded_custom):
+        dims = {"time": "t", "y": "yy", "x": "xx"}
+        coords = {"time": "t", "y": "latitude", "x": "longitude"}
+        plotter = gridded_custom.plotX(dimensions=dims, coordinates=coords)
+        assert isinstance(plotter, GriddedPlotter)
+        fig, ax, im = plotter.single_plot(PlotConfig(show_colorbar=False))
+        assert fig is not None
+        plt.close(fig)
+
+    def test_unstructured_custom_cell_dim(self):
+        lat_c, lon_c, nb, areas = make_unstructured_mesh(n_side=8)
+        C = len(lat_c)
+        rng = np.random.default_rng(8)
+        da = Field(
+            rng.standard_normal((3, C)).astype(np.float32),
+            ("t", "cell"),
+            coords={
+                "t": pd.date_range("2020-01-01", periods=3, freq="D").to_numpy(),
+                "lat": Coord("cell", lat_c),
+                "lon": Coord("cell", lon_c),
+            },
+            name="anoms",
+        )
+        dims = {"time": "t", "x": "cell"}
+        coords = {"time": "t", "y": "lat", "x": "lon"}
+        plotter = da.plotX(dimensions=dims, coordinates=coords)
+        assert isinstance(plotter, UnstructuredPlotter)
+        fig, ax, im = plotter.single_plot(PlotConfig(show_colorbar=False))
+        plt.close(fig)
+
+
+class TestXarrayAccessor:
+    """The plotX accessor registers on xarray DataArrays too (reference
+    test_xarray_accessor_registration)."""
+
+    def test_dataarray_accessor(self, gridded_da):
+        xr = pytest.importorskip("xarray")
+        da = xr.DataArray(
+            np.asarray(gridded_da.values),
+            dims=("time", "lat", "lon"),
+            coords={
+                "time": gridded_da.coords["time"].values,
+                "lat": gridded_da.coords["lat"].values,
+                "lon": gridded_da.coords["lon"].values,
+            },
+            name="anoms",
+        )
+        assert hasattr(da, "plotX")
+        plotter = da.plotX()
+        assert isinstance(plotter, GriddedPlotter)
+        fig, ax, im = plotter.single_plot(PlotConfig(show_colorbar=False))
+        plt.close(fig)
+
+    def test_dataset_fields_plot(self, gridded_da):
+        # plot directly from a pipeline-style FieldSet member
+        from marex_tpu.core.field import FieldSet
+
+        ds = FieldSet({"anoms": gridded_da})
+        fig, ax, im = ds["anoms"].plotX.single_plot(PlotConfig(show_colorbar=False))
+        plt.close(fig)
+
+
+class TestMultiPlotDepth:
+    def test_multi_plot_col_wrap_and_grid(self, gridded_da):
+        plotter = gridded_da.plotX()
+        fig, axes = plotter.multi_plot(PlotConfig(show_colorbar=False), col="time", col_wrap=3)
+        n = gridded_da.sizes["time"]
+        assert np.asarray(axes).size >= n
+        plt.close(fig)
+
+    def test_multi_plot_shared_clim(self, gridded_da):
+        # one symmetric clim across panels: the panel images share vmin/vmax
+        plotter = gridded_da.plotX()
+        fig, axes = plotter.multi_plot(PlotConfig(show_colorbar=False, issym=True), col="time", col_wrap=3)
+        ims = [im for ax in np.asarray(axes).ravel() for im in ax.get_images()]
+        if not ims:  # pcolormesh path stores QuadMesh in collections
+            ims = [c for ax in np.asarray(axes).ravel() for c in ax.collections]
+        clims = {tuple(np.round(np.asarray(im.get_clim(), dtype=float), 6)) for im in ims}
+        assert len(clims) == 1
+        plt.close(fig)
