@@ -314,3 +314,105 @@ class TestLoggerHierarchy:
         assert is_quiet_mode()
         lg = get_logger()
         assert lg.level >= logging.WARNING
+
+
+class _CaptureHandler(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.records = []
+
+    def emit(self, record):
+        self.records.append(record)
+
+
+@pytest.fixture
+def pkg_records():
+    """Capture records on the package logger itself: configure_logging sets
+    propagate=False, so pytest's caplog (root-attached) sees nothing."""
+    lg = logging.getLogger("marex_tpu")
+    h = _CaptureHandler()
+    lg.addHandler(h)
+    try:
+        yield h.records
+    finally:
+        lg.removeHandler(h)
+        configure_logging()  # restore default mode for later tests
+
+
+class TestFunctionLevelVerbosity:
+    """verbose/quiet kwargs on the public pipeline entry points control the
+    emitted records (reference tests/test_logging_system.py
+    TestFunctionLevelVerbosity / TestTrackerVerbosity)."""
+
+    @staticmethod
+    def _sst():
+        from .conftest import make_gridded_sst
+
+        return make_gridded_sst(n_years=2, ny=8, nx=16, seed=5)
+
+    def test_preprocess_verbose_kwarg_switches_mode(self):
+        import marex_tpu as marEx
+        from marex_tpu.logging_config import is_verbose_mode
+
+        marEx.preprocess_data(
+            self._sst(), method_anomaly="fixed_baseline",
+            method_extreme="global_extreme", verbose=True,
+        )
+        assert is_verbose_mode()
+
+    def test_preprocess_verbose_emits_info(self, pkg_records):
+        import marex_tpu as marEx
+
+        # configure first: the kwarg path calls configure_logging, which
+        # rebuilds the package handler list and would drop the capture handler
+        configure_logging(verbose=True)
+        lg = logging.getLogger("marex_tpu")
+        h = _CaptureHandler()
+        lg.addHandler(h)
+        try:
+            marEx.preprocess_data(
+                self._sst(), method_anomaly="fixed_baseline",
+                method_extreme="global_extreme",
+            )
+        finally:
+            lg.removeHandler(h)
+        infos = [r for r in h.records if r.levelno == logging.INFO]
+        assert infos
+        joined = " ".join(r.message.lower() for r in h.records)
+        assert "anomal" in joined or "extreme" in joined
+
+    def test_preprocess_quiet_emits_no_info(self, pkg_records):
+        import marex_tpu as marEx
+
+        marEx.preprocess_data(
+            self._sst(), method_anomaly="fixed_baseline",
+            method_extreme="global_extreme", quiet=True,
+        )
+        # quiet mode raises the package threshold to WARNING: the INFO calls
+        # are filtered at the logger before any handler sees them
+        assert not [r for r in pkg_records if r.levelno <= logging.INFO]
+
+    def test_tracker_initialisation_verbose(self, pkg_records):
+        import pandas as pd
+
+        import marex_tpu as marEx
+        from marex_tpu.core.field import Field
+
+        T, NY, NX = 4, 10, 20
+        da = Field(
+            np.ones((T, NY, NX), bool), ("time", "lat", "lon"),
+            coords={"time": pd.date_range("2020-01-01", periods=T).to_numpy(),
+                    "lat": np.linspace(-10, 10, NY), "lon": np.linspace(0, 360, NX, endpoint=False)},
+        )
+        m = Field(np.ones((NY, NX), bool), ("lat", "lon"),
+                  coords={"lat": np.linspace(-10, 10, NY), "lon": np.linspace(0, 360, NX, endpoint=False)})
+        configure_logging(verbose=True)
+        lg = logging.getLogger("marex_tpu")
+        h = _CaptureHandler()
+        lg.addHandler(h)
+        try:
+            marEx.tracker(da, m, R_fill=1, T_fill=0, area_filter_quartile=0.5)
+        finally:
+            lg.removeHandler(h)
+        joined = " ".join(r.message for r in h.records)
+        assert "tracker" in joined.lower() or "R_fill" in joined
