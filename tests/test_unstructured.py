@@ -344,3 +344,137 @@ class TestUnstructuredTracking:
         # physical areas = sums of cell areas (not cell counts)
         mean_cell = float(ca.values.mean())
         assert np.nanmean(area[pres]) > 2 * mean_cell
+
+
+class TestUnstructuredMethodBreadth:
+    """Anomaly-method breadth on the mesh (reference
+    tests/test_unstructured_preprocessing.py:114-260)."""
+
+    def test_detrend_harmonic_global_extreme(self, unstructured_sst):
+        da, nb, ca = unstructured_sst
+        ds = marEx.preprocess_data(
+            da, dimensions=UNSTRUCT_DIMS, coordinates=UNSTRUCT_COORDS,
+            method_anomaly="detrend_harmonic", method_extreme="global_extreme",
+            threshold_percentile=90, quiet=True,
+        )
+        freq = float(np.asarray(ds.extreme_events.values).mean())
+        assert_percentile_frequency(freq, 90)
+        # anomalies are demeaned per cell
+        an = np.asarray(ds.dat_anomaly.values)
+        assert np.abs(np.nanmean(an)) < 0.15
+
+    def test_detrend_fixed_baseline(self, unstructured_sst):
+        da, nb, ca = unstructured_sst
+        ds = marEx.preprocess_data(
+            da, dimensions=UNSTRUCT_DIMS, coordinates=UNSTRUCT_COORDS,
+            method_anomaly="detrend_fixed_baseline", method_extreme="global_extreme",
+            threshold_percentile=95, quiet=True,
+        )
+        freq = float(np.asarray(ds.extreme_events.values).mean())
+        assert_percentile_frequency(freq, 95)
+
+    def test_extreme_method_consistency(self, unstructured_sst):
+        # hobday and global paths on the same anomalies flag comparable volumes
+        da, nb, ca = unstructured_sst
+        kw = dict(dimensions=UNSTRUCT_DIMS, coordinates=UNSTRUCT_COORDS,
+                  method_anomaly="fixed_baseline", threshold_percentile=95, quiet=True)
+        g = marEx.preprocess_data(da, method_extreme="global_extreme", **kw)
+        h = marEx.preprocess_data(da, method_extreme="hobday_extreme", window_days_hobday=11, **kw)
+        fg = float(np.asarray(g.extreme_events.values).mean())
+        fh = float(np.asarray(h.extreme_events.values).mean())
+        assert 0.5 < (fh / fg) < 2.0
+
+    def test_custom_dimension_names(self, unstructured_sst):
+        da, nb, ca = unstructured_sst
+        vals = np.asarray(da.values)
+        lat_c = np.asarray(da.coords["lat"].values)
+        lon_c = np.asarray(da.coords["lon"].values)
+        da2 = Field(
+            vals, ("tt", "cell"),
+            coords={"tt": da.coords["time"].values,
+                    "latitude": Coord("cell", lat_c), "longitude": Coord("cell", lon_c)},
+            name="sst",
+        )
+        ds = marEx.preprocess_data(
+            da2, dimensions={"time": "tt", "x": "cell"},
+            coordinates={"time": "tt", "x": "longitude", "y": "latitude"},
+            method_anomaly="fixed_baseline", method_extreme="global_extreme", quiet=True,
+        )
+        assert ds.extreme_events.dims == ("tt", "cell")
+        assert "latitude" in ds.extreme_events.coords
+
+
+class TestUnstructuredTrackingDepth:
+    """Gap filling, filter-parameter sensitivity and wrapped centroids on
+    the mesh (reference tests/test_unstructured_tracking.py:356-637)."""
+
+    @staticmethod
+    def _blinking_patch(n_side=32, T=12, gap_at=(5, 6)):
+        lat_c, lon_c, nb, areas = make_unstructured_mesh(n_side=n_side, seed=3)
+        C = len(lat_c)
+        data = np.zeros((T, C), bool)
+        for t in range(T):
+            if t in gap_at:
+                continue
+            d = np.minimum(np.abs(lon_c - 120), 360 - np.abs(lon_c - 120))
+            data[t] = (np.abs(lat_c - 10) < 14) & (d < 20)
+        coords = {
+            "time": pd.date_range("2019-01-01", periods=T, freq="D").to_numpy(),
+            "lat": ("ncells", lat_c), "lon": ("ncells", lon_c),
+        }
+        da = Field(data, ("time", "ncells"), coords=coords, name="extreme_events")
+        mask = Field(np.ones(C, bool), ("ncells",),
+                     coords={"lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}, name="mask")
+        return da, mask, Field(nb, ("nv", "ncells"), name="neighbours"), Field(areas, ("ncells",), name="cell_areas")
+
+    def _track(self, da, mask, nb, ca, tmp_path, **kw):
+        params = dict(
+            R_fill=1, T_fill=0, area_filter_absolute=6, allow_merging=False,
+            unstructured_grid=True, dimensions={"x": "ncells"},
+            coordinates={"x": "lon", "y": "lat"}, coordinate_units="degrees",
+            temp_dir=str(tmp_path), neighbours=nb, cell_areas=ca, quiet=True,
+        )
+        params.update(kw)
+        return marEx.tracker(da, mask, **params).run()
+
+    def test_temporal_gap_filling(self, tmp_path):
+        da, mask, nb, ca = self._blinking_patch()
+        # without fill: the 2-day blink splits the track into two events
+        ev0 = self._track(da, mask, nb, ca, tmp_path, T_fill=0)
+        # with fill: one continuous event, present in the gap
+        ev2 = self._track(da, mask, nb, ca, tmp_path, T_fill=2)
+        assert ev0.attrs["N_events_final"] == 2
+        assert ev2.attrs["N_events_final"] == 1
+        ids = np.asarray(ev2.ID_field.values)
+        assert (ids[5] > 0).any() and (ids[6] > 0).any()
+
+    def test_filtering_parameter_sensitivity(self, tmp_path):
+        da, mask, nb, ca = self._blinking_patch(gap_at=())
+        ev_small = self._track(da, mask, nb, ca, tmp_path, area_filter_absolute=6)
+        # an absolute threshold beyond the patch size removes everything
+        patch_cells = int(np.asarray(da.values)[0].sum())
+        ev_big = self._track(da, mask, nb, ca, tmp_path, area_filter_absolute=patch_cells * 10)
+        assert ev_small.attrs["N_events_final"] >= 1
+        assert ev_big.attrs["N_events_final"] == 0
+
+    def test_wrapped_centroid_on_seam(self):
+        # spherical (Cartesian-mean) centroid of an object straddling the
+        # lon 0/360 seam lands ON the seam, not at the naive ~180 average
+        # (reference track.py:2195-2230; the planar Delaunay test mesh has
+        # no cross-seam adjacency, so this probes the props kernel directly)
+        import jax.numpy as jnp
+
+        from marex_tpu.ops import properties as _props
+
+        lon = np.array([356.0, 358.0, 2.0, 4.0], np.float32)
+        lat = np.array([5.0, 5.0, 5.0, 5.0], np.float32)
+        area = np.ones(4, np.float32)
+        labels = jnp.asarray(np.array([[1, 1, 1, 1]], np.int32))
+        areas, clat, clon = _props.unstructured_label_props(
+            labels, jnp.asarray(lat), jnp.asarray(lon), jnp.asarray(area), 1
+        )
+        c = float(np.asarray(clon)[0, 1]) % 360.0
+        dist_to_seam = min(c, 360.0 - c)
+        assert dist_to_seam < 1.0
+        assert abs(float(np.asarray(clat)[0, 1]) - 5.0) < 0.5
+        assert float(np.asarray(areas)[0, 1]) == 4.0
