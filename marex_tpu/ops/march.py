@@ -70,6 +70,7 @@ class MarchSizes(NamedTuple):
     MAXM: int     # merge-ledger capacity
     MAXWIN: int   # static pad of the EDT row window
     LN: int       # dense (child, parent) lane capacity of the partition
+    HC: int = 0   # partition row-band height (0 = full-grid partition)
 
 
 # flag bit positions (carried int32 bitmask)
@@ -265,15 +266,30 @@ def _row_distance_periodic(mask: jax.Array, wrap: bool) -> jax.Array:
 _COL_CHUNK = 8  # column-pass offsets handled per fori iteration
 
 
-def _edt_dynwin(parent_masks: jax.Array, win_dyn: jax.Array, MAXWIN: int, wrap: bool):
+def _edt_dynwin(
+    parent_masks: jax.Array,
+    win_dyn: jax.Array,
+    MAXWIN: int,
+    wrap: bool,
+    out_r0: jax.Array | int = 0,
+    out_h: int | None = None,
+):
     """Exact squared EDT per parent with the column pass restricted to a
     TRACED row window (cost scales with the actual window, not with H).
     Exact for all distances <= win_dyn; callers ensure win_dyn covers the
     NN distance cap (flagging FLAG_WIN otherwise). Offsets are processed in
     chunks of _COL_CHUNK per fori iteration to amortise loop overhead; the
     chunk may overshoot the window, which only adds true (larger-offset)
-    distance candidates and never loosens the envelope."""
+    distance candidates and never loosens the envelope.
+
+    ``out_r0``/``out_h`` restrict the OUTPUT to rows [out_r0, out_r0+out_h):
+    distances are still exact (reads reach +-win_dyn beyond the band) but
+    the expensive accumulation runs over ``out_h`` rows instead of H —
+    callers that only consume distances inside a child row band (the merge
+    partition) pay for the band, not the grid."""
     Pm, Hm, Wm = parent_masks.shape
+    OH = Hm if out_h is None else out_h
+    out_r0 = jnp.asarray(out_r0, jnp.int32)
     d1 = _row_distance_periodic(parent_masks, wrap)
     d1sq = jnp.where(jnp.isinf(d1), _INF, d1 * d1)
     padded = jnp.pad(
@@ -283,14 +299,14 @@ def _edt_dynwin(parent_masks: jax.Array, win_dyn: jax.Array, MAXWIN: int, wrap: 
     def body(c, acc):
         base = c * _COL_CHUNK
         sl = jax.lax.dynamic_slice(
-            padded, (0, MAXWIN + base - win_dyn, 0), (Pm, Hm + _COL_CHUNK - 1, Wm)
+            padded, (0, MAXWIN + base - win_dyn + out_r0, 0), (Pm, OH + _COL_CHUNK - 1, Wm)
         )
         for u in range(_COL_CHUNK):
             dy = (base + u - win_dyn).astype(jnp.float32)
-            acc = jnp.minimum(acc, sl[:, u : u + Hm] + dy * dy)
+            acc = jnp.minimum(acc, sl[:, u : u + OH] + dy * dy)
         return acc
 
-    acc0 = jnp.full((Pm, Hm, Wm), _INF)
+    acc0 = jnp.full((Pm, OH, Wm), _INF)
     n_chunks = (2 * win_dyn + _COL_CHUNK) // _COL_CHUNK
     return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
@@ -354,65 +370,95 @@ def _partition_batch(
     )
     lane_valid = jnp.arange(LN) < n_lanes
 
-    cell_child = jnp.logical_and(
-        cur_loc[None] == lane_child[:, None, None], lane_valid[:, None, None]
-    )  # (LN, H, W)
-    in_child = jnp.any(cell_child, axis=0)
+    def core(r0, OUT_H):
+        """Assignment + property contraction over rows [r0, r0+OUT_H).
+        Children are guaranteed inside the band (the caller derives it from
+        their row extent), so restricting every per-cell array to the band
+        is exact — the EDT still reads +-win_dyn rows beyond it."""
+        cur_band = jax.lax.dynamic_slice(cur_loc, (r0, 0), (OUT_H, W))
+        cell_child = jnp.logical_and(
+            cur_band[None] == lane_child[:, None, None], lane_valid[:, None, None]
+        )  # (LN, OUT_H, W)
+        in_child = jnp.any(cell_child, axis=0)
 
-    # centroid fallback (and the whole assignment when nn=False)
-    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    dy = y[None] - lane_cy[:, None, None]
-    dx = x[None] - lane_cx[:, None, None]
-    if wrap:
-        half = W / 2.0
-        dx = jnp.where(dx > half, dx - W, dx)
-        dx = jnp.where(dx < -half, dx + W, dx)
-    cd = dy * dy + dx * dx
-    cd = jnp.where(cell_child, cd, _INF)
-    fallback = jnp.argmin(cd, axis=0).astype(jnp.int32)
+        # centroid fallback (and the whole assignment when nn=False)
+        y = jax.lax.broadcasted_iota(jnp.float32, (OUT_H, W), 0) + r0.astype(jnp.float32)
+        x = jax.lax.broadcasted_iota(jnp.float32, (OUT_H, W), 1)
+        dy = y[None] - lane_cy[:, None, None]
+        dx = x[None] - lane_cx[:, None, None]
+        if wrap:
+            half = W / 2.0
+            dx = jnp.where(dx > half, dx - W, dx)
+            dx = jnp.where(dx < -half, dx + W, dx)
+        cd = dy * dy + dx * dx
+        cd = jnp.where(cell_child, cd, _INF)
+        fallback = jnp.argmin(cd, axis=0).astype(jnp.int32)
 
-    if nn:
-        pmask = jnp.logical_and(
-            gprev[None] == lane_parent[:, None, None], lane_valid[:, None, None]
+        if nn:
+            pmask = jnp.logical_and(
+                gprev[None] == lane_parent[:, None, None], lane_valid[:, None, None]
+            )
+            d2 = _edt_dynwin(pmask, win_dyn, sizes.MAXWIN, wrap, out_r0=r0, out_h=OUT_H)
+            d = jnp.sqrt(d2)
+            d = jnp.where(d <= lane_md[:, None, None], d, _INF)
+            d = jnp.where(cell_child, d, _INF)
+            best = jnp.argmin(d, axis=0).astype(jnp.int32)
+            reached = jnp.isfinite(jnp.min(d, axis=0))
+            lane_sel = jnp.where(reached, best, fallback)
+        else:
+            lane_sel = fallback
+
+        upd = jnp.where(in_child, lane_piece[lane_sel], 0)
+        new_band = jnp.where(upd > 0, upd, cur_band)
+        new_cur = jax.lax.dynamic_update_slice(cur_loc, new_band, (r0, 0))
+
+        # per-lane property components in one contraction
+        y_f = y.reshape(-1)
+        x_f = x.reshape(-1)
+        wall = jnp.stack(
+            [
+                jnp.ones_like(x_f),
+                y_f,
+                x_f,
+                (x_f > W / 2).astype(jnp.float32),
+                (x_f < EDGE_ZONE).astype(jnp.float32),
+                (x_f >= W - EDGE_ZONE).astype(jnp.float32),
+            ]
+        )  # (6, S_band)
+        one_hot = jnp.logical_and(
+            lane_sel[None] == jnp.arange(LN)[:, None, None], in_child[None]
+        ).reshape(LN, -1)
+        comps_lane = jnp.einsum("ls,cs->lc", one_hot.astype(jnp.float32), wall)  # (LN, 6)
+
+        pcomps = (
+            jnp.zeros((K * P + 1, 6), jnp.float32)
+            .at[lane_kp].set(comps_lane, mode="drop")[: K * P]
+            .reshape(K, P, 6)
         )
-        d2 = _edt_dynwin(pmask, win_dyn, sizes.MAXWIN, wrap)
-        d = jnp.sqrt(d2)
-        d = jnp.where(d <= lane_md[:, None, None], d, _INF)
-        d = jnp.where(cell_child, d, _INF)
-        best = jnp.argmin(d, axis=0).astype(jnp.int32)
-        reached = jnp.isfinite(jnp.min(d, axis=0))
-        lane_sel = jnp.where(reached, best, fallback)
-    else:
-        lane_sel = fallback
+        return new_cur, pcomps, overflow
 
-    upd = jnp.where(in_child, lane_piece[lane_sel], 0)
-    new_cur = jnp.where(upd > 0, upd, cur_loc)
+    HC = int(getattr(sizes, "HC", 0))
+    if not HC or HC >= H:
+        return core(jnp.int32(0), H)
 
-    # per-lane property components in one contraction
-    y_f = y.reshape(-1)
-    x_f = x.reshape(-1)
-    wall = jnp.stack(
-        [
-            jnp.ones_like(x_f),
-            y_f,
-            x_f,
-            (x_f > W / 2).astype(jnp.float32),
-            (x_f < EDGE_ZONE).astype(jnp.float32),
-            (x_f >= W - EDGE_ZONE).astype(jnp.float32),
-        ]
-    )  # (6, S)
-    one_hot = jnp.logical_and(
-        lane_sel[None] == jnp.arange(LN)[:, None, None], in_child[None]
-    ).reshape(LN, -1)
-    comps_lane = jnp.einsum("ls,cs->lc", one_hot.astype(jnp.float32), wall)  # (LN, 6)
-
-    pcomps = (
-        jnp.zeros((K * P + 1, 6), jnp.float32)
-        .at[lane_kp].set(comps_lane, mode="drop")[: K * P]
-        .reshape(K, P, 6)
+    # child row band: the heavy per-cell work only has to cover rows holding
+    # child cells — on tall grids that is a small latitude band
+    lut = jnp.zeros((sizes.L + 2,), bool).at[jnp.clip(child_loc, 0, sizes.L + 1)].set(
+        child_loc > 0, mode="drop"
     )
-    return new_cur, pcomps, overflow
+    lut = lut.at[0].set(False)
+    row_any = jnp.any(lut[jnp.clip(cur_loc, 0, sizes.L + 1)], axis=1)  # (H,)
+    r_idx = jnp.arange(H, dtype=jnp.int32)
+    r0 = jnp.min(jnp.where(row_any, r_idx, H))
+    r1 = jnp.max(jnp.where(row_any, r_idx, -1)) + 1
+    band = r1 - r0
+    use_crop = jnp.logical_and(band > 0, band <= HC)
+    r0c = jnp.clip(r0, 0, H - HC)
+    return jax.lax.cond(
+        use_crop,
+        lambda: core(r0c, HC),
+        lambda: core(jnp.int32(0), H),
+    )
 
 
 def _partition_batch_unstr(

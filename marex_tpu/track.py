@@ -1660,6 +1660,9 @@ class tracker:
             MAXM=4096,
             MAXWIN=(64 if unstr else min(128, H)) if self.nn_partitioning else 8,
             LN=32,
+            # partition row band: tall grids only pay for the child latitude
+            # band (+-win reads) instead of every row; 0 disables the crop
+            HC=64 if (not unstr and H >= 160) else 0,
         )
         wrap = (not self.regional_mode) and not unstr
         mode = "unstr" if unstr else "grid"
@@ -2221,12 +2224,16 @@ def _build_merge_events(
     n = len(merge_parent_ids)
     parent_arr = np.full((n, max_parents), -1, np.int32)
     child_arr = np.full((n, max_children), -1, np.int32)
-    areas_arr = np.full((n, max_parents), -1, np.int32)
+    # the reference stores int32 overlap areas (track.py:3765) — physical
+    # cell areas (m^2 on ICON-scale meshes) overflow 2^31, so widen to int64
+    # while keeping the reference's integer-truncation semantics
+    areas_arr = np.full((n, max_parents), -1, np.int64)
     for i, p in enumerate(merge_parent_ids):
         parent_arr[i, : len(p)] = p
     for i, c in enumerate(merge_child_ids):
         child_arr[i, : len(c)] = c
     for i, a in enumerate(merge_areas):
+        a = np.nan_to_num(np.asarray(a, dtype=np.float64), nan=-1.0, posinf=-1.0, neginf=-1.0)
         areas_arr[i, : len(a)] = a
 
     mid = Coord("merge_ID", np.arange(n))

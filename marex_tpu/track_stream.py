@@ -244,6 +244,8 @@ def run_tracking_streamed(
         MAXM=4096,
         MAXWIN=(64 if unstr else min(128, sshape[0])) if tr.nn_partitioning else 8,
         LN=32,
+        # partition row band (see track.py): child latitude band only
+        HC=64 if (not unstr and sshape[0] >= 160) else 0,
     )
     lab_lazy = zarr_lite.LazyZarrArray(os.path.join(lab_store, "labels"))
 

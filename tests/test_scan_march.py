@@ -289,3 +289,80 @@ class TestScanMarchBlockwise:
         ev_blk, mg_blk = tr.run(return_merges=True)
         assert ev_blk.attrs["total_merges"] > 0
         _assert_equal_runs((ev_blk, mg_blk), (ev_mono, mg_mono))
+
+
+class TestBandedPartition:
+    """The row-banded partition (MarchSizes.HC > 0, active at H >= 160)
+    must be bit-identical to the per-step march: the band covers every
+    child cell and the EDT reads +-win_dyn rows beyond it, so restricting
+    the assignment arrays to the band is exact."""
+
+    @staticmethod
+    def _tall_field(T=40, n_pairs=4, seed=9, NYT=192, NXT=120):
+        data = np.zeros((T, NYT, NXT), bool)
+        yy, xx = np.mgrid[0:NYT, 0:NXT]
+        rng = np.random.default_rng(seed)
+        centers = [(int(rng.integers(NYT // 6, 5 * NYT // 6)), int(rng.integers(0, NXT))) for _ in range(n_pairs)]
+        r = 6
+        for t in range(T):
+            phase = (t % 20) / 20.0
+            sep = int((1.0 - min(phase * 2, 1.0)) * 3 * r) + r
+            for cy, cx0 in centers:
+                for s in (-sep, sep):
+                    cx = (cx0 + s) % NXT
+                    dx = np.minimum(np.abs(xx - cx), NXT - np.abs(xx - cx))
+                    data[t] |= (yy - cy) ** 2 + dx**2 <= r * r
+        coords = {
+            "time": pd.date_range("2021-01-01", periods=T, freq="D").to_numpy(),
+            "lat": np.linspace(-75, 75, NYT),
+            "lon": np.linspace(0, 360, NXT, endpoint=False),
+        }
+        return Field(data, ("time", "lat", "lon"), coords=coords, name="extreme_events")
+
+    @pytest.mark.parametrize("nn", [True, False], ids=["nn", "centroid"])
+    def test_tall_grid_equivalence(self, nn):
+        da = self._tall_field()
+        NYT, NXT = 192, 120
+        mask = Field(
+            np.ones((NYT, NXT), bool), ("lat", "lon"),
+            coords={"lat": np.linspace(-75, 75, NYT), "lon": np.linspace(0, 360, NXT, endpoint=False)},
+            name="mask",
+        )
+        kwargs = dict(R_fill=2, T_fill=0, area_filter_quartile=0.0,
+                      allow_merging=True, overlap_threshold=0.3,
+                      nn_partitioning=nn, quiet=True)
+        tr_scan = marEx.tracker(da, mask, **kwargs)
+        tr_scan.use_scan_march = True
+        ev_scan, mg_scan = tr_scan.run(return_merges=True)
+        tr_step = marEx.tracker(da, mask, **kwargs)
+        tr_step.use_scan_march = False
+        ev_step, mg_step = tr_step.run(return_merges=True)
+        assert ev_scan.attrs["total_merges"] > 0
+        _assert_equal_runs((ev_scan, mg_scan), (ev_step, mg_step))
+
+    def test_band_overflow_falls_back_exactly(self, monkeypatch):
+        """Children taller than HC take the in-program full-grid branch."""
+        import marex_tpu.ops.march as _march
+
+        da = self._tall_field(n_pairs=2)
+        # one extra full-height column object every step: band spans the grid
+        vals = np.array(da.values, copy=True)
+        vals[:, :, 0:3] = True
+        vals[:, :, 6:9] = True  # a second column that merges with it via R_fill
+        NYT, NXT = 192, 120
+        da2 = Field(vals, da.dims, da.coords, name="extreme_events")
+        mask = Field(
+            np.ones((NYT, NXT), bool), ("lat", "lon"),
+            coords={"lat": np.linspace(-75, 75, NYT), "lon": np.linspace(0, 360, NXT, endpoint=False)},
+            name="mask",
+        )
+        kwargs = dict(R_fill=2, T_fill=0, area_filter_quartile=0.0,
+                      allow_merging=True, overlap_threshold=0.3,
+                      nn_partitioning=True, quiet=True)
+        tr_scan = marEx.tracker(da2, mask, **kwargs)
+        tr_scan.use_scan_march = True
+        ev_scan, mg_scan = tr_scan.run(return_merges=True)
+        tr_step = marEx.tracker(da2, mask, **kwargs)
+        tr_step.use_scan_march = False
+        ev_step, mg_step = tr_step.run(return_merges=True)
+        _assert_equal_runs((ev_scan, mg_scan), (ev_step, mg_step))
