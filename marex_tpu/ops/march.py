@@ -520,16 +520,32 @@ def _partition_batch_unstr(
         nb_idx = jnp.maximum(neighbours, 0)
         nb_valid = neighbours >= 0
 
-        def body(d, state):
-            visited, dist = state
+        # BFS with EXACT early exit: hop distances arrive in increasing
+        # order, so once every child cell holds a visit within its lane's
+        # cap, later arrivals can never win the argmin — and a stalled
+        # frontier can never change anything. The reference hop cap
+        # (sqrt(area)-scaled, hundreds of hops on ICON-scale meshes) is a
+        # distance BOUND, not a required depth; typical merges cover the
+        # child in O(child diameter) steps.
+        def cond(state):
+            visited, dist, d, done = state
+            return jnp.logical_and(d < win_dyn, jnp.logical_not(done))
+
+        def body(state):
+            visited, dist, d, _ = state
             g = jnp.logical_and(visited[:, nb_idx], nb_valid[None])
             new_visited = jnp.logical_or(visited, jnp.any(g, axis=1))
             newly = jnp.logical_and(new_visited, jnp.logical_not(visited))
             dist = jnp.where(newly, (d + 1).astype(jnp.float32), dist)
-            return new_visited, dist
+            capped = jnp.where(dist <= lane_md[:, None], dist, _INF)
+            covered = jnp.all(jnp.logical_or(~in_child, jnp.isfinite(jnp.min(capped, axis=0))))
+            stalled = jnp.logical_not(jnp.any(newly))
+            return new_visited, dist, d + 1, jnp.logical_or(covered, stalled)
 
         dist0 = jnp.where(seeds, 0.0, _INF)
-        _, dist = jax.lax.fori_loop(0, win_dyn, body, (seeds, dist0))
+        _, dist, _, _ = jax.lax.while_loop(
+            cond, body, (seeds, dist0, jnp.int32(0), jnp.bool_(False))
+        )
         d = jnp.where(dist <= lane_md[:, None], dist, _INF)
         d = jnp.where(cell_child, d, _INF)
         best = jnp.argmin(d, axis=0).astype(jnp.int32)

@@ -1650,6 +1650,11 @@ class tracker:
             comps_loc = np.asarray(_props.grid_label_comps(labels_local, Lmax))  # (T, Lmax+1, 6)
         self._count_dispatch("march_comps")
 
+        # the unstructured BFS bound sizes no static array (the early-exit
+        # while_loop stops at child coverage / frontier stall), so a bound
+        # covering the whole mesh is free at runtime and removes the
+        # FLAG_WIN recompile ladder for the hop-cap formula's large values
+        maxwin_unstr = pow2(W)
         sizes = dict(
             L=max(pow2(2 * Lmax + 16), 32),
             MP=min(max(pow2(4 * Lmax), 128), 2048),
@@ -1658,7 +1663,7 @@ class tracker:
             NID=pow2(2 * total + 1024),
             MAXC=128,
             MAXM=4096,
-            MAXWIN=(64 if unstr else min(128, H)) if self.nn_partitioning else 8,
+            MAXWIN=(maxwin_unstr if unstr else min(128, H)) if self.nn_partitioning else 8,
             LN=32,
             # partition row band: tall grids only pay for the child latitude
             # band (+-win reads) instead of every row; 0 disables the crop

@@ -242,7 +242,7 @@ def run_tracking_streamed(
         NID=_pow2(2 * total_new + 1024),
         MAXC=128,
         MAXM=4096,
-        MAXWIN=(64 if unstr else min(128, sshape[0])) if tr.nn_partitioning else 8,
+        MAXWIN=(_pow2(int(sshape[-1])) if unstr else min(128, sshape[0])) if tr.nn_partitioning else 8,
         LN=32,
         # partition row band (see track.py): child latitude band only
         HC=64 if (not unstr and sshape[0] >= 160) else 0,
