@@ -645,7 +645,36 @@ def config8_streamed_track(da, ny, nx):
     return out
 
 
+def _tunnel_guard() -> "str | None":
+    """If the default platform is a remote TPU tunnel (axon) and it is
+    unreachable, the first device op hangs forever — which would turn the
+    whole benchmark into a timeout. Probe device init in a subprocess with a
+    deadline BEFORE this process imports jax, and fall back to CPU (with the
+    fallback recorded in the output detail) if the probe cannot finish.
+    A user-pinned JAX_PLATFORMS is respected as-is."""
+    if os.environ.get("JAX_PLATFORMS"):
+        return None
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("MAREX_BENCH_PROBE_TIMEOUT", "180")),
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            return None
+        reason = f"device init failed (rc={r.returncode})"
+    except subprocess.TimeoutExpired:
+        reason = "device init timed out (TPU tunnel unreachable)"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    return f"cpu fallback: {reason}"
+
+
 def main() -> None:
+    platform_note = _tunnel_guard()
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmark_cache")
@@ -656,10 +685,14 @@ def main() -> None:
     except Exception:
         pass
 
+    # production-scale defaults target the TPU chip; a CPU fallback run
+    # (tunnel down) would take hours at 720x1440 on one host core, so the
+    # default shapes shrink to a CPU-feasible smoke unless explicitly set
+    small = platform_note is not None
     n_years = int(os.environ.get("MAREX_BENCH_YEARS", "3"))
-    ny = int(os.environ.get("MAREX_BENCH_NY", "720"))
-    nx = int(os.environ.get("MAREX_BENCH_NX", "1440"))
-    n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "1048576"))
+    ny = int(os.environ.get("MAREX_BENCH_NY", "90" if small else "720"))
+    nx = int(os.environ.get("MAREX_BENCH_NX", "180" if small else "1440"))
+    n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "20000" if small else "1048576"))
     which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(","))
 
     da_host = make_data(n_years, ny, nx)
@@ -667,6 +700,9 @@ def main() -> None:
     gpd = T * ny * nx
 
     detail = {"shape": [T, ny, nx], "configs": {}}
+    detail["platform"] = jax.devices()[0].platform
+    if platform_note:
+        detail["platform_note"] = platform_note
 
     def _try(name, fn, *args, **kw):
         """Per-config fault isolation: an OOM/failure in one config records

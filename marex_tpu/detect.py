@@ -451,6 +451,23 @@ def preprocess_data(
             )
         start_year = int(tinfo.year.min() + window_year_baseline)
         keep = np.nonzero(tinfo.year >= start_year)[0]
+        if keep.size == 0:
+            # the reference's `total_years < window` guard (detect.py:622)
+            # lets the equality case through and silently empties the
+            # dataset; fail loudly instead
+            raise create_data_validation_error(
+                "Insufficient data for shifting_baseline method",
+                details=(
+                    f"Removing the first {window_year_baseline} baseline years "
+                    f"leaves no timesteps (dataset spans {total_years} years)"
+                ),
+                suggestions=[
+                    "Use more years of data (at least window_year_baseline + 1)",
+                    f"Reduce window_year_baseline parameter (currently {window_year_baseline})",
+                    "Consider using detrend_fixed_baseline or detrend_harmonic method instead",
+                ],
+                data_info={"available_years": total_years, "required_years": int(window_year_baseline) + 1},
+            )
         logger.info(f"Trimming data to start from {start_year} (removing first {window_year_baseline} years)")
         ds = ds.isel({dimensions["time"]: keep})
 

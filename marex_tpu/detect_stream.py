@@ -198,6 +198,21 @@ def preprocess_data_streamed(
             )
         start_year = int(tinfo.year.min() + window_year_baseline)
         keep_t = np.nonzero(tinfo.year >= start_year)[0]
+        if keep_t.size == 0:
+            # equality case (total_years == window): trimming would leave an
+            # empty output store — fail loudly, mirroring detect.py
+            raise create_data_validation_error(
+                "Insufficient data for shifting_baseline method",
+                details=(
+                    f"Removing the first {window_year_baseline} baseline years "
+                    f"leaves no timesteps (dataset spans {total_years} years)"
+                ),
+                suggestions=[
+                    "Use more years of data (at least window_year_baseline + 1)",
+                    f"Reduce window_year_baseline parameter (currently {window_year_baseline})",
+                ],
+                data_info={"available_years": total_years, "required_years": int(window_year_baseline) + 1},
+            )
     else:
         keep_t = np.arange(T)
     T_out = int(len(keep_t))

@@ -281,3 +281,59 @@ class TestValidation:
         assert ds.attrs["method_extreme"] == "global_extreme"
         assert ds.attrs["threshold_percentile"] == 95
         assert len(ds.attrs["preprocessing_steps"]) >= 2
+
+
+class TestForceZeroMean:
+    """Reference expectations: tests/test_gridded_preprocessing.py
+    test_detrend_fixed_baseline_force_zero_mean — the detrended anomaly
+    must be re-centred per cell when force_zero_mean=True, and the flag
+    must be recorded in the output attrs for both detrend methods."""
+
+    def test_detrend_fixed_baseline_force_zero_mean(self, gridded_sst):
+        ds = marEx.preprocess_data(
+            gridded_sst,
+            method_anomaly="detrend_fixed_baseline",
+            method_extreme="global_extreme",
+            detrend_orders=[1, 2],
+            force_zero_mean=True,
+            threshold_percentile=95,
+        )
+        assert ds.attrs["method_anomaly"] == "detrend_fixed_baseline"
+        assert list(ds.attrs["detrend_orders"]) == [1, 2]
+        assert bool(ds.attrs["force_zero_mean"]) is True
+        # all time steps preserved (unlike shifting_baseline)
+        assert ds.sizes["time"] == gridded_sst.sizes["time"]
+        mask = ds.mask.values
+        anom = ds.dat_anomaly.values[:, mask]
+        assert abs(float(np.nanmean(anom))) < 0.01
+
+    def test_force_zero_mean_false_recorded(self, gridded_sst):
+        ds = marEx.preprocess_data(
+            gridded_sst,
+            method_anomaly="detrend_harmonic",
+            method_extreme="global_extreme",
+            detrend_orders=[1],
+            force_zero_mean=False,
+            threshold_percentile=95,
+        )
+        assert bool(ds.attrs["force_zero_mean"]) is False
+        # the harmonic design matrix contains a constant term, so the fit
+        # itself removes most of the mean — but the flag flips the explicit
+        # re-centring step off and must round-trip through attrs
+        assert ds.sizes["time"] == gridded_sst.sizes["time"]
+
+    def test_zero_mean_changes_anomaly(self, gridded_sst):
+        kw = dict(
+            method_anomaly="detrend_fixed_baseline",
+            method_extreme="global_extreme",
+            detrend_orders=[1],
+            threshold_percentile=95,
+        )
+        ds_on = marEx.preprocess_data(gridded_sst, force_zero_mean=True, **kw)
+        ds_off = marEx.preprocess_data(gridded_sst, force_zero_mean=False, **kw)
+        mask = ds_on.mask.values
+        a_on = ds_on.dat_anomaly.values[:, mask]
+        a_off = ds_off.dat_anomaly.values[:, mask]
+        # same shape/dtype contract either way
+        assert a_on.shape == a_off.shape
+        assert abs(float(np.nanmean(a_on))) < 0.01

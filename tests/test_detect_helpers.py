@@ -374,3 +374,57 @@ class TestHistogramQuantileEdgeCases:
         assert t5.shape == t31.shape == (D, S)
         # wider windows pool more of the seasonal cycle -> thresholds differ
         assert np.nanmax(np.abs(t5 - t31)) > 0.05
+
+
+class TestAddDecimalYearAPI:
+    """Public ``add_decimal_year`` accessor (cf. reference
+    tests/test_detect_helpers.py::TestAddDecimalYear): attaches a
+    ``decimal_year`` coordinate along the time dim."""
+
+    def _da(self, dates, dim="time"):
+        from marex_tpu.core.field import Field
+
+        return Field(
+            np.random.default_rng(0).standard_normal(len(dates)).astype(np.float32),
+            (dim,),
+            {dim: np.asarray(dates)},
+            name="v",
+        )
+
+    def test_basic_and_leap(self):
+        import marex_tpu as marEx
+
+        dates = pd.date_range("2020-01-01", "2020-12-31", freq="D").to_numpy()
+        out = marEx.add_decimal_year(self._da(dates))
+        dy = np.asarray(out.coords["decimal_year"].values)
+        assert dy.shape == (len(dates),)
+        assert dy[0] == pytest.approx(2020.0, abs=1e-6)
+        # 2020 is a leap year: Dec 31 sits 365/366 through the year
+        assert dy[-1] == pytest.approx(2020.0 + 365 / 366, abs=1e-6)
+        june1 = dy[np.asarray(pd.DatetimeIndex(dates).month == 6)
+                   & np.asarray(pd.DatetimeIndex(dates).day == 1)][0]
+        assert 2020.4 < june1 < 2020.5
+
+    def test_non_leap_year(self):
+        import marex_tpu as marEx
+
+        dates = pd.date_range("2021-01-01", "2021-12-31", freq="D").to_numpy()
+        dy = np.asarray(marEx.add_decimal_year(self._da(dates)).coords["decimal_year"].values)
+        assert dy[-1] == pytest.approx(2021.0 + 364 / 365, abs=1e-6)
+
+    def test_custom_dim(self):
+        import marex_tpu as marEx
+
+        dates = pd.date_range("2020-01-01", periods=10, freq="D").to_numpy()
+        out = marEx.add_decimal_year(self._da(dates, dim="custom_time"), "custom_time")
+        dy = np.asarray(out.coords["decimal_year"].values)
+        assert dy.shape == (10,)
+        assert np.all(dy >= 2020.0) and np.all(dy < 2020.1)
+
+    def test_single_date(self):
+        import marex_tpu as marEx
+
+        dates = pd.to_datetime(["2020-07-01"]).to_numpy()
+        dy = np.asarray(marEx.add_decimal_year(self._da(dates)).coords["decimal_year"].values)
+        assert dy.shape == (1,)
+        assert 2020.45 < dy[0] < 2020.55

@@ -437,6 +437,26 @@ class TestInsufficientDataValidation:
         assert info.get("available_years") == 3
         assert info.get("required_years") == 10
 
+    def test_window_equal_to_span_rejected(self, sst):
+        # sst spans exactly 3 years; window_year_baseline=3 passes the
+        # reference's `<` guard but trims EVERY timestep — must raise a
+        # clear error instead of emitting an empty dataset
+        with pytest.raises(marEx.DataValidationError) as ei:
+            marEx.preprocess_data(
+                sst, method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=11, window_year_baseline=3, smooth_days_baseline=3, quiet=True,
+            )
+        _expect(ei, "insufficient", "years")
+        assert ei.value.context.get("required_years") == 4
+
+    def test_window_equal_to_span_rejected_streamed(self, sst, tmp_path):
+        with pytest.raises(marEx.DataValidationError):
+            marEx.preprocess_data_streamed(
+                sst, str(tmp_path / "out.zarr"),
+                method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
+                window_days_hobday=11, window_year_baseline=3, smooth_days_baseline=3,
+            )
+
     def test_small_custom_window_accepted(self, sst):
         ds = marEx.preprocess_data(
             sst, method_anomaly="shifting_baseline", method_extreme="hobday_extreme",
