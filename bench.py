@@ -563,6 +563,10 @@ def config7_streamed(da_host, ny, nx):
 
     out = "/tmp/marex_bench_streamed.zarr"
     T = da_host.sizes["time"]
+    # shifting_baseline drops the first `window` years; at small CI shapes
+    # (2 years) a fixed window=2 would trim the dataset to nothing
+    years = pd.DatetimeIndex(np.asarray(da_host.coords["time"].values)).year
+    wyb = max(1, min(2, int(years.max() - years.min())))
 
     def run():
         return marEx.preprocess_data_streamed(
@@ -570,7 +574,7 @@ def config7_streamed(da_host, ny, nx):
             method_anomaly="shifting_baseline",
             method_extreme="hobday_extreme",
             threshold_percentile=95,
-            window_year_baseline=2,
+            window_year_baseline=wyb,
             smooth_days_baseline=21,
             window_days_hobday=11,
             memory_budget_mb=2048,

@@ -21,11 +21,13 @@ lat = np.linspace(-89, 89, ny)
 lon = np.linspace(0, 360, nx, endpoint=False)
 doy = pd.DatetimeIndex(times).dayofyear.to_numpy()
 
-sst = (
+sst = np.broadcast_to(
     15
     + 10 * np.cos(np.deg2rad(lat))[None, :, None]
+    + 1.5 * np.sin(np.deg2rad(lon))[None, None, :]
     + 3 * np.cos(2 * np.pi * (doy[:, None, None] - 30) / 365.25) * np.cos(np.deg2rad(lat))[None, :, None]
-    + 0.02 * (np.arange(len(times)) / 365.25)[:, None, None]
+    + 0.02 * (np.arange(len(times)) / 365.25)[:, None, None],
+    (len(times), ny, nx),
 ).astype(np.float32)
 noise = rng.standard_normal(sst.shape).astype(np.float32)
 for k in range(1, len(times)):

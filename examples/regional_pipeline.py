@@ -30,10 +30,12 @@ lat = np.linspace(27.0, 72.0, ny)
 lon = np.linspace(-22.0, 45.0, nx)
 doy = pd.DatetimeIndex(times).dayofyear.to_numpy()
 
-sst = (
+sst = np.broadcast_to(
     12.0
     + 8.0 * np.cos(np.deg2rad(lat - 27.0))[None, :, None]
-    + 4.0 * np.cos(2 * np.pi * (doy[:, None, None] - 45) / 365.25)
+    + 1.0 * np.cos(np.deg2rad(lon))[None, None, :]
+    + 4.0 * np.cos(2 * np.pi * (doy[:, None, None] - 45) / 365.25),
+    (len(times), ny, nx),
 ).astype(np.float32)
 noise = rng.standard_normal(sst.shape).astype(np.float32)
 for k in range(1, len(times)):

@@ -94,6 +94,23 @@ def _normalize_coords(coords: Optional[Mapping[str, Any]], dims: Tuple[str, ...]
                         details=f"coord shape {arr.shape} vs dims {sizes}",
                         suggestions=["Pass coords as {'name': (dims, values)}"],
                     )
+    # xarray parity: an index coordinate whose length conflicts with the
+    # data's dimension size is an error, not a silent mismatch (a broadcast
+    # bug upstream otherwise propagates a collapsed axis all the way into
+    # detect/track outputs before anything notices).
+    for name, c in out.items():
+        for d, n in zip(c.dims, c.values.shape):
+            if d in sizes and sizes[d] != n:
+                raise DataValidationError(
+                    f"conflicting sizes for dimension '{d}': coordinate '{name}' has length {n} "
+                    f"but the data has size {sizes[d]} along '{d}'",
+                    data_info={"coord": name, "coord_shape": tuple(c.values.shape), "dim_sizes": sizes},
+                    suggestions=[
+                        "Check that the data array actually varies along this dimension "
+                        "(a pure-broadcast construction can silently collapse an axis to length 1)",
+                        "Pass coordinate values whose length matches the data shape",
+                    ],
+                )
     return out
 
 

@@ -152,6 +152,25 @@ class TestField:
         assert h.shape == (2, 3, 2)
         assert "time" in h.coords and len(h.coords["time"].values) == 2
 
+    def test_conflicting_coord_length_raises(self):
+        # A pure-broadcast construction can silently collapse an axis to 1;
+        # the constructor must reject index coords that disagree with the
+        # data's dimension size (xarray parity).
+        from marex_tpu.exceptions import DataValidationError
+
+        data = np.zeros((5, 3, 1), dtype=np.float32)  # lon collapsed
+        with pytest.raises(DataValidationError, match="conflicting sizes"):
+            Field(
+                data,
+                ("time", "lat", "lon"),
+                coords={"lat": [0.0, 1.0, 2.0], "lon": [10.0, 20.0, 30.0, 40.0]},
+            )
+        # explicit Coord / tuple forms are validated too
+        with pytest.raises(DataValidationError, match="conflicting sizes"):
+            Field(data, ("time", "lat", "lon"), coords={"lon": (("lon",), np.arange(4.0))})
+        # coords over dims the field doesn't carry stay allowed
+        Field(data, ("time", "lat", "lon"), coords={"aux": (("other",), np.arange(7.0))})
+
     def test_sel(self):
         f = self._field()
         g = f.sel(lat=1.0)

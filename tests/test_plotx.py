@@ -363,10 +363,18 @@ class TestUnstructuredDepth:
 
     def test_shape_mismatch_raises(self, unstructured_da):
         plotter = unstructured_da.plotX(dimensions={"time": "time", "x": "ncells"})
+        # the Field constructor itself now rejects coords that conflict with
+        # the data's dim sizes, so attach the full-length lon/lat over a
+        # foreign dim to exercise the plotter's own size check
+        from marex_tpu.core.field import Coord
+
         plotter.da = Field(
             np.zeros((4, 7), np.float32),
             ("time", "ncells"),
-            coords=unstructured_da.coords,
+            coords={
+                "lon": Coord("cells_orig", unstructured_da.coords["lon"].values),
+                "lat": Coord("cells_orig", unstructured_da.coords["lat"].values),
+            },
             name="bad",
         )
         import matplotlib.pyplot as mplt
