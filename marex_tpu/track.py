@@ -642,7 +642,7 @@ class tracker:
         lazy Dask execution with zarr checkpoints (README.md:161,
         track.py:3804-4814). ``data_bin`` may be backed by a lazy zarr
         array; host RSS and HBM stay bounded by the block working set.
-        Bit-identical to :meth:`run` (tests/test_streaming_track.py).
+        Bit-identical to :meth:`run` (tests/test_streaming.py).
         """
         from .track_stream import run_tracking_streamed
 

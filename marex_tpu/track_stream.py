@@ -10,7 +10,7 @@ the blockwise scan march (:func:`marex_tpu.ops.march.scan_march` with
 morphology -> per-slice CCL -> area filtering -> the split/merge march ->
 event relabeling in TIME BLOCKS, so host RSS and HBM are bounded by the
 block working set while the results are bit-identical to the in-memory
-tracker (pinned by tests/test_streaming_track.py).
+tracker (pinned by tests/test_streaming.py).
 
 Pipeline (mirrors tracker.run, track.py:1162-1232):
 
