@@ -77,9 +77,21 @@ def make_data(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 8
     sst = (base + seasonal + noise).astype(np.float32)
     sst = np.ascontiguousarray(sst + 0 * lon[None, None, :], dtype=np.float32)
 
-    yy, xx = np.mgrid[0:ny, 0:nx]
     years = pd.DatetimeIndex(times).year.to_numpy()
     y0 = years.min()
+    yrow = np.arange(ny)
+    xcol = np.arange(nx)
+
+    def _stamp(t: int, cy: int, cx: int, rad: int, amp: float) -> None:
+        """Add a disk bump touching only the affected latitude band — the
+        full-grid mask version cost minutes of host time per bench run at
+        720x1440 on a single core."""
+        r0, r1 = max(cy - rad, 0), min(cy + rad + 1, ny)
+        if r0 >= r1:
+            return
+        dxc = np.minimum(np.abs(xcol - cx), nx - np.abs(xcol - cx))
+        blob = (yrow[r0:r1, None] - cy) ** 2 + dxc[None, :] ** 2 <= rad * rad
+        sst[t, r0:r1][blob] += amp
 
     # (a) coherent drifting warm blobs (days 60-140): spatially coherent
     # events that survive the R_fill opening at any bench scale
@@ -90,9 +102,7 @@ def make_data(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 8
             yr = int(years[t] - y0)
             cy = ny // 2 + ((yr % 3) - 1) * (ny // 6)
             cx = (nx // 4 + yr * (nx // 5) + (d - 60)) % nx
-            dx = np.minimum(np.abs(xx - cx), nx - np.abs(xx - cx))
-            blob = (yy - cy) ** 2 + dx**2 <= r * r
-            sst[t][blob] += 4.0
+            _stamp(t, cy, cx, r, 4.0)
 
     # (b) converging/separating blob pairs: n_pairs pairs oscillate with a
     # 40-day period (approach, join, separate), giving O(n_pairs) merge
@@ -118,10 +128,7 @@ def make_data(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 8
                 # year event -> anomaly ~ +5*(N-1)/N >> the 95th percentile
                 cx0y = (cx0 + yr * (nx // 3 + 7)) % nx
                 for s in (-sep, sep):
-                    cx = (cx0y + s) % nx
-                    dx = np.minimum(np.abs(xx - cx), nx - np.abs(xx - cx))
-                    blob = (yy - cy) ** 2 + dx**2 <= rp * rp
-                    sst[t][blob] += 5.0
+                    _stamp(t, cy, (cx0y + s) % nx, rp, 5.0)
 
     # land block
     sst[:, ny // 4 : ny // 4 + ny // 8, nx // 8 : nx // 4] = np.nan
@@ -735,16 +742,29 @@ def main() -> None:
         """Half-resolution fallback block (built once, shared): if a
         production-shape config exhausts HBM on a small dev chip, record a
         real throughput number at the largest shape that fits instead of
-        only an error entry."""
+        only an error entry. The full-resolution device block is RELEASED
+        first — it cannot fit alongside the fallback working set, and every
+        remaining user of it (configs 4/8) would OOM at full shape too."""
+        nonlocal da
         if "da" not in _half:
+            import gc
+
+            da = None
+            gc.collect()
             _half["ny"], _half["nx"] = max(ny // 2, 32), max(nx // 2, 64)
             _half["da"] = _stage(make_data(n_years, _half["ny"], _half["nx"]))
         return _half["da"], _half["ny"], _half["nx"]
 
     def _try_with_oom_fallback(name, fn):
-        entry = _try(name, fn, da, ny, nx)
+        entry = _try(name, fn, da if "da" not in _half else _half["da"],
+                     ny if "da" not in _half else _half["ny"],
+                     nx if "da" not in _half else _half["nx"])
         if _is_oom(entry):
-            da2, ny2, nx2 = _half_da()
+            try:
+                da2, ny2, nx2 = _half_da()
+            except Exception as e:  # staging itself failed: keep the error entry
+                detail["configs"][name]["fallback_error"] = f"{type(e).__name__}: {e}"[:300]
+                return detail["configs"][name]
             entry2 = _try(name, fn, da2, ny2, nx2)
             if "error" not in entry2:
                 entry2["fallback_shape"] = [da2.sizes["time"], ny2, nx2]
@@ -781,7 +801,10 @@ def main() -> None:
         _try("7_streamed", config7_streamed, da_host, ny, nx)
 
     if "8" in which:
-        _try("8_streamed_track", config8_streamed_track, da, ny, nx)
+        if "da" in _half:  # full-res block was released after an OOM fallback
+            _try("8_streamed_track", config8_streamed_track, _half["da"], _half["ny"], _half["nx"])
+        else:
+            _try("8_streamed_track", config8_streamed_track, da, ny, nx)
 
     if headline is not None:
         throughput = headline["gpd_per_s"]

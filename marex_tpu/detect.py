@@ -258,28 +258,42 @@ class _Staged:
         self.spatial_shape = tuple(da.sizes[d] for d in self.spatial_dims)
         self.n_space = int(np.prod(self.spatial_shape))
 
-        payload = da.data
-        if type(payload).__module__.startswith("jax"):
-            # already device-resident (e.g. chained from another detect stage)
-            self.data = payload.reshape(payload.shape[0], self.n_space).astype(jnp.float32)
-        else:
-            vals = np.asarray(payload, dtype=np.float32)
-            self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
-
         # multi-device: place the payload space-sharded on the active mesh
         # (the detect stage is pointwise over space — no collectives; mirrors
         # the reference's spatial-chunk data parallelism, detect.py:1944-1953)
         from .parallel import detect_sharding, get_default_mesh, shard_if_divisible
 
         mesh = get_default_mesh()
-        if mesh is not None:
-            self.data = shard_if_divisible(self.data, detect_sharding(mesh))
+        payload = da.data
+        if type(payload).__module__.startswith("jax"):
+            # Already device-resident (e.g. chained from another detect
+            # stage): keep the ORIGINAL (T, *spatial) shape. A standalone
+            # (T, S) relayout would allocate a full extra copy (4.5 GB at
+            # 0.25 deg production scale — enough to OOM a 16 GB chip); the
+            # fused detect programs flatten in-program instead. The mesh
+            # path still needs the flat layout for space sharding.
+            self.data = payload.astype(jnp.float32)
+            if mesh is not None:
+                self.data = shard_if_divisible(
+                    self.data.reshape(payload.shape[0], self.n_space), detect_sharding(mesh)
+                )
+        else:
+            vals = np.asarray(payload, dtype=np.float32)
+            self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
+            if mesh is not None:
+                self.data = shard_if_divisible(self.data, detect_sharding(mesh))
         self.tinfo: TimeIndexInfo = decompose_time(da.coords[coordinates["time"]].values)
         self._ymd_cache: Dict[str, Any] = {}
 
+    def flat2d(self) -> jnp.ndarray:
+        """The payload as (T, S) — a view reshape for host-staged data, a
+        relayout for device-resident gridded data (only the rare standalone
+        helpers pay it; the fused programs flatten in-program instead)."""
+        return self.data.reshape(self.data.shape[0], self.n_space)
+
     def ymd(self, data: Optional[jnp.ndarray] = None, key: str = "raw") -> jnp.ndarray:
         if data is None:
-            data = self.data
+            data = self.flat2d()
         if key not in self._ymd_cache:
             self._ymd_cache[key] = scatter_to_year_doy(data, self.tinfo)
         return self._ymd_cache[key]
@@ -893,7 +907,7 @@ def smoothed_rolling_climatology(
     da = as_field(da)
     dimensions, coordinates = _infer_dims_coords(da, dimensions, coordinates)
     staged = _Staged(da, dimensions, coordinates)
-    smoothed = _clim.centered_rolling_mean_time(staged.data, smooth_days_baseline)
+    smoothed = _clim.centered_rolling_mean_time(staged.flat2d(), smooth_days_baseline)
     ymd = scatter_to_year_doy(smoothed, staged.tinfo)
     clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
     clim_ts = gather_from_year_doy(clim_y, staged.tinfo)

@@ -91,11 +91,15 @@ def anomaly_program(
     """
     Fused anomaly computation for all four methods.
 
-    data : (T, S) float32; year_idx/doy_idx : (T,) int32 (doy 0-based)
+    data : (T, S) float32 — or (T, *spatial), flattened here INSIDE the
+        program so a device-resident gridded input needs no standalone
+        (T, S) relayout buffer (4.5 GB at 0.25 deg production scale)
+    year_idx/doy_idx : (T,) int32 (doy 0-based)
     clim_time_mask : (T,) bool — timesteps contributing to the fixed
         climatology (reference_period support; all-True otherwise)
     model/pmodel : design matrices for the detrending methods (None else)
     """
+    data = data.reshape(data.shape[0], -1)
     if method_anomaly == "shifting_baseline":
         smoothed = _clim.centered_rolling_mean_time(data, smooth_days_baseline)
         ymd = _scatter_ymd(smoothed, year_idx, doy_idx, n_years)
@@ -144,7 +148,10 @@ def hobday_program(
     Returns (extremes (T, S) bool, thresholds (366, S) float32).
     Approximate path applies the land NaN-out and the lower-bound clamp
     inside the program (warnings are emitted by the caller from the result).
+    ``anomalies`` may arrive as (T, *spatial); it is flattened in-program
+    (fused — no standalone relayout buffer).
     """
+    anomalies = anomalies.reshape(anomalies.shape[0], -1)
     ymd = _scatter_ymd(anomalies, year_idx, doy_idx, n_years)
     if exact:
         thr = _quant.hobday_thresholds_exact(ymd, q, window_days)
@@ -175,7 +182,9 @@ def global_extreme_program(
     nbins: int,
     exact: bool,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused global threshold + comparison. Returns (extremes, thresholds)."""
+    """Fused global threshold + comparison. Returns (extremes, thresholds).
+    ``anomalies`` may arrive as (T, *spatial); flattened in-program."""
+    anomalies = anomalies.reshape(anomalies.shape[0], -1)
     if exact:
         thr = _quant.exact_quantile_time(anomalies, q)
         pre_min = jnp.nanmin(thr)
