@@ -275,14 +275,22 @@ def _prod_track_kwargs(ny: int):
 
 def _detect_track(da, detect_kwargs, track_kwargs):
     """Run detect then track with per-stage walls; returns
-    (events, tracker, t_detect, t_track)."""
-    import marex_tpu as marEx
+    (events, tracker, t_detect, t_track).
 
+    The host block is staged to device HERE (upload untimed, like _stage)
+    and the staged input + anomalies are RELEASED before tracking starts:
+    production runs detect and track as separate jobs (submit_track.sh),
+    so holding the raw SST block across tracking would be a bench artifact
+    — and at production shape (4.8 GB) it is the difference between the
+    tracking stage fitting a 16 GB chip and not."""
     import gc
 
+    import marex_tpu as marEx
+
     gc.collect()  # free the previous run's device buffers before the peak
+    da_dev = da if type(da.data).__module__.startswith("jax") else _stage(da)
     t0 = time.perf_counter()
-    ds = marEx.preprocess_data(da, quiet=True, **detect_kwargs)
+    ds = marEx.preprocess_data(da_dev, quiet=True, **detect_kwargs)
     _block(ds.extreme_events.data)
     t_detect = time.perf_counter() - t0
 
@@ -291,7 +299,8 @@ def _detect_track(da, detect_kwargs, track_kwargs):
     if "neighbours" in ds.data_vars:
         extra["neighbours"] = ds.neighbours
         extra["cell_areas"] = ds.cell_areas
-    del ds  # production runs detect/track as separate jobs (submit_track.sh)
+    del ds, da_dev  # separate-jobs semantics: only extremes+mask survive
+    gc.collect()
 
     t0 = time.perf_counter()
     tr = marEx.tracker(ev, mask, quiet=True, **extra, **track_kwargs)
@@ -624,10 +633,11 @@ def config8_streamed_track(da, ny, nx):
     src = "/tmp/marex_bench_trkstream_src.zarr"
     outp = "/tmp/marex_bench_trkstream_out.zarr"
     with _silence:
-        ds = marEx.preprocess_data(da, quiet=True, **DETECT_FIXED)
+        da_dev = da if type(da.data).__module__.startswith("jax") else _stage(da)
+        ds = marEx.preprocess_data(da_dev, quiet=True, **DETECT_FIXED)
         ev, mask = ds.extreme_events, ds.mask
         ev_host = marEx.Field(np.asarray(ev.data), ev.dims, dict(ev.coords), name="extreme_events")
-        del ds, ev
+        del ds, ev, da_dev
         zarr_lite.to_zarr(ev_host, src, chunks={"time": 64})
         del ev_host
         lazy = zarr_lite.open_zarr(src, lazy=True)
@@ -728,9 +738,10 @@ def main() -> None:
             detail["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
         gc.collect()
         return detail["configs"][name]
-    da = None
-    if which & {"1", "4", "8"}:
-        da = _stage(da_host)
+    # configs 1/4/8 receive the HOST block; _detect_track stages it per run
+    # (upload untimed) and frees it before tracking — pre-staging here would
+    # pin 4.8 GB of HBM across the whole benchmark at production shape
+    da = da_host if which & {"1", "4", "8"} else None
 
     _half = {}
 
@@ -742,17 +753,12 @@ def main() -> None:
         """Half-resolution fallback block (built once, shared): if a
         production-shape config exhausts HBM on a small dev chip, record a
         real throughput number at the largest shape that fits instead of
-        only an error entry. The full-resolution device block is RELEASED
-        first — it cannot fit alongside the fallback working set, and every
-        remaining user of it (configs 4/8) would OOM at full shape too."""
-        nonlocal da
+        only an error entry. Later full-block users (configs 4/8) reuse the
+        fallback shape directly — they would OOM at full shape too."""
         if "da" not in _half:
-            import gc
-
-            da = None
-            gc.collect()
-            _half["ny"], _half["nx"] = max(ny // 2, 32), max(nx // 2, 64)
-            _half["da"] = _stage(make_data(n_years, _half["ny"], _half["nx"]))
+            hy, hx = max(ny // 2, 32), max(nx // 2, 64)
+            half = make_data(n_years, hy, hx)  # host block; staged per run
+            _half["ny"], _half["nx"], _half["da"] = hy, hx, half
         return _half["da"], _half["ny"], _half["nx"]
 
     def _try_with_oom_fallback(name, fn):
@@ -762,7 +768,7 @@ def main() -> None:
         if _is_oom(entry):
             try:
                 da2, ny2, nx2 = _half_da()
-            except Exception as e:  # staging itself failed: keep the error entry
+            except Exception as e:  # fallback data gen failed: keep the error entry
                 detail["configs"][name]["fallback_error"] = f"{type(e).__name__}: {e}"[:300]
                 return detail["configs"][name]
             entry2 = _try(name, fn, da2, ny2, nx2)
@@ -801,7 +807,7 @@ def main() -> None:
         _try("7_streamed", config7_streamed, da_host, ny, nx)
 
     if "8" in which:
-        if "da" in _half:  # full-res block was released after an OOM fallback
+        if "da" in _half:  # a full-shape config already OOM'd; use the half block
             _try("8_streamed_track", config8_streamed_track, _half["da"], _half["ny"], _half["nx"])
         else:
             _try("8_streamed_track", config8_streamed_track, da, ny, nx)

@@ -241,9 +241,26 @@ def _validate_data_values(da: Field, dimensions: Dict[str, str]) -> None:
 
 
 class _Staged:
-    """Device-staged (T, S) view of the input with calendar decomposition."""
+    """Device-staged view of the input with calendar decomposition.
 
-    def __init__(self, da: Field, dimensions: Dict[str, str], coordinates: Dict[str, str]):
+    ``prefer_flat`` picks the upload layout for HOST payloads (a numpy
+    reshape is free; on-device (T, S) <-> (T, H, W) reshapes are real
+    relayout copies under TPU tiled layouts — 4.8 GB at 0.25-degree
+    production scale): True for paths that need the flat layout (the
+    (Y, 366, S) calendar scatters of shifting_baseline / hobday), False
+    for the rank-polymorphic fixed/detrend/global programs which then run
+    with ZERO relayouts end-to-end. Device-resident payloads always keep
+    their original shape; an active mesh always forces flat (space
+    sharding is defined over the flattened axis).
+    """
+
+    def __init__(
+        self,
+        da: Field,
+        dimensions: Dict[str, str],
+        coordinates: Dict[str, str],
+        prefer_flat: bool = True,
+    ):
         self.dimensions = dimensions
         self.coordinates = coordinates
         self.timedim = dimensions["time"]
@@ -279,7 +296,9 @@ class _Staged:
                 )
         else:
             vals = np.asarray(payload, dtype=np.float32)
-            self.data = jnp.asarray(vals.reshape(vals.shape[0], self.n_space))
+            if prefer_flat or mesh is not None:
+                vals = vals.reshape(vals.shape[0], self.n_space)
+            self.data = jnp.asarray(vals)
             if mesh is not None:
                 self.data = shard_if_divisible(self.data, detect_sharding(mesh))
         self.tinfo: TimeIndexInfo = decompose_time(da.coords[coordinates["time"]].values)
@@ -688,7 +707,11 @@ def _device_reshape(x: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
     """Zero-copy device reshape: a bare ``x.reshape`` dispatches a program
     that ALLOCATES a new buffer (3.8 GB extra for a century of 0.25 deg
     anomalies — enough to OOM a 16 GB chip); donating the operand lets XLA
-    alias input and output for the contiguous row-major case."""
+    alias input and output where layouts agree. A no-op when the shape
+    already matches (the rank-polymorphic detect programs preserve the
+    gridded layout end-to-end, so this is the common case)."""
+    if tuple(x.shape) == tuple(shape):
+        return x
     if type(x).__module__.startswith("jax"):
         return jax.jit(lambda a: a.reshape(shape), donate_argnums=0)(x)
     return np.asarray(x).reshape(shape)
@@ -750,7 +773,7 @@ def _anomaly_fixed_baseline(
     reference_period: Optional[Tuple[int, int]],
 ) -> FieldSet:
     """Fixed daily climatology anomaly (cf. detect.py:2299-2397)."""
-    staged = _Staged(da, dimensions, coordinates)
+    staged = _Staged(da, dimensions, coordinates, prefer_flat=False)
 
     if reference_period is not None:
         start_year, end_year = reference_period
@@ -825,7 +848,7 @@ def _anomaly_detrended(
     if 1 not in detrend_orders and len(detrend_orders) > 1:
         warnings.warn("Higher-order detrending without linear term may be unstable", UserWarning, stacklevel=2)
 
-    staged = _Staged(da, dimensions, coordinates)
+    staged = _Staged(da, dimensions, coordinates, prefer_flat=False)
     model, pmodel = _detrend.build_design_matrix(staged.tinfo, detrend_orders, remove_harmonics)
     anomalies = _pipe.anomaly_program(
         staged.data,
@@ -843,12 +866,15 @@ def _anomaly_detrended(
 
     extra: Dict[str, Field] = {}
     if std_normalise:
-        ymd = scatter_to_year_doy(anomalies, staged.tinfo)
+        # the (Y, 366, S) scatter needs the flat layout; anomalies may be
+        # (T, *spatial) when the input was device-resident gridded data
+        anom_flat = anomalies.reshape(anomalies.shape[0], -1)
+        ymd = scatter_to_year_doy(anom_flat, staged.tinfo)
         std_doy = _clim.dayofyear_std(ymd)  # (366, S)
         std_rolling = _clim.wrapped_rolling_rms_doy(std_doy, window=30, pad=16)
         std_safe = jnp.where(std_rolling > 1e-10, std_rolling, jnp.nan)
         doy_idx = jnp.asarray(staged.tinfo.dayofyear - 1)
-        dat_stn = anomalies / std_safe[doy_idx]
+        dat_stn = anom_flat / std_safe[doy_idx]
 
         dims = (staged.timedim,) + staged.spatial_dims
         extra["dat_stn"] = Field(
@@ -1179,7 +1205,7 @@ def _identify_extremes_constant(
     max_anomaly: float,
 ) -> Tuple[Field, Field]:
     """Global-in-time threshold per spatial point (cf. detect.py:2737-2923)."""
-    staged = _Staged(da, dimensions, coordinates)
+    staged = _Staged(da, dimensions, coordinates, prefer_flat=False)
     q = threshold_percentile / 100.0
 
     bin_edges = _quant.make_bin_edges(precision, max_anomaly)

@@ -61,16 +61,19 @@ def detrend_subtract(data: jax.Array, model: jax.Array, pmodel: jax.Array) -> ja
 
     Parameters
     ----------
-    data : (T, S) float32 (NaN over land propagates to NaN anomalies there)
+    data : (T, *spatial) float32 — any trailing spatial shape (NaN over land
+        propagates to NaN anomalies there). Keeping the caller's natural
+        layout avoids a (T, S) relayout copy on TPU (tiled layouts make
+        reshape a real HBM copy: 4.5 GB at 0.25-degree production scale).
     model : (K, T) float32
     pmodel : (T, K) float32 — pseudo-inverse of model
 
     Returns
     -------
-    (T, S) anomalies = data - model.T @ (pmodel.T @ data)
+    (T, *spatial) anomalies = data - model.T @ (pmodel.T @ data)
     """
-    coeffs = jnp.matmul(pmodel.T, data, preferred_element_type=jnp.float32)  # (K, S)
-    fit = jnp.matmul(model.T, coeffs, preferred_element_type=jnp.float32)  # (T, S)
+    coeffs = jnp.tensordot(pmodel, data, axes=((0,), (0,)), preferred_element_type=jnp.float32)  # (K, *spatial)
+    fit = jnp.tensordot(model, coeffs, axes=((0,), (0,)), preferred_element_type=jnp.float32)  # (T, *spatial)
     return data - fit
 
 

@@ -32,33 +32,37 @@ def _doy_nanmean_direct(
     data: jax.Array, doy_idx: jax.Array, clim_time_mask: jax.Array, time_block: int = 128
 ) -> jax.Array:
     """
-    Per-day-of-year nanmean straight from the (T, S) block via (366, S)
-    scatter-adds of sums and counts, accumulated over TIME BLOCKS so the
-    masked-value temporary is (time_block, S) instead of a full (T, S)
-    copy. Equivalent to the dense ``(Y, 366, S)`` scatter +
-    ``nanmean_over_years`` (each (doy, point) accumulates its <= Y samples
-    either way); the peak intermediate drops from (T, S)+(Y, 366, S) to
-    2x(366, S) + one block — the difference between the production-
-    resolution in-memory detect fitting one 16 GB chip and not.
+    Per-day-of-year nanmean straight from the (T, *spatial) block via
+    (366, *spatial) scatter-adds of sums and counts, accumulated over TIME
+    BLOCKS so the masked-value temporary is (time_block, *spatial) instead
+    of a full (T, *spatial) copy. Equivalent to the dense ``(Y, 366, S)``
+    scatter + ``nanmean_over_years`` (each (doy, point) accumulates its
+    <= Y samples either way); the peak intermediate drops from
+    (T, S)+(Y, 366, S) to 2x(366, *spatial) + one block — the difference
+    between the production-resolution in-memory detect fitting one 16 GB
+    chip and not. Rank-polymorphic in the trailing dims so gridded data
+    never pays a (T, S) relayout copy (TPU tiled layouts make reshape a
+    real HBM copy).
     """
-    T, S = data.shape
+    T = data.shape[0]
+    sp = data.shape[1:]
     tb = min(time_block, T)
     k = T // tb
 
     def _acc(carry, db, doyb, mb):
         sums, cnts = carry
-        valid = jnp.logical_and(mb[:, None], jnp.isfinite(db))
+        valid = jnp.logical_and(mb.reshape((-1,) + (1,) * len(sp)), jnp.isfinite(db))
         sums = sums.at[doyb].add(jnp.where(valid, db, 0.0).astype(jnp.float32))
         cnts = cnts.at[doyb].add(valid.astype(jnp.float32))
         return sums, cnts
 
     def body(i, carry):
-        db = jax.lax.dynamic_slice(data, (i * tb, 0), (tb, S))
+        db = jax.lax.dynamic_slice(data, (i * tb,) + (0,) * len(sp), (tb,) + sp)
         doyb = jax.lax.dynamic_slice(doy_idx, (i * tb,), (tb,))
         mb = jax.lax.dynamic_slice(clim_time_mask, (i * tb,), (tb,))
         return _acc(carry, db, doyb, mb)
 
-    init = (jnp.zeros((366, S), jnp.float32), jnp.zeros((366, S), jnp.float32))
+    init = (jnp.zeros((366,) + sp, jnp.float32), jnp.zeros((366,) + sp, jnp.float32))
     sums, cnts = jax.lax.fori_loop(0, k, body, init)
     if T - k * tb:
         sums, cnts = _acc((sums, cnts), data[k * tb :], doy_idx[k * tb :], clim_time_mask[k * tb :])
@@ -91,16 +95,23 @@ def anomaly_program(
     """
     Fused anomaly computation for all four methods.
 
-    data : (T, S) float32 — or (T, *spatial), flattened here INSIDE the
-        program so a device-resident gridded input needs no standalone
-        (T, S) relayout buffer (4.5 GB at 0.25 deg production scale)
+    data : (T, S) float32 — or (T, *spatial). The fixed_baseline and
+        detrend paths are rank-polymorphic and PRESERVE the input layout:
+        on TPU a (T, S) <-> (T, H, W) reshape is a real relayout copy
+        (tiled layouts; 4.8 GB at 0.25-degree production scale), and
+        avoiding it is what lets the production-resolution in-memory
+        detect fit one 16 GB chip. Only shifting_baseline flattens (its
+        (Y, 366, S) rolling-window scatter requires the flat layout).
     year_idx/doy_idx : (T,) int32 (doy 0-based)
     clim_time_mask : (T,) bool — timesteps contributing to the fixed
         climatology (reference_period support; all-True otherwise)
     model/pmodel : design matrices for the detrending methods (None else)
+
+    Returns anomalies with the same shape as ``data`` except
+    shifting_baseline, which returns (T, S).
     """
-    data = data.reshape(data.shape[0], -1)
     if method_anomaly == "shifting_baseline":
+        data = data.reshape(data.shape[0], -1)
         smoothed = _clim.centered_rolling_mean_time(data, smooth_days_baseline)
         ymd = _scatter_ymd(smoothed, year_idx, doy_idx, n_years)
         clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
@@ -183,8 +194,10 @@ def global_extreme_program(
     exact: bool,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused global threshold + comparison. Returns (extremes, thresholds).
-    ``anomalies`` may arrive as (T, *spatial); flattened in-program."""
-    anomalies = anomalies.reshape(anomalies.shape[0], -1)
+    Rank-polymorphic: ``anomalies`` may be (T, S) or (T, *spatial); the
+    input layout is PRESERVED (extremes shaped like the input, thresholds
+    shaped like one timestep) so gridded data never pays a (T, S) relayout
+    copy on TPU."""
     if exact:
         thr = _quant.exact_quantile_time(anomalies, q)
         pre_min = jnp.nanmin(thr)
@@ -197,5 +210,5 @@ def global_extreme_program(
         pre_min = jnp.nanmin(thr)
         pre_max = jnp.nanmax(thr)
         thr = jnp.where(thr < lower_bound, lower_bound, thr)
-    extremes = anomalies >= thr[None, :]
+    extremes = anomalies >= thr[None]
     return extremes, thr, pre_min, pre_max

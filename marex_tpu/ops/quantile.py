@@ -385,7 +385,9 @@ def global_thresholds_approx(
     bin_centers: jax.Array,
 ) -> jax.Array:
     """
-    Approximate global-in-time thresholds: (T, S) bins -> (S,) thresholds.
+    Approximate global-in-time thresholds: (T, *spatial) bins ->
+    (*spatial,) thresholds (rank-polymorphic in the trailing dims, so
+    gridded callers keep their natural layout).
 
     Numerically identical to
     ``histogram_quantile_cdf(histogram_bins_1d(bins), q, centers)`` but
@@ -401,7 +403,7 @@ def global_thresholds_approx(
 
     def cdf_at(k: jax.Array) -> jax.Array:
         """cdf[k] per cell — f32(count of bins <= k) / f32(total + eps)."""
-        c = jnp.sum(jnp.logical_and(valid, bins_ts <= k[None, :]), axis=0)
+        c = jnp.sum(jnp.logical_and(valid, bins_ts <= k[None]), axis=0)
         return c.astype(jnp.float32) / total
 
     n_steps = max(1, int(np.ceil(np.log2(nbins))))
