@@ -103,6 +103,30 @@ def _segmented_min_sweep(lab: jax.Array, active: jax.Array, axis: int) -> jax.Ar
     return jnp.where(active, jnp.minimum(vf, vb), _BIG)
 
 
+def _sweep_xy(lab: jax.Array, active: jax.Array, wrap_x: bool) -> jax.Array:
+    """One x-then-y segmented-min sweep round over the trailing (H, W) axes,
+    periodic-aware along x: a run crossing the longitude seam (active at both
+    col 0 and col W-1 of a row) is ONE component, but the plain segmented
+    scan treats it as two — leaving seam-crossing objects to converge via the
+    1-cell-per-iteration stencil only (measured 41 fixpoint iterations vs ~8
+    on a production-shape block whose blobs cross the seam). Exchanging the
+    two boundary runs' minima and re-sweeping makes seam propagation O(1)
+    per round for ~2x the x-sweep cost — a ~5x net fixpoint win on global
+    (wrapped) grids."""
+    s = _segmented_min_sweep(lab, active, lab.ndim - 1)
+    if wrap_x:
+        first = s[..., :1]
+        last = s[..., -1:]
+        both = jnp.logical_and(active[..., :1], active[..., -1:])
+        seam = jnp.minimum(first, last)
+        s = jnp.concatenate(
+            [jnp.where(both, seam, first), s[..., 1:-1], jnp.where(both, seam, last)],
+            axis=-1,
+        )
+        s = _segmented_min_sweep(s, active, lab.ndim - 1)
+    return _segmented_min_sweep(s, active, lab.ndim - 2)
+
+
 def _jump(lab_flat: jax.Array) -> jax.Array:
     """One pointer-jumping hop on (..., N) flat labels (BIG = inactive).
 
@@ -133,7 +157,7 @@ def _roots_fixpoint_block(data: jax.Array, wrap_x: bool, max_iters: int, jump_ev
         # complexity instead of blob diameter; measured optimum on TPU)
         m = jax.lax.cond(
             (it % 2) == 1,
-            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: _sweep_xy(x, data, wrap_x),
             lambda x: x,
             m,
         )
@@ -155,12 +179,28 @@ def _roots_fixpoint_block(data: jax.Array, wrap_x: bool, max_iters: int, jump_ev
     return lab.reshape(TB, H * W)
 
 
+# Largest per-block cell count for the fixpoint programs. Above ~60M cells
+# the composed while+cond+scan program MISCOMPILES on the TPU backend:
+# slices near the end of a (64, 720, 1440) block converge to labels that
+# differ from the same slice labeled alone (verified op-by-op: min-pool and
+# both segmented sweeps are each correct in isolation at that shape), which
+# degrades the sweep acceleration (41 observed fixpoint iterations vs 5) and
+# at full production shape (1095 x 720 x 1440) crashes the TPU worker
+# outright ("kernel fault"). Blocks up to ~17M cells (64 x 360 x 720, the
+# r02 bench shape) are verified correct; 16M keeps a safety margin while
+# still saturating the chip.
+_BLOCK_CELL_BUDGET = 16 * 1024 * 1024
+
+
 def _map_time_blocks(fn, data: jax.Array, time_block: int):
     """Apply ``fn`` ((TB, H, W) block -> pytree) over time blocks via lax.map
     (scan, not vmap, so Pallas kernels inside lower unchanged); the time axis
-    is padded with inactive slices to a block multiple."""
+    is padded with inactive slices to a block multiple. ``time_block`` is an
+    upper bound — the effective block is clamped so a block never exceeds
+    ``_BLOCK_CELL_BUDGET`` cells (see the miscompile note above)."""
     T = data.shape[0]
-    tb = min(time_block, T)
+    cells_per_slice = int(np.prod(data.shape[1:]))
+    tb = min(time_block, T, max(1, _BLOCK_CELL_BUDGET // max(cells_per_slice, 1)))
     n_blocks = -(-T // tb)
     T_pad = n_blocks * tb
     if T_pad != T:
@@ -232,7 +272,7 @@ def label_spacetime_grid(
         m = _segmented_min_sweep(m, data, 0)
         m = jax.lax.cond(
             (it % 2) == 1,
-            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: _sweep_xy(x, data, wrap_x),
             lambda x: x,
             m,
         )
@@ -439,7 +479,7 @@ def label_spacetime_roots(
         m = _segmented_min_sweep(m, data, 0)
         m = jax.lax.cond(
             (it % 2) == 1,
-            lambda x: _segmented_min_sweep(_segmented_min_sweep(x, data, 2), data, 1),
+            lambda x: _sweep_xy(x, data, wrap_x),
             lambda x: x,
             m,
         )

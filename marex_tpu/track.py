@@ -1079,7 +1079,12 @@ class tracker:
             # Small fields keep the single fused fixpoint program + the
             # gather-free dense relabel (fewer dispatches, measured faster).
             T, S = data_bin_preprocessed.shape[0], int(np.prod(data_bin_preprocessed.shape[1:]))
-            if T * S > 200_000_000 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
+            # the fused 3-D fixpoint is a single while+cond+scan program over
+            # the WHOLE field; above ~60M cells that composition miscompiles
+            # on the TPU backend (see ops/label._BLOCK_CELL_BUDGET), so the
+            # two-level path (per-slice CCL in bounded blocks + inter-slice
+            # union-find) takes over well below the observed threshold
+            if T * S > 16 * 1024 * 1024 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
                 labels, N_events = self._label_spacetime_two_level(data_bin_preprocessed)
             else:
                 labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
