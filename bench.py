@@ -736,6 +736,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             traceback.print_exc()
             detail["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
+            # a device OOM can leave compiled executables and their constant
+            # buffers resident; drop everything JAX holds so the half-shape
+            # fallback (and later configs) start from a clean allocator
+            try:
+                import jax as _jax
+
+                _jax.clear_caches()
+            except Exception:
+                pass
         gc.collect()
         return detail["configs"][name]
     # configs 1/4/8 receive the HOST block; _detect_track stages it per run

@@ -354,18 +354,33 @@ def label_slices_unstructured(
     return dense.reshape(-1, C)[:T], counts.reshape(-1)[:T]
 
 
-@jax.jit
-def offset_labels_across_time(labels: jax.Array, counts: jax.Array) -> jax.Array:
-    """
+def _offset_labels_impl(labels: jax.Array, counts: jax.Array) -> jax.Array:
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    shape = (labels.shape[0],) + (1,) * (labels.ndim - 1)
+    return jnp.where(labels > 0, labels + offsets.reshape(shape), 0)
+
+
+offset_labels_across_time = jax.jit(_offset_labels_impl)
+offset_labels_across_time.__doc__ = """
     Make per-slice labels globally unique by cumulative offsets — the
     cumsum-shift trick of track.py:2762-2764.
 
     labels : (T, ...) int32 per-slice dense labels
     counts : (T,) per-slice component counts
     """
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    shape = (labels.shape[0],) + (1,) * (labels.ndim - 1)
-    return jnp.where(labels > 0, labels + offsets.reshape(shape), 0)
+
+# In-place variant for the tracking hot path: at production shape the label
+# field is ~4.5 GB, so aliasing the output onto the (never reused) input
+# halves this step's HBM peak — the difference between the two-level CCL
+# fitting a 16 GB chip at 1095x720x1440 and exhausting it.
+offset_labels_donated = jax.jit(_offset_labels_impl, donate_argnums=(0,))
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def remap_labels_donated(lookup: jax.Array, labels: jax.Array) -> jax.Array:
+    """Full-field ``lookup[labels]`` with the label buffer donated (the
+    final event remap of the two-level CCL; the input is dead after)."""
+    return jnp.take(lookup, labels)
 
 
 @partial(jax.jit, static_argnames=("n_labels",))
@@ -581,16 +596,7 @@ def slice_root_stats_sorted(root_flat: jax.Array, n_max: int, time_block: int = 
     return ids, areas, area_cell, counts
 
 
-@partial(jax.jit, static_argnames=("time_block",))
-def densify_slices_sorted(root_flat: jax.Array, time_block: int = 128):
-    """
-    Count-robust per-slice dense relabel (rank order identical to
-    :func:`label_slices_grid`) in O(S log S), tiled over time rows like
-    :func:`slice_root_stats_sorted`.
-
-    root_flat : (T, S) int32 converged root labels (_BIG = background)
-    returns (dense (T, S) int32 labels 1..n_t per slice, counts (T,) int32)
-    """
+def _densify_slices_sorted_impl(root_flat: jax.Array, time_block: int = 128):
     T, S = root_flat.shape
 
     def per_row(row):
@@ -599,6 +605,24 @@ def densify_slices_sorted(root_flat: jax.Array, time_block: int = 128):
         return dense, rank[-1]
 
     return jax.lax.map(per_row, root_flat, batch_size=min(time_block, T))
+
+
+densify_slices_sorted = partial(jax.jit, static_argnames=("time_block",))(_densify_slices_sorted_impl)
+densify_slices_sorted.__doc__ = """
+    Count-robust per-slice dense relabel (rank order identical to
+    :func:`label_slices_grid`) in O(S log S), tiled over time rows like
+    :func:`slice_root_stats_sorted`.
+
+    root_flat : (T, S) int32 converged root labels (_BIG = background)
+    returns (dense (T, S) int32 labels 1..n_t per slice, counts (T,) int32)
+    """
+
+# In-place variant (see offset_labels_donated): the root buffer is dead
+# after densification in the tracking hot path, so alias the dense output
+# onto it instead of holding two full label fields.
+densify_slices_sorted_donated = partial(
+    jax.jit, static_argnames=("time_block",), donate_argnums=(0,)
+)(_densify_slices_sorted_impl)
 
 
 @jax.jit

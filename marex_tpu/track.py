@@ -700,7 +700,7 @@ class tracker:
             root_ids, _ = _label.extract_root_areas(root_flat, L)
             labels = _label.densify_slice_roots(root_flat, root_ids).reshape(data.shape)
             return labels, counts
-        dense, _ = _label.densify_slices_sorted(root_flat)
+        dense, _ = _label.densify_slices_sorted_donated(root_flat)
         return dense.reshape(data.shape), counts
 
     def filter_small_objects(self, data: jnp.ndarray):
@@ -1007,7 +1007,8 @@ class tracker:
             return self._wrap_id_field(labels), None, int(n)
 
         labels, counts = self._label_slices(data)
-        global_labels = _label.offset_labels_across_time(labels, jnp.asarray(counts.astype(np.int32)))
+        global_labels = _label.offset_labels_donated(labels, jnp.asarray(counts.astype(np.int32)))
+        del labels  # donated: the buffer now backs global_labels
         return self._wrap_id_field(global_labels), None, int(counts.sum())
 
     def calculate_object_properties(self, object_id_field, properties: Optional[List[str]] = None) -> FieldSet:
@@ -1160,8 +1161,8 @@ class tracker:
             object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
             logger.info("Finished calculating object properties")
 
-            labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
-            del labels_slices  # free the pre-offset full-field buffer
+            labels_dev = _label.offset_labels_donated(labels_slices, jnp.asarray(counts.astype(np.int32)))
+            del labels_slices  # donated: the buffer now backs labels_dev
             logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
 
             store = _SliceStore(labels_dev)
@@ -1279,8 +1280,8 @@ class tracker:
         labels_slices, counts = self._label_slices(data)
         counts = np.asarray(counts)
         n_obj = int(counts.sum())
-        labels_dev = _label.offset_labels_across_time(labels_slices, jnp.asarray(counts.astype(np.int32)))
-        del labels_slices  # free the pre-offset buffer (full-field int32)
+        labels_dev = _label.offset_labels_donated(labels_slices, jnp.asarray(counts.astype(np.int32)))
+        del labels_slices  # donated: the buffer now backs labels_dev
         if n_obj == 0:
             return jnp.zeros(data.shape, jnp.int32), 0
         edges = self._adjacency_edges(labels_dev)
@@ -1289,7 +1290,7 @@ class tracker:
         n_events = int(comp.max()) + 1 if len(comp) else 0
         lookup = np.zeros(n_obj + 1, np.int32)
         lookup[1:] = comp.astype(np.int32) + 1
-        final = jnp.take(jnp.asarray(lookup), labels_dev)
+        final = _label.remap_labels_donated(jnp.asarray(lookup), labels_dev)
         return final, n_events
 
     def _all_overlaps(self, labels) -> np.ndarray:
