@@ -736,12 +736,22 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             traceback.print_exc()
             detail["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
-            # a device OOM can leave compiled executables and their constant
-            # buffers resident; drop everything JAX holds so the half-shape
-            # fallback (and later configs) start from a clean allocator
+            # a device OOM can leave compiled executables, their constant
+            # buffers AND orphaned intermediate arrays resident (observed on
+            # the axon tunnel backend: after one OOM, even a 100 MB stage
+            # failed for the rest of the process while a fresh process could
+            # allocate tens of GB). Configs never share device arrays — the
+            # host block is staged per run — so on failure drop every live
+            # device buffer plus everything JAX caches.
             try:
                 import jax as _jax
 
+                gc.collect()  # release exception-frame refs first
+                for arr in _jax.live_arrays():
+                    try:
+                        arr.delete()
+                    except Exception:
+                        pass
                 _jax.clear_caches()
             except Exception:
                 pass

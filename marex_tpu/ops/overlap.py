@@ -130,9 +130,12 @@ def adjacency_pairs_shift(
         return z, z
     tb = min(time_block, T - 1)
     n_blocks = -(-(T - 1) // tb)
-    # pad so every block can slice tb+1 rows (padded rows are background)
-    T_need = n_blocks * tb + 1
-    lab_p = jnp.pad(labels, ((0, T_need - T), (0, 0), (0, 0))) if T_need > T else labels
+    # clamp the final block's start into bounds instead of padding the field:
+    # jnp.pad would materialise a second full-size copy (~5 GB at production
+    # shape) for the program's whole duration. Overlapping rows recompute
+    # identical values (row r depends only on label rows r, r+1) and the
+    # scatter below routes every block row to its true position.
+    starts = jnp.minimum(jnp.arange(n_blocks, dtype=jnp.int32) * tb, T - 1 - tb)
 
     def shift_a(a):
         if dx != 0:
@@ -151,7 +154,7 @@ def adjacency_pairs_shift(
         return a
 
     def blk(t0):
-        seg = jax.lax.dynamic_slice(lab_p, (t0, 0, 0), (tb + 1, H, W))
+        seg = jax.lax.dynamic_slice(labels, (t0, 0, 0), (tb + 1, H, W))
         a = shift_a(seg[:-1]).reshape(tb, H * W)
         b = seg[1:].reshape(tb, H * W)
         both = jnp.logical_and(a > 0, b > 0)
@@ -167,9 +170,11 @@ def adjacency_pairs_shift(
             prev = k
         return jnp.stack(pa, axis=1), jnp.stack(pb, axis=1)
 
-    starts = jnp.arange(n_blocks, dtype=jnp.int32) * tb
     pa, pb = jax.lax.map(blk, starts)
-    return pa.reshape(-1, max_pairs)[: T - 1], pb.reshape(-1, max_pairs)[: T - 1]
+    rows = (starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]).reshape(-1)
+    out_pa = jnp.zeros((T - 1, max_pairs), jnp.int32).at[rows].set(pa.reshape(-1, max_pairs))
+    out_pb = jnp.zeros((T - 1, max_pairs), jnp.int32).at[rows].set(pb.reshape(-1, max_pairs))
+    return out_pa, out_pb
 
 
 @partial(jax.jit, static_argnames=("max_pairs", "time_block"))
@@ -190,11 +195,12 @@ def consecutive_pairs_tiled(
         return z, z, jnp.zeros((0, max_pairs), jnp.float32)
     tb = min(time_block, T - 1)
     n_blocks = -(-(T - 1) // tb)
-    T_need = n_blocks * tb + 1
-    lab_p = jnp.pad(labels, ((0, T_need - T), (0, 0))) if T_need > T else labels
+    # clamped starts + row scatter instead of padding (see
+    # adjacency_pairs_shift: the pad is a full-size field copy)
+    starts = jnp.minimum(jnp.arange(n_blocks, dtype=jnp.int32) * tb, T - 1 - tb)
 
     def blk(t0):
-        seg = jax.lax.dynamic_slice(lab_p, (t0, 0), (tb + 1, S))
+        seg = jax.lax.dynamic_slice(labels, (t0, 0), (tb + 1, S))
         a, b = seg[:-1], seg[1:]
         both = jnp.logical_and(a > 0, b > 0)
         key = jnp.where(both, a * key_stride + b, _INVALID)
@@ -212,12 +218,12 @@ def consecutive_pairs_tiled(
             prev = k
         return jnp.stack(pa, axis=1), jnp.stack(pb, axis=1), jnp.stack(pw, axis=1)
 
-    starts = jnp.arange(n_blocks, dtype=jnp.int32) * tb
     pa, pb, pw = jax.lax.map(blk, starts)
+    rows = (starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]).reshape(-1)
     return (
-        pa.reshape(-1, max_pairs)[: T - 1],
-        pb.reshape(-1, max_pairs)[: T - 1],
-        pw.reshape(-1, max_pairs)[: T - 1],
+        jnp.zeros((T - 1, max_pairs), jnp.int32).at[rows].set(pa.reshape(-1, max_pairs)),
+        jnp.zeros((T - 1, max_pairs), jnp.int32).at[rows].set(pb.reshape(-1, max_pairs)),
+        jnp.zeros((T - 1, max_pairs), jnp.float32).at[rows].set(pw.reshape(-1, max_pairs)),
     )
 
 

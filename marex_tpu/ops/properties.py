@@ -19,6 +19,30 @@ import jax.numpy as jnp
 EDGE_ZONE = 100  # cells from the x-boundary counting as "near the edge" (track.py:2075-2076)
 
 
+def _map_row_blocks(fn, arrays, T: int, tb: int):
+    """
+    Apply ``fn`` over ``tb``-row blocks of (T, ...) ``arrays`` and stitch the
+    per-row outputs back in order — WITHOUT padding T to a block multiple
+    (``jnp.pad`` materialises a second full-size copy of each input, ~5 GB
+    per field at production shape). The final block's start is clamped into
+    bounds, so overlapped rows are recomputed with identical values and the
+    row scatter routes every block row to its true position.
+
+    fn : (block_0, block_1, ...) -> (tb, ...) per-row output
+    returns (T, ...) stacked outputs.
+    """
+    n_blocks = -(-T // tb)
+    starts = jnp.minimum(jnp.arange(n_blocks, dtype=jnp.int32) * tb, T - tb)
+
+    def blk(t0):
+        return fn(*[jax.lax.dynamic_slice_in_dim(a, t0, tb, axis=0) for a in arrays])
+
+    out = jax.lax.map(blk, starts)  # (n_blocks, tb, ...)
+    rows = (starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]).reshape(-1)
+    flat = out.reshape((n_blocks * tb,) + out.shape[2:])
+    return jnp.zeros((T,) + flat.shape[1:], flat.dtype).at[rows].set(flat)
+
+
 @partial(jax.jit, static_argnames=("n_labels",))
 def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Array:
     """
@@ -43,19 +67,12 @@ def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Arra
     # iota/index temporaries stay bounded (full-width they are several GB at
     # production scale)
     tb = min(64, T)
-    n_blocks = -(-T // tb)
-    T_pad = n_blocks * tb
-    if T_pad != T:
-        labels = jnp.pad(labels, ((0, T_pad - T), (0, 0)))
-        weights = jnp.pad(weights, ((0, T_pad - T), (0, 0)))
 
-    def blk(args):
-        lb, wb = args
+    def blk(lb, wb):
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (tb, S), 0)
         return jnp.zeros((tb, n_labels + 1), jnp.float32).at[t_idx, lb].add(wb)
 
-    out = jax.lax.map(blk, (labels.reshape(n_blocks, tb, S), weights.reshape(n_blocks, tb, S)))
-    return out.reshape(T_pad, n_labels + 1)[:T]
+    return _map_row_blocks(blk, (labels, weights), T, tb)
 
 
 @partial(jax.jit, static_argnames=("n_events", "time_block"))
@@ -72,20 +89,13 @@ def event_global_id(new_flat: jax.Array, old_flat: jax.Array, n_events: int, tim
     """
     T, S = new_flat.shape
     tb = min(time_block, T)
-    n_blocks = -(-T // tb)
-    T_pad = n_blocks * tb
-    if T_pad != T:
-        new_flat = jnp.pad(new_flat, ((0, T_pad - T), (0, 0)))
-        old_flat = jnp.pad(old_flat, ((0, T_pad - T), (0, 0)))
 
-    def blk(args):
-        nfb, ofb = args
+    def blk(nfb, ofb):
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (tb, S), 0)
         cols = jnp.where(nfb > 0, nfb, n_events + 1)
         return jnp.zeros((tb, n_events + 2), jnp.int32).at[t_idx, cols].max(ofb)
 
-    gid = jax.lax.map(blk, (new_flat.reshape(n_blocks, tb, S), old_flat.reshape(n_blocks, tb, S)))
-    return gid.reshape(T_pad, n_events + 2)[:T, : n_events + 1]
+    return _map_row_blocks(blk, (new_flat, old_flat), T, tb)[:, : n_events + 1]
 
 
 @partial(jax.jit, static_argnames=("n_labels",))
@@ -125,11 +135,7 @@ def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
         _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
         return jnp.moveaxis(out, 0, 1)
 
-    tb = min(64, T)
-    n_blocks = -(-T // tb)
-    T_pad = n_blocks * tb
-    lf_p = jnp.pad(lf, ((0, T_pad - T), (0, 0)), constant_values=-1) if T_pad != T else lf
-    return jax.lax.map(block, lf_p.reshape(n_blocks, tb, H * W)).reshape(T_pad, n_labels + 1, 6)[:T]
+    return _map_row_blocks(block, (lf,), T, min(64, T))
 
 
 @partial(jax.jit, static_argnames=("n_labels",))
@@ -161,11 +167,7 @@ def unstructured_label_comps(
         _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
         return jnp.moveaxis(out, 0, 1)
 
-    tb = min(64, T)
-    n_blocks = -(-T // tb)
-    T_pad = n_blocks * tb
-    lf_p = jnp.pad(labels, ((0, T_pad - T), (0, 0)), constant_values=-1) if T_pad != T else labels
-    return jax.lax.map(block, lf_p.reshape(n_blocks, tb, C)).reshape(T_pad, n_labels + 1, 4)[:T]
+    return _map_row_blocks(block, (labels,), T, min(64, T))
 
 
 @partial(jax.jit, static_argnames=("n_labels", "wrap"))
@@ -220,11 +222,7 @@ def grid_label_props(
             _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
             return jnp.moveaxis(out, 0, 1)  # (TB, n_labels+1, 6)
 
-        tb = min(64, T)
-        n_blocks = -(-T // tb)
-        T_pad = n_blocks * tb
-        lf_p = jnp.pad(lf, ((0, T_pad - T), (0, 0)), constant_values=-1) if T_pad != T else lf
-        stacked = jax.lax.map(block, lf_p.reshape(n_blocks, tb, H * W)).reshape(T_pad, n_labels + 1, 6)[:T]
+        stacked = _map_row_blocks(block, (lf,), T, min(64, T))
         areas = stacked[..., 0]
         sum_y = stacked[..., 1]
         sum_x = stacked[..., 2]
