@@ -22,6 +22,11 @@ from . import detrend as _detrend
 from . import quantile as _quant
 
 
+# cell budget per (Y, 366, sc) chunk of the space-tiled shifting-baseline
+# program (see anomaly_program); 64M cells -> ~2 GB chunk working set
+_SHIFT_CHUNK_CELLS = 64 * 1024 * 1024
+
+
 def _scatter_ymd(data: jax.Array, year_idx: jax.Array, doy_idx: jax.Array, n_years: int) -> jax.Array:
     S = data.shape[1]
     out = jnp.full((n_years, 366, S), jnp.nan, dtype=data.dtype)
@@ -112,10 +117,35 @@ def anomaly_program(
     """
     if method_anomaly == "shifting_baseline":
         data = data.reshape(data.shape[0], -1)
-        smoothed = _clim.centered_rolling_mean_time(data, smooth_days_baseline)
-        ymd = _scatter_ymd(smoothed, year_idx, doy_idx, n_years)
-        clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
-        return data - clim_y[year_idx, doy_idx]
+        T, S = data.shape
+
+        def _chunk(d):
+            smoothed = _clim.centered_rolling_mean_time(d, smooth_days_baseline)
+            ymd = _scatter_ymd(smoothed, year_idx, doy_idx, n_years)
+            clim_y = _clim.rolling_climatology_ymd(ymd, window_year_baseline)
+            return d - clim_y[year_idx, doy_idx]
+
+        # every step is pointwise in space, so tile over columns when the
+        # dense (Y, 366, S) intermediates get large: the rolling-climatology
+        # program holds ~6 of them concurrently, which at 8 yr x 360x720
+        # already exceeds a 16 GB chip (measured 17.4 GB HBM requirement).
+        # Budget: <=64M cells per (Y, 366, sc) chunk -> chunk working set
+        # ~2 GB; accumulate into a preallocated output via in-place loop
+        # carry (no stacked/concat copies). The final chunk's start is
+        # clamped into bounds (overlapped columns rewrite identical values).
+        sc = max(1, _SHIFT_CHUNK_CELLS // (366 * max(n_years, 1)))
+        sc = min(S, ((sc + 127) // 128) * 128)
+        if sc >= S:
+            return _chunk(data)
+        n_chunks = -(-S // sc)
+        starts = jnp.minimum(jnp.arange(n_chunks, dtype=jnp.int32) * sc, S - sc)
+
+        def body(i, acc):
+            s0 = starts[i]
+            res = _chunk(jax.lax.dynamic_slice(data, (0, s0), (T, sc)))
+            return jax.lax.dynamic_update_slice(acc, res, (0, s0))
+
+        return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((T, S), data.dtype))
 
     if method_anomaly == "fixed_baseline":
         clim = _doy_nanmean_direct(data, doy_idx, clim_time_mask)
