@@ -694,7 +694,91 @@ def _tunnel_guard() -> "str | None":
     return f"cpu fallback: {reason}"
 
 
+def _requested_configs():
+    req = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(","))
+    ids = [c for c in "12345678" if c in req]
+    if "merge_dense" in req and "6" not in ids:
+        ids.append("6")
+    return ids
+
+
+def _emit(detail) -> None:
+    configs = detail.get("configs", {})
+    c4 = configs.get("4_merge_production", {})
+    if "gpd_per_s" in c4:
+        throughput = c4["gpd_per_s"]
+        metric = (
+            "detect+track throughput (fixed_baseline+global_extreme, production params: "
+            "R_fill=12 T_fill=4 area>=600 overlap=0.25 merging+nn, 0.25deg)"
+        )
+    else:
+        with_tp = [c for c in configs.values() if "gpd_per_s" in c]
+        if with_tp:
+            throughput = with_tp[0]["gpd_per_s"]
+            metric = "detect+track throughput (first enabled config)"
+        else:
+            c6 = configs.get("6_merge_dense", {})
+            throughput = 1.0 / max(c6.get("merge_overhead_x", 1.0), 1e-9)
+            metric = "merge-dense inverse overhead (no-merge wall / merge wall)"
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(throughput, 1),
+                "unit": "gridpoint-days/sec/chip",
+                "vs_baseline": round(throughput / BASELINE_THROUGHPUT, 3),
+                "detail": detail,
+            }
+        )
+    )
+
+
+def _orchestrate() -> None:
+    """Run every requested config in its OWN subprocess and merge results.
+
+    Isolation matters on the shared dev chip: one mid-execution OOM leaves
+    the device pool poisoned for the rest of the process (observed: after a
+    config-4 OOM even a 100 MB stage failed in every later config, while a
+    fresh process could allocate tens of GB). The persistent compile cache
+    keeps cross-process recompiles cheap."""
+    import subprocess
+    import sys
+    import tempfile
+
+    detail = {"configs": {}}
+    for cid in _requested_configs():
+        fd, path = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        env = os.environ.copy()
+        env["MAREX_BENCH_CHILD"] = "1"
+        env["MAREX_BENCH_CONFIGS"] = cid
+        env["MAREX_BENCH_OUT"] = path
+        print(f"[bench] running config {cid} in a subprocess", file=sys.stderr, flush=True)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        try:
+            with open(path) as f:
+                child = json.load(f)
+            for k in ("shape", "platform", "platform_note"):
+                if k in child and k not in detail:
+                    detail[k] = child[k]
+            detail["configs"].update(child.get("configs", {}))
+        except Exception as e:  # noqa: BLE001 — child crashed before writing
+            detail["configs"][f"config_{cid}"] = {
+                "error": f"child process failed (exit {proc.returncode}): {type(e).__name__}: {e}"
+            }
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    _emit(detail)
+
+
 def main() -> None:
+    if os.environ.get("MAREX_BENCH_CHILD") != "1" and len(_requested_configs()) > 1:
+        _orchestrate()
+        return
     platform_note = _tunnel_guard()
     import jax
 
@@ -716,9 +800,10 @@ def main() -> None:
     n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "20000" if small else "1048576"))
     which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(","))
 
-    da_host = make_data(n_years, ny, nx)
-    T = da_host.sizes["time"]
-    gpd = T * ny * nx
+    # only configs 1/4/7/8 consume the full-resolution host block; building
+    # it for a 2/3/5/6-only child subprocess wastes minutes + gigabytes
+    da_host = make_data(n_years, ny, nx) if which & {"1", "4", "7", "8"} else None
+    T = da_host.sizes["time"] if da_host is not None else n_years * 365
 
     detail = {"shape": [T, ny, nx], "configs": {}}
     detail["platform"] = jax.devices()[0].platform
@@ -811,10 +896,8 @@ def main() -> None:
     if "3" in which:
         _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
 
-    headline = None
     if "4" in which:
-        c4 = _try_with_oom_fallback("4_merge_production", config4_merge_production)
-        headline = c4 if "gpd_per_s" in c4 else None
+        _try_with_oom_fallback("4_merge_production", config4_merge_production)
 
     if "5" in which:
         _try("5_unstructured", config5_unstructured, max(n_years // 2, 2), n_cells)
@@ -826,38 +909,14 @@ def main() -> None:
         _try("7_streamed", config7_streamed, da_host, ny, nx)
 
     if "8" in which:
-        if "da" in _half:  # a full-shape config already OOM'd; use the half block
-            _try("8_streamed_track", config8_streamed_track, _half["da"], _half["ny"], _half["nx"])
-        else:
-            _try("8_streamed_track", config8_streamed_track, da, ny, nx)
+        _try_with_oom_fallback("8_streamed_track", config8_streamed_track)
 
-    if headline is not None:
-        throughput = headline["gpd_per_s"]
-        metric = (
-            "detect+track throughput (fixed_baseline+global_extreme, production params: "
-            "R_fill=12 T_fill=4 area>=600 overlap=0.25 merging+nn, 0.25deg)"
-        )
-    else:
-        with_tp = [c for c in detail["configs"].values() if "gpd_per_s" in c]
-        if with_tp:
-            throughput = with_tp[0]["gpd_per_s"]
-            metric = "detect+track throughput (first enabled config)"
-        else:
-            c6 = detail["configs"].get("6_merge_dense", {})
-            throughput = 1.0 / max(c6.get("merge_overhead_x", 1.0), 1e-9)
-            metric = "merge-dense inverse overhead (no-merge wall / merge wall)"
-
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(throughput, 1),
-                "unit": "gridpoint-days/sec/chip",
-                "vs_baseline": round(throughput / BASELINE_THROUGHPUT, 3),
-                "detail": detail,
-            }
-        )
-    )
+    out_path = os.environ.get("MAREX_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(detail, f)
+        return
+    _emit(detail)
 
 
 if __name__ == "__main__":

@@ -1098,3 +1098,9 @@ def map_to_global(labels: jax.Array, gmap: jax.Array) -> jax.Array:
         return row[jnp.clip(lab, 0, row.shape[0] - 1)]
 
     return jax.vmap(one)(labels, gmap)
+
+
+# in-place variant for the in-memory march's final relabel: the local-label
+# stack is dead afterwards, and at production shape aliasing the output onto
+# it saves a full-field (~4.5 GB) buffer at the peak
+map_to_global_donated = jax.jit(map_to_global, donate_argnums=(0,))

@@ -48,19 +48,26 @@ def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Arra
     """
     Segment-sum of ``weights`` by label.
 
-    labels : (T, S) int32 in [0, n_labels]
-    weights : (S,) or (T, S) float32
+    labels : (T, *spatial) int32 in [0, n_labels] — rank-polymorphic: 3-D
+        grid fields are flattened PER BLOCK (a whole-field (T, S) reshape is
+        a real relayout copy on TPU, ~4.5 GB at production shape)
+    weights : (S,) flat per-cell, or (T, *spatial) float32
     returns (T, n_labels + 1) — index 0 is background.
     """
-    T, S = labels.shape
-    if weights.ndim == 1:
-        weights = jnp.broadcast_to(weights[None, :], (T, S))
+    T = labels.shape[0]
+    sp = labels.shape[1:]
+    S = 1
+    for d in sp:
+        S *= int(d)
+    per_cell = weights.ndim == 1
     weights = weights.astype(jnp.float32)
     if n_labels <= 96:
         # small label ranges: one fused compare+reduce pass per label (~5 ms
         # each on TPU) beats a 105M-update scatter-add (~1 s)
+        wbc = weights.reshape(sp)[None] if per_cell else weights
+        red = tuple(range(1, labels.ndim))
         cols = [
-            jnp.sum(jnp.where(labels == lbl, weights, 0.0), axis=1) for lbl in range(n_labels + 1)
+            jnp.sum(jnp.where(labels == lbl, wbc, 0.0), axis=red) for lbl in range(n_labels + 1)
         ]
         return jnp.stack(cols, axis=1)
     # large label ranges: per-row scatter-add, tiled over row blocks so the
@@ -68,11 +75,14 @@ def label_sums(labels: jax.Array, weights: jax.Array, n_labels: int) -> jax.Arra
     # production scale)
     tb = min(64, T)
 
-    def blk(lb, wb):
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tb, S), 0)
-        return jnp.zeros((tb, n_labels + 1), jnp.float32).at[t_idx, lb].add(wb)
+    def blk(lb, *wrest):
+        lb = lb.reshape(lb.shape[0], S)
+        wb = wrest[0].reshape(lb.shape) if wrest else jnp.broadcast_to(weights[None], lb.shape)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 0)
+        return jnp.zeros((lb.shape[0], n_labels + 1), jnp.float32).at[t_idx, lb].add(wb)
 
-    return _map_row_blocks(blk, (labels, weights), T, tb)
+    arrays = (labels,) if per_cell else (labels, weights)
+    return _map_row_blocks(blk, arrays, T, tb)
 
 
 @partial(jax.jit, static_argnames=("n_events", "time_block"))
@@ -83,17 +93,20 @@ def event_global_id(new_flat: jax.Array, old_flat: jax.Array, n_events: int, tim
     row blocks (the full-width iota/index temporaries are several GB at
     production scale).
 
-    new_flat : (T, S) int32 event ids (1..n_events, 0 = background)
-    old_flat : (T, S) int32 original object ids
+    new_flat : (T, *spatial) int32 event ids (1..n_events, 0 = background);
+        rank-polymorphic — grid fields are flattened per block, never whole
+    old_flat : (T, *spatial) int32 original object ids
     returns (T, n_events + 1) int32, column 0 unused
     """
-    T, S = new_flat.shape
+    T = new_flat.shape[0]
     tb = min(time_block, T)
 
     def blk(nfb, ofb):
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tb, S), 0)
+        nfb = nfb.reshape(nfb.shape[0], -1)
+        ofb = ofb.reshape(nfb.shape)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, nfb.shape, 0)
         cols = jnp.where(nfb > 0, nfb, n_events + 1)
-        return jnp.zeros((tb, n_events + 2), jnp.int32).at[t_idx, cols].max(ofb)
+        return jnp.zeros((nfb.shape[0], n_events + 2), jnp.int32).at[t_idx, cols].max(ofb)
 
     return _map_row_blocks(blk, (new_flat, old_flat), T, tb)[:, : n_events + 1]
 
@@ -112,7 +125,6 @@ def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
     Returns (T, n_labels + 1, 6) float32.
     """
     T, H, W = labels.shape
-    lf = labels.reshape(T, H * W)
     y_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(H * W)
     x_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(H * W)
     w = jnp.ones((H * W,), jnp.float32)
@@ -128,6 +140,8 @@ def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
     )  # (6, S)
 
     def block(lfb):
+        lfb = lfb.reshape(lfb.shape[0], H * W)  # per-block flatten, not whole-field
+
         def per_label(_, lbl):
             m = (lfb == lbl).astype(jnp.float32)
             return None, jnp.einsum("ks,ts->tk", wall, m)
@@ -135,7 +149,7 @@ def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
         _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
         return jnp.moveaxis(out, 0, 1)
 
-    return _map_row_blocks(block, (lf,), T, min(64, T))
+    return _map_row_blocks(block, (labels,), T, min(64, T))
 
 
 @partial(jax.jit, static_argnames=("n_labels",))
@@ -190,7 +204,6 @@ def grid_label_props(
     cy, cx : (T, n_labels + 1) float32 pixel-coordinate centroids (NaN where absent)
     """
     T, H, W = labels.shape
-    lf = labels.reshape(T, H * W)
     y_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(H * W)
     x_idx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(H * W)
 
@@ -214,6 +227,8 @@ def grid_label_props(
         wall = jnp.stack([w, wy, wx, wr, fl, fr])  # (6, S)
 
         def block(lfb):
+            lfb = lfb.reshape(lfb.shape[0], H * W)  # per-block flatten
+
             def per_label(_, lbl):
                 m = (lfb == lbl).astype(jnp.float32)  # (TB, S)
                 sums = jnp.einsum("ks,ts->tk", wall, m)  # (TB, 6)
@@ -222,7 +237,7 @@ def grid_label_props(
             _, out = jax.lax.scan(per_label, None, jnp.arange(n_labels + 1, dtype=jnp.int32))
             return jnp.moveaxis(out, 0, 1)  # (TB, n_labels+1, 6)
 
-        stacked = _map_row_blocks(block, (lf,), T, min(64, T))
+        stacked = _map_row_blocks(block, (labels,), T, min(64, T))
         areas = stacked[..., 0]
         sum_y = stacked[..., 1]
         sum_x = stacked[..., 2]
@@ -230,12 +245,12 @@ def grid_label_props(
         near_left = stacked[..., 4] > 0
         near_right = stacked[..., 5] > 0
     else:
-        areas = label_sums(lf, w, n_labels)
-        sum_y = label_sums(lf, wy, n_labels)
-        sum_x = label_sums(lf, wx, n_labels)
-        cnt_right = label_sums(lf, wr, n_labels)
-        near_left = label_sums(lf, fl, n_labels) > 0
-        near_right = label_sums(lf, fr, n_labels) > 0
+        areas = label_sums(labels, w, n_labels)
+        sum_y = label_sums(labels, wy, n_labels)
+        sum_x = label_sums(labels, wx, n_labels)
+        cnt_right = label_sums(labels, wr, n_labels)
+        near_left = label_sums(labels, fl, n_labels) > 0
+        near_right = label_sums(labels, fr, n_labels) > 0
 
     safe = jnp.maximum(areas, 1e-30)
     cy = sum_y / safe

@@ -1152,12 +1152,19 @@ class tracker:
         labels_slices, counts = self._label_slices(data_bin)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
+        # ownership box: the scan march drops the per-slice label stack once
+        # it is fully consumed into its block outputs, so the final relabel
+        # holds two full-size fields instead of three (~4.5 GB each at
+        # production shape). On fallback (None) the stack is still in the box.
+        labels_box = [labels_slices]
+        del labels_slices
         scan_result = None
         if self._scan_march_enabled():
-            scan_result = self._split_and_merge_scan(labels_slices, counts, offsets)
+            scan_result = self._split_and_merge_scan(labels_box, counts, offsets)
         if scan_result is not None:
             labels_dev, object_table, overlap_list, merge_events = scan_result
         else:
+            labels_slices = labels_box.pop()
             object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
             logger.info("Finished calculating object properties")
 
@@ -1169,7 +1176,9 @@ class tracker:
             labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
         logger.info("Finished splitting and merging objects")
 
-        events_ds, N_events = self._cluster_rename(labels_dev, object_table, overlap_list, merge_events)
+        rename_box = [labels_dev]
+        del labels_dev  # ownership moves; _cluster_rename frees it when dead
+        events_ds, N_events = self._cluster_rename(rename_box, object_table, overlap_list, merge_events)
         logger.info("Finished clustering and renaming objects into coherent consistent events")
         return events_ds, merge_events, N_events
 
@@ -1620,15 +1629,20 @@ class tracker:
         meshes (BFS-hop partitioning with haversine fallback)."""
         return getattr(self, "use_scan_march", True) and os.environ.get("MAREX_NO_SCAN_MARCH", "") != "1"
 
-    def _split_and_merge_scan(self, labels_local: jnp.ndarray, counts: np.ndarray, offsets: np.ndarray):
+    def _split_and_merge_scan(self, labels_box: list, counts: np.ndarray, offsets: np.ndarray):
         """
         Run the split/merge march as ONE device program (ops/march.py) —
         identical semantics to :meth:`_split_and_merge_device` but with ~3
         dispatch round-trips total instead of several per merge-active
-        timestep. Returns ``(labels_dev, table, overlap_list, merge_events)``
-        or ``None`` to fall back to the per-step device march (tiny inputs or
-        repeated capacity-bucket overflows).
+        timestep. ``labels_box`` is a single-element ownership box holding
+        the per-slice label stack: on success the box is emptied once the
+        stack is consumed (memory peak); on a ``None`` fallback return the
+        stack remains in the box for the per-step march.
+        Returns ``(labels_dev, table, overlap_list, merge_events)`` or
+        ``None``.
         """
+        labels_local = labels_box[0]
+        out_shape = labels_local.shape
         T = int(labels_local.shape[0])
         unstr = self.unstructured_grid
         if unstr:
@@ -1736,7 +1750,8 @@ class tracker:
                 s1 = min(s0 + block_T, T)
                 ext0 = s0 if s0 == 0 else s0 - 1
                 if s0 == 0:
-                    labels_ext = labels3[ext0:s1]
+                    # full-range slice would dispatch a full-field copy
+                    labels_ext = labels3 if s1 == T else labels3[ext0:s1]
                 else:
                     # the boundary slice must be its FINAL pixels (partition
                     # pieces included), i.e. the previous block's last output
@@ -1814,13 +1829,22 @@ class tracker:
             logger.warning("Scan march exceeded capacity retries; falling back to per-step march")
             return None
 
+        # the label stack is fully consumed into label_blocks: drop the last
+        # references so the final assembly holds two full-size fields
+        # instead of three (box emptied -> track_objects holds nothing)
+        labels_box.clear()
+        del labels_local, labels3
+
         # ---- host epilogue -------------------------------------------------
         table, overlap_list, merge_events = self._march_epilogue(
             gmap_host, pga_h, pgb_h, pgw_h, out, T, W, unstr, wrap
         )
 
         labels_final = label_blocks[0] if len(label_blocks) == 1 else jnp.concatenate(label_blocks, axis=0)
-        labels_dev = _march.map_to_global(labels_final, jnp.asarray(gmap_host)).reshape(labels_local.shape)
+        label_blocks.clear()
+        out.pop("labels", None)  # allow the donation below to be the only ref
+        labels_dev = _march.map_to_global_donated(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
+        del labels_final  # donated: the buffer now backs labels_dev
         self._count_dispatch("march_map")
         logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
         return labels_dev, table, overlap_list, merge_events
@@ -1979,15 +2003,19 @@ class tracker:
 
     def _cluster_rename(
         self,
-        labels_np: np.ndarray,
+        labels_box: list,
         table: ObjectTable,
         overlap_list: np.ndarray,
         merge_events: FieldSet,
     ):
         """Cluster overlap pairs into events and relabel (track.py:2809-3331).
-        ``labels_np`` may be a device array; the remap, the global-ID scatter
-        and the event statistics all run on device."""
-        labels_dev = jnp.asarray(labels_np)
+        ``labels_box`` is a single-element ownership box holding the label
+        field (host or device); it is emptied immediately so the old-id
+        field can be freed the moment it is dead (at production shape each
+        full-size field is ~4.5 GB). The remap, the global-ID scatter and
+        the event statistics all run on device."""
+        labels_dev = jnp.asarray(labels_box[0])
+        labels_box.clear()
         # alive object ids come from the table (the march keeps it in sync
         # with the field), plus any ids referenced by the overlap graph
         field_ids = table.ids()
@@ -2016,10 +2044,11 @@ class tracker:
         N = n_events
 
         # global_ID (time, ID): original id at each time for each event —
-        # per-row max-combining scatter, time-tiled (ops.properties)
-        nf = new_field_dev.reshape(T, -1)
-        of = labels_dev.reshape(T, -1)
-        global_id = _props.event_global_id(nf, of, N)  # device-resident (time, ID)
+        # per-row max-combining scatter, time-tiled (ops.properties). The
+        # fields pass 3-D: event_global_id flattens per block (a standalone
+        # (T, S) relayout copy is ~4.5 GB each at production shape)
+        global_id = _props.event_global_id(new_field_dev, labels_dev, N)
+        del labels_dev  # old ids are dead; free one full-size field
         new_field = new_field_dev  # device-resident; downloaded only on .values
 
         presence = global_id > 0
