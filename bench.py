@@ -351,6 +351,7 @@ def config1_production_nomerge(da, ny, nx):
         "gpd_per_s": round(T * ny * nx / wall, 1),
         "n_events": int(events.attrs["N_events_final"]),
         "two_level_ccl": bool(two_level),
+        "stage_walls": dict(getattr(tr, "stage_walls", {})),
         "est_hbm_gb_per_s": round(_bw_model_gb(T, ny * nx, True) / wall, 3),
     }
 
@@ -453,6 +454,7 @@ def config4_merge_production(da, ny, nx):
         "n_events": int(events.attrs["N_events_final"]),
         "total_merges": int(events.attrs["total_merges"]),
         "march_dispatches": dict(getattr(tr, "dispatch_counts", {})),
+        "stage_walls": dict(getattr(tr, "stage_walls", {})),
         "est_hbm_gb_per_s": round(_bw_model_gb(T, ny * nx, True) / wall, 3),
     }
 

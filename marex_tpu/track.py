@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 import warnings
+from contextlib import contextmanager
 from typing import Any, Dict, List, Literal, Optional, Tuple, Union
 
 import jax
@@ -946,13 +948,19 @@ class tracker:
         raw_area = self.compute_area(data)
 
         logger.info(f"Filling spatial holes with radius R_fill={self.R_fill}")
-        data = self.fill_holes(data)
+        with self._stage_ctx("fill_spatial") as _s:
+            data = self.fill_holes(data)
+            _s.append(data)
 
         logger.info(f"Filling temporal gaps with T_fill={self.T_fill}")
-        data = self.fill_time_gaps(data)
+        with self._stage_ctx("fill_time") as _s:
+            data = self.fill_time_gaps(data)
+            _s.append(data)
 
         logger.info("Filtering small objects")
-        data_filtered, area_threshold, object_areas, N_pre, N_post = self.filter_small_objects(data)
+        with self._stage_ctx("filter_small") as _s:
+            data_filtered, area_threshold, object_areas, N_pre, N_post = self.filter_small_objects(data)
+            _s.append(data_filtered)
         logger.info(f"Filtered {N_pre} -> {N_post} objects (threshold: {area_threshold})")
 
         processed_area = self.compute_area(data_filtered)
@@ -1085,18 +1093,20 @@ class tracker:
             # on the TPU backend (see ops/label._BLOCK_CELL_BUDGET), so the
             # two-level path (per-slice CCL in bounded blocks + inter-slice
             # union-find) takes over well below the observed threshold
-            if T * S > 16 * 1024 * 1024 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
-                labels, N_events = self._label_spacetime_two_level(data_bin_preprocessed)
-            else:
-                labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
-                N_events = int(n_dev)
-                if 0 < N_events <= 512:
-                    n_pad = max(64, 1 << (N_events - 1).bit_length())
-                    labels = _label.densify_spacetime_roots(labf, n_pad).reshape(data_bin_preprocessed.shape)
+            with self._stage_ctx("ccl3d") as _s:
+                if T * S > 16 * 1024 * 1024 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
+                    labels, N_events = self._label_spacetime_two_level(data_bin_preprocessed)
                 else:
-                    dense, n = _label.densify_spacetime_sorted(labf)
-                    labels = dense.reshape(data_bin_preprocessed.shape)
-                    N_events = int(n)
+                    labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
+                    N_events = int(n_dev)
+                    if 0 < N_events <= 512:
+                        n_pad = max(64, 1 << (N_events - 1).bit_length())
+                        labels = _label.densify_spacetime_roots(labf, n_pad).reshape(data_bin_preprocessed.shape)
+                    else:
+                        dense, n = _label.densify_spacetime_sorted(labf)
+                        labels = dense.reshape(data_bin_preprocessed.shape)
+                        N_events = int(n)
+                _s.append(labels)
             # keep the labeled field device-resident (it is the largest output)
             id_field = self._wrap_id_field(labels)
             events_ds = FieldSet({"ID_field": id_field})
@@ -1149,7 +1159,9 @@ class tracker:
         """Full merge/split-aware tracking (track.py:2734-2807). Labels stay
         device-resident; the merge march materialises only the slices it
         touches (see _SliceStore)."""
-        labels_slices, counts = self._label_slices(data_bin)
+        with self._stage_ctx("ccl") as _s:
+            labels_slices, counts = self._label_slices(data_bin)
+            _s.append(labels_slices)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
         # ownership box: the scan march drops the per-slice label stack once
@@ -1160,25 +1172,32 @@ class tracker:
         del labels_slices
         scan_result = None
         if self._scan_march_enabled():
-            scan_result = self._split_and_merge_scan(labels_box, counts, offsets)
+            with self._stage_ctx("march") as _s:
+                scan_result = self._split_and_merge_scan(labels_box, counts, offsets)
+                if scan_result is not None:
+                    _s.append(scan_result[0])
         if scan_result is not None:
             labels_dev, object_table, overlap_list, merge_events = scan_result
         else:
-            labels_slices = labels_box.pop()
-            object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
-            logger.info("Finished calculating object properties")
+            with self._stage_ctx("march") as _s:
+                labels_slices = labels_box.pop()
+                object_table = self._compute_props_for_labels(labels_slices, counts, offsets)
+                logger.info("Finished calculating object properties")
 
-            labels_dev = _label.offset_labels_donated(labels_slices, jnp.asarray(counts.astype(np.int32)))
-            del labels_slices  # donated: the buffer now backs labels_dev
-            logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
+                labels_dev = _label.offset_labels_donated(labels_slices, jnp.asarray(counts.astype(np.int32)))
+                del labels_slices  # donated: the buffer now backs labels_dev
+                logger.info(f"Finished assigning {int(counts.sum())} globally unique object IDs")
 
-            store = _SliceStore(labels_dev)
-            labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
+                store = _SliceStore(labels_dev)
+                labels_dev, object_table, overlap_list, merge_events = self._split_and_merge(store, object_table)
+                _s.append(labels_dev)
         logger.info("Finished splitting and merging objects")
 
         rename_box = [labels_dev]
         del labels_dev  # ownership moves; _cluster_rename frees it when dead
-        events_ds, N_events = self._cluster_rename(rename_box, object_table, overlap_list, merge_events)
+        with self._stage_ctx("rename") as _s:
+            events_ds, N_events = self._cluster_rename(rename_box, object_table, overlap_list, merge_events)
+            _s.append(events_ds["ID_field"].data)
         logger.info("Finished clustering and renaming objects into coherent consistent events")
         return events_ds, merge_events, N_events
 
@@ -1323,6 +1342,28 @@ class tracker:
         if d is None:
             d = self.dispatch_counts = {}
         d[kind] = d.get(kind, 0) + 1
+
+    @contextmanager
+    def _stage_ctx(self, name: str):
+        """Accumulate host-observed wall time for a pipeline substage into
+        ``self.stage_walls`` (bench reports it, so regressions show up per
+        stage instead of hiding inside one wall number). Because dispatch is
+        async, a stage's device work may drain into the NEXT stage's first
+        sync; with ``MAREX_STAGE_TIMING=1`` the caller-collected outputs
+        (``.append`` arrays to the yielded list) are blocked on before the
+        clock stops, giving exact attribution at the cost of extra syncs."""
+        t0 = time.perf_counter()
+        sync_refs: list = []
+        yield sync_refs
+        if sync_refs and os.environ.get("MAREX_STAGE_TIMING", "") == "1":
+            try:
+                jax.block_until_ready(sync_refs)
+            except Exception:  # host arrays / pytrees with None
+                pass
+        d = getattr(self, "stage_walls", None)
+        if d is None:
+            d = self.stage_walls = {}
+        d[name] = round(d.get(name, 0.0) + (time.perf_counter() - t0), 4)
 
     def _pairs_dev(self, a_dev, b_dev, key_stride: int) -> np.ndarray:
         """Overlap triples for ONE slice pair computed on device (the march's
