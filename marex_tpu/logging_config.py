@@ -113,18 +113,27 @@ def configure_logging(
         logger.addHandler(fh)
 
     logger.propagate = False
+    _configure_external_loggers()
     _configured = True
     return logger
 
 
-def set_verbose_mode() -> None:
-    """Switch to verbose (DEBUG) logging."""
-    configure_logging(verbose=True, quiet=False)
+def set_verbose_mode(verbose: bool = True) -> None:
+    """Enable (or, with ``verbose=False``, disable) verbose DEBUG logging.
+
+    Signature matches the reference's ``set_verbose_mode``
+    (``marEx/logging_config.py:183-191``).
+    """
+    configure_logging(verbose=verbose, quiet=False)
 
 
-def set_quiet_mode() -> None:
-    """Switch to quiet (WARNING+) logging."""
-    configure_logging(verbose=False, quiet=True)
+def set_quiet_mode(quiet: bool = True) -> None:
+    """Enable (or, with ``quiet=False``, disable) quiet WARNING+ logging.
+
+    Signature matches the reference's ``set_quiet_mode``
+    (``marEx/logging_config.py:193-201``).
+    """
+    configure_logging(verbose=False, quiet=quiet)
 
 
 def set_normal_logging() -> None:
@@ -179,6 +188,32 @@ def _device_memory_mb() -> Optional[float]:
         return total if seen else None
     except Exception:  # pragma: no cover
         return None
+
+
+def get_memory_usage() -> dict:
+    """
+    Return current process memory statistics in MB.
+
+    Same keys as the reference's ``get_memory_usage``
+    (``marEx/logging_config.py:246-263``): ``rss_mb``, ``vms_mb``,
+    ``percent``, ``available_mb``; plus a TPU-native addition
+    ``device_mb`` (in-use accelerator bytes summed over local devices,
+    0.0 when the backend reports no stats).
+    """
+    out = {"rss_mb": 0.0, "vms_mb": 0.0, "percent": 0.0, "available_mb": 0.0}
+    try:
+        import psutil
+
+        process = psutil.Process()
+        mem = process.memory_info()
+        out["rss_mb"] = mem.rss / 1024 / 1024
+        out["vms_mb"] = mem.vms / 1024 / 1024
+        out["percent"] = process.memory_percent()
+        out["available_mb"] = psutil.virtual_memory().available / 1024 / 1024
+    except Exception:  # pragma: no cover - psutil is a hard dep in practice
+        pass
+    out["device_mb"] = _device_memory_mb() or 0.0
+    return out
 
 
 def log_memory_usage(logger: logging.Logger, label: str = "Memory", level: int = logging.INFO) -> None:
@@ -281,6 +316,99 @@ def profile_trace(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def create_progress_bar(
+    total: Optional[int] = None,
+    desc: str = "Processing",
+    unit: str = "it",
+    disable: Optional[bool] = None,
+):
+    """
+    Create a tqdm progress bar when tqdm is importable and mode is not quiet.
+
+    Returns ``None`` when disabled or tqdm is unavailable — call sites must
+    guard with ``if pbar:``. Mirrors the reference's ``create_progress_bar``
+    (``marEx/logging_config.py:343-375``).
+    """
+    try:
+        from tqdm import tqdm
+    except Exception:
+        return None
+    if disable is None:
+        disable = is_quiet_mode()
+    if disable:
+        return None
+    return tqdm(
+        total=total,
+        desc=desc,
+        unit=unit,
+        ascii=os.environ.get("TERM") != "xterm-256color",
+    )
+
+
+@contextmanager
+def progress_bar(
+    total: Optional[int] = None,
+    desc: str = "Processing",
+    unit: str = "it",
+    logger: Optional[logging.Logger] = None,
+) -> Iterator[Any]:
+    """
+    Context manager yielding a progress bar (or ``None``), with a logging
+    fallback on close when no bar was shown. Mirrors the reference's
+    ``progress_bar`` (``marEx/logging_config.py:379-410``).
+    """
+    pbar = create_progress_bar(total=total, desc=desc, unit=unit)
+    try:
+        yield pbar
+    finally:
+        if pbar is not None:
+            pbar.close()
+        elif logger is not None and not is_quiet_mode():
+            logger.info(f"Completed {desc}")
+
+
+def log_progress(
+    logger: logging.Logger,
+    current: int,
+    total: int,
+    operation: str = "Processing",
+    frequency: int = 10,
+) -> None:
+    """
+    Log progress at ``frequency``-percent milestones (and at completion)
+    without a progress bar. Mirrors the reference's ``log_progress``
+    (``marEx/logging_config.py:413-445``); suppressed in quiet mode.
+    """
+    if is_quiet_mode() or total <= 0:
+        return
+    percentage = (current / total) * 100
+    if percentage % max(frequency, 1) == 0 or current == total:
+        if is_verbose_mode():
+            logger.debug(f"{operation}: {current}/{total} ({percentage:.1f}%)")
+        else:
+            logger.info(f"{operation}: {percentage:.0f}% complete ({current}/{total})")
+
+
+def setup_logging(*args: Any, **kwargs: Any) -> logging.Logger:
+    """Backward-compatible alias for :func:`configure_logging`
+    (reference parity: ``marEx/logging_config.py:546-548``)."""
+    return configure_logging(*args, **kwargs)
+
+
+def _configure_external_loggers() -> None:
+    """Quieten noisy third-party loggers (reference parity:
+    ``marEx/logging_config.py:228-243``, with the Dask names replaced by the
+    libraries this runtime actually pulls in)."""
+    for name in (
+        "matplotlib.font_manager",
+        "PIL.PngImagePlugin",
+        "asyncio",
+        "fsspec",
+        "urllib3",
+    ):
+        logging.getLogger(name).setLevel(logging.ERROR)
 
 
 class ProgressLogger:

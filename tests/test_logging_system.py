@@ -416,3 +416,137 @@ class TestFunctionLevelVerbosity:
             lg.removeHandler(h)
         joined = " ".join(r.message for r in h.records)
         assert "tracker" in joined.lower() or "R_fill" in joined
+
+
+class TestProgressBarHelpers:
+    """Reference-parity progress helpers (marEx/logging_config.py:343-445)."""
+
+    def test_create_progress_bar_returns_bar(self):
+        from marex_tpu.logging_config import create_progress_bar, set_normal_logging
+
+        set_normal_logging()
+        pbar = create_progress_bar(total=10, desc="t", unit="x")
+        try:
+            assert pbar is not None
+            assert pbar.total == 10
+        finally:
+            if pbar is not None:
+                pbar.close()
+
+    def test_create_progress_bar_quiet_returns_none(self):
+        from marex_tpu.logging_config import create_progress_bar, set_normal_logging, set_quiet_mode
+
+        set_quiet_mode()
+        try:
+            assert create_progress_bar(total=5) is None
+        finally:
+            set_normal_logging()
+
+    def test_create_progress_bar_explicit_disable(self):
+        from marex_tpu.logging_config import create_progress_bar
+
+        assert create_progress_bar(total=5, disable=True) is None
+
+    def test_progress_bar_context_updates(self):
+        from marex_tpu.logging_config import progress_bar, set_normal_logging
+
+        set_normal_logging()
+        with progress_bar(total=3, desc="work") as pbar:
+            for _ in range(3):
+                if pbar:
+                    pbar.update(1)
+        # tqdm instance is closed on exit
+        if pbar is not None:
+            assert pbar.disable or pbar.n == 3
+
+    def test_progress_bar_logger_fallback(self, caplog):
+        from marex_tpu.logging_config import progress_bar, set_normal_logging, set_quiet_mode
+
+        lg = logging.getLogger("marex_tpu.progress_test")
+        set_normal_logging()
+        # force the no-bar path via quiet, then check quiet suppresses the fallback
+        set_quiet_mode()
+        try:
+            with caplog.at_level(logging.INFO, logger="marex_tpu.progress_test"):
+                with progress_bar(total=2, desc="fallback-op", logger=lg) as pbar:
+                    assert pbar is None
+            assert "fallback-op" not in caplog.text
+        finally:
+            set_normal_logging()
+
+    def test_log_progress_milestones(self):
+        from marex_tpu.logging_config import log_progress, set_normal_logging
+
+        set_normal_logging()
+        lg = logging.getLogger("marex_tpu.progress_test2")
+        h = _CaptureHandler()
+        lg.addHandler(h)
+        try:
+            log_progress(lg, 5, 10, operation="halfway", frequency=10)
+            log_progress(lg, 10, 10, operation="done-op")
+        finally:
+            lg.removeHandler(h)
+        joined = " ".join(r.getMessage() for r in h.records)
+        assert "halfway" in joined
+        assert "done-op" in joined
+        assert "100%" in joined
+
+    def test_log_progress_quiet_and_zero_total(self, caplog):
+        from marex_tpu.logging_config import log_progress, set_normal_logging, set_quiet_mode
+
+        lg = logging.getLogger("marex_tpu.progress_test3")
+        set_quiet_mode()
+        try:
+            with caplog.at_level(logging.DEBUG, logger="marex_tpu.progress_test3"):
+                log_progress(lg, 5, 10, operation="hidden")
+        finally:
+            set_normal_logging()
+        assert "hidden" not in caplog.text
+        log_progress(lg, 1, 0, operation="empty")  # no crash on total=0
+
+
+class TestMemoryUsageDict:
+    def test_get_memory_usage_keys(self):
+        from marex_tpu.logging_config import get_memory_usage
+
+        stats = get_memory_usage()
+        for key in ("rss_mb", "vms_mb", "percent", "available_mb", "device_mb"):
+            assert key in stats, key
+            assert isinstance(stats[key], float)
+        assert stats["rss_mb"] > 0  # a live process has nonzero RSS
+
+
+class TestSetupLoggingAlias:
+    def test_setup_logging_alias(self):
+        from marex_tpu.logging_config import get_verbosity_level, setup_logging
+
+        lg = setup_logging(verbose=True)
+        assert lg is logging.getLogger("marex_tpu")
+        assert get_verbosity_level() == "verbose"
+        setup_logging(verbose=False, quiet=False)
+        assert get_verbosity_level() == "normal"
+
+    def test_set_modes_accept_bool_arg(self):
+        from marex_tpu.logging_config import (
+            get_verbosity_level,
+            set_quiet_mode,
+            set_verbose_mode,
+        )
+
+        set_verbose_mode(True)
+        assert get_verbosity_level() == "verbose"
+        set_verbose_mode(False)
+        assert get_verbosity_level() == "normal"
+        set_quiet_mode(True)
+        assert get_verbosity_level() == "quiet"
+        set_quiet_mode(False)
+        assert get_verbosity_level() == "normal"
+
+
+class TestExternalLoggers:
+    def test_external_loggers_quietened(self):
+        from marex_tpu.logging_config import configure_logging
+
+        configure_logging()
+        assert logging.getLogger("matplotlib.font_manager").level == logging.ERROR
+        assert logging.getLogger("PIL.PngImagePlugin").level == logging.ERROR
