@@ -552,7 +552,7 @@ def config6_merge_dense(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
     with _silence:
         run(False)
         t0 = time.perf_counter()
-        run(False)
+        _, tr_plain = run(False)
         w_plain = time.perf_counter() - t0
         _, _ = run(True)
         t0 = time.perf_counter()
@@ -568,6 +568,8 @@ def config6_merge_dense(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
         "march_dispatches": disp,
         "dispatch_roundtrip_ms": round(rt_ms, 3),
         "dispatch_latency_total_s": round(sum(disp.values()) * rt_ms / 1e3, 2),
+        "stage_walls_no_merge": dict(getattr(tr_plain, "stage_walls", {})),
+        "stage_walls_merge": dict(getattr(tr, "stage_walls", {})),
     }
 
 

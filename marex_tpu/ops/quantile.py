@@ -109,6 +109,15 @@ def rolling_doy_window_sum(hist: jax.Array, window: int) -> jax.Array:
     the windowed histogram of detect.py:2494-2500.
     """
     pad = window // 2
+    if window <= 33:
+        # direct shifted adds: XLA fuses the chain into ~2 live copies of
+        # ``hist``, where the cumsum formulation materialises padded + csum
+        # + out (~3 extra full-size buffers — the OOM term at 0.25-degree
+        # hobday tiles)
+        out = hist
+        for k in range(1, pad + 1):
+            out = out + jnp.roll(hist, k, axis=0) + jnp.roll(hist, -k, axis=0)
+        return out
     padded = jnp.concatenate([hist[-pad:], hist, hist[:pad]], axis=0)
     csum = jnp.cumsum(padded, axis=0)
     csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
@@ -126,6 +135,19 @@ def rolling_axis_sum(hist: jax.Array, window: int, axis: int, wrap: bool) -> jax
     hist = jnp.moveaxis(hist, axis, 0)
     n = hist.shape[0]
     half = window // 2
+    if window <= 33:
+        # direct shifted adds (fused, ~2 live copies) instead of
+        # padded+cumsum (+3 full-size temporaries); see rolling_doy_window_sum
+        out = hist
+        for k in range(1, half + 1):
+            if wrap:
+                out = out + jnp.roll(hist, k, axis=0) + jnp.roll(hist, -k, axis=0)
+            else:
+                zpad = jnp.zeros_like(hist[:k])
+                fwd = jnp.concatenate([zpad, hist[: n - k]], axis=0)
+                bwd = jnp.concatenate([hist[k:], zpad], axis=0)
+                out = out + fwd + bwd
+        return jnp.moveaxis(out, 0, axis)
     if wrap:
         padded = jnp.concatenate([hist[-half:], hist, hist[:half]], axis=0)
         csum = jnp.concatenate([jnp.zeros_like(padded[:1]), jnp.cumsum(padded, axis=0)], axis=0)
@@ -340,7 +362,10 @@ def hobday_thresholds_approx(
     if grid_shape is not None:
         ny, nx = grid_shape
         halo = (window_spatial // 2) if (window_spatial is not None and window_spatial > 1) else 0
-        tile_rows = max(1, _HIST_TILE_BYTES // (D * nx * nbins * 4))
+        # the ACTUAL tile buffer is (tile_rows + 2*halo) rows — budgeting
+        # only tile_rows under-counted 3x at production widths (and OOMed
+        # a 16 GB chip at 8yr x 360 x 720)
+        tile_rows = max(1, _HIST_TILE_BYTES // (D * nx * nbins * 4) - 2 * halo)
         n_tiles = -(-ny // tile_rows)
         ny_pad = n_tiles * tile_rows
 
