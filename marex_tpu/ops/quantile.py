@@ -56,7 +56,13 @@ def digitize_anomalies(data: jax.Array, precision: float, nbins: int) -> jax.Arr
     k = jnp.floor((data + precision) / precision).astype(jnp.int32) + 1
     k = jnp.where(data < -precision, 0, k)
     k = jnp.where(jnp.isnan(data), nbins, k)
-    return jnp.clip(k, 0, nbins)
+    k = jnp.clip(k, 0, nbins)
+    # bin indices are a full-size (Y, 366, S) resident buffer on the hobday
+    # path — int16 halves it (default precision/max_anomaly give ~502 bins;
+    # scatter/compare consumers upcast per-tile only)
+    if nbins + 1 <= np.iinfo(np.int16).max:
+        k = k.astype(jnp.int16)
+    return k
 
 
 # ----------------------------------------------------------------------------
