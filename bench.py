@@ -750,32 +750,66 @@ def _orchestrate() -> None:
     import sys
     import tempfile
 
-    detail = {"configs": {}}
-    for cid in _requested_configs():
+    def run_child(cid: str, extra_env=None):
+        """One config in a fresh process; returns its configs dict (or an
+        error entry)."""
         fd, path = tempfile.mkstemp(suffix=".json")
         os.close(fd)
         env = os.environ.copy()
         env["MAREX_BENCH_CHILD"] = "1"
         env["MAREX_BENCH_CONFIGS"] = cid
         env["MAREX_BENCH_OUT"] = path
-        print(f"[bench] running config {cid} in a subprocess", file=sys.stderr, flush=True)
+        env.update(extra_env or {})
+        print(f"[bench] running config {cid} in a subprocess {extra_env or ''}", file=sys.stderr, flush=True)
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
         try:
             with open(path) as f:
-                child = json.load(f)
-            for k in ("shape", "platform", "platform_note"):
-                if k in child and k not in detail:
-                    detail[k] = child[k]
-            detail["configs"].update(child.get("configs", {}))
+                return json.load(f)
         except Exception as e:  # noqa: BLE001 — child crashed before writing
-            detail["configs"][f"config_{cid}"] = {
+            return {"configs": {f"config_{cid}": {
                 "error": f"child process failed (exit {proc.returncode}): {type(e).__name__}: {e}"
-            }
+            }}}
         finally:
             try:
                 os.unlink(path)
             except OSError:
                 pass
+
+    def _entry_oom(cfgs: dict) -> bool:
+        return any(
+            any(s in e.get("error", "") for s in ("RESOURCE_EXHAUSTED", "hbm", "Ran out of memory", "out of memory"))
+            or "crashed" in e.get("error", "")
+            for e in cfgs.values()
+        )
+
+    detail = {"configs": {}}
+    for cid in _requested_configs():
+        child = run_child(cid)
+        cfgs = child.get("configs", {})
+        if _entry_oom(cfgs):
+            # an OOM poisons the device pool for the REST of that process
+            # (observed on the axon tunnel), so any fallback must run in a
+            # FRESH child at half resolution
+            ny = int(os.environ.get("MAREX_BENCH_NY", "720"))
+            nx = int(os.environ.get("MAREX_BENCH_NX", "1440"))
+            cells = int(os.environ.get("MAREX_BENCH_CELLS", "1048576"))
+            half_env = {
+                "MAREX_BENCH_NY": str(max(ny // 2, 32)),
+                "MAREX_BENCH_NX": str(max(nx // 2, 64)),
+                "MAREX_BENCH_CELLS": str(max(cells // 4, 4096)),
+            }
+            retry = run_child(cid, half_env).get("configs", {})
+            for name, entry in retry.items():
+                if "error" not in entry:
+                    entry["fallback_env"] = half_env
+                    full = next((e["error"] for e in cfgs.values() if "error" in e), "")
+                    entry["full_shape_error"] = full[:300]
+            if not _entry_oom(retry):
+                cfgs = retry
+        for k in ("shape", "platform", "platform_note"):
+            if k in child and k not in detail:
+                detail[k] = child[k]
+        detail["configs"].update(cfgs)
     _emit(detail)
 
 
@@ -851,45 +885,11 @@ def main() -> None:
     # pin 4.8 GB of HBM across the whole benchmark at production shape
     da = da_host if which & {"1", "4", "8"} else None
 
-    _half = {}
-
-    def _is_oom(entry) -> bool:
-        msg = entry.get("error", "")
-        return any(s in msg for s in ("RESOURCE_EXHAUSTED", "hbm", "Ran out of memory", "out of memory"))
-
-    def _half_da():
-        """Half-resolution fallback block (built once, shared): if a
-        production-shape config exhausts HBM on a small dev chip, record a
-        real throughput number at the largest shape that fits instead of
-        only an error entry. Later full-block users (configs 4/8) reuse the
-        fallback shape directly — they would OOM at full shape too."""
-        if "da" not in _half:
-            hy, hx = max(ny // 2, 32), max(nx // 2, 64)
-            half = make_data(n_years, hy, hx)  # host block; staged per run
-            _half["ny"], _half["nx"], _half["da"] = hy, hx, half
-        return _half["da"], _half["ny"], _half["nx"]
-
-    def _try_with_oom_fallback(name, fn):
-        entry = _try(name, fn, da if "da" not in _half else _half["da"],
-                     ny if "da" not in _half else _half["ny"],
-                     nx if "da" not in _half else _half["nx"])
-        if _is_oom(entry):
-            try:
-                da2, ny2, nx2 = _half_da()
-            except Exception as e:  # fallback data gen failed: keep the error entry
-                detail["configs"][name]["fallback_error"] = f"{type(e).__name__}: {e}"[:300]
-                return detail["configs"][name]
-            entry2 = _try(name, fn, da2, ny2, nx2)
-            if "error" not in entry2:
-                entry2["fallback_shape"] = [da2.sizes["time"], ny2, nx2]
-                entry2["full_shape_error"] = entry["error"][:300]
-                detail["configs"][name] = entry2
-                return entry2
-            detail["configs"][name] = entry  # keep the original error
-        return detail["configs"][name]
-
+    # NOTE: there is deliberately no in-process OOM fallback here — a device
+    # OOM poisons the pool for the rest of the process on the axon tunnel;
+    # _orchestrate() retries a failed config in a FRESH child at half shape.
     if "1" in which:
-        _try_with_oom_fallback("1_fixed_global_production", config1_production_nomerge)
+        _try("1_fixed_global_production", config1_production_nomerge, da, ny, nx)
 
     import gc
 
@@ -901,7 +901,7 @@ def main() -> None:
         _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
 
     if "4" in which:
-        _try_with_oom_fallback("4_merge_production", config4_merge_production)
+        _try("4_merge_production", config4_merge_production, da, ny, nx)
 
     if "5" in which:
         _try("5_unstructured", config5_unstructured, max(n_years // 2, 2), n_cells)
@@ -913,7 +913,7 @@ def main() -> None:
         _try("7_streamed", config7_streamed, da_host, ny, nx)
 
     if "8" in which:
-        _try_with_oom_fallback("8_streamed_track", config8_streamed_track)
+        _try("8_streamed_track", config8_streamed_track, da, ny, nx)
 
     out_path = os.environ.get("MAREX_BENCH_OUT")
     if out_path:

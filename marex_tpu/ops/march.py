@@ -100,8 +100,8 @@ def _extract_pairs_local(prev_loc: jax.Array, cur_loc: jax.Array, MP: int, strid
     (None = pixel counts; cell areas on unstructured meshes, track.py
     _cell_weights). The fourth return value flags an overflowing (possibly
     truncated) slot list."""
-    a = prev_loc.reshape(-1)
-    b = cur_loc.reshape(-1)
+    a = prev_loc.reshape(-1).astype(jnp.int32)
+    b = cur_loc.reshape(-1).astype(jnp.int32)
     both = jnp.logical_and(a > 0, b > 0)
     key = jnp.where(both, a * stride + b, _IMAX)
     if cell_w is None:
@@ -695,6 +695,10 @@ def scan_march(
     L, MP, K, P, NID = sizes.L, sizes.MP, sizes.K, sizes.P, sizes.NID
     cell_w = mesh[3] if mode == "unstr" else None
     MAXM = sizes.MAXM
+    # the (T, H, W) label stacks are the march's dominant buffers at
+    # production shape; locals (incl. partition pieces) are < L, so they
+    # store as int16 whenever L fits — the scan upcasts one slice at a time
+    out_dtype = jnp.int16 if (L + 2 <= np.iinfo(np.int16).max) else jnp.int32
     GR = L + 2  # map-row length: locals 1..L, col 0 background, col L+1 spare
     stride = L + 2
     t0 = jnp.asarray(t0, jnp.int32)
@@ -745,6 +749,7 @@ def scan_march(
         (prev, gmap, pga, pgb, pgw, comps, alive, next_new, m_cnt, ledger, flags,
          nonconv, deleted, missing, dirty, perr) = carry
         cur, count_t, t = xs
+        cur = cur.astype(jnp.int32)
         g = t0 + t  # global time index (ledger rows, reference guards)
         lused = count_t
 
@@ -1059,10 +1064,10 @@ def scan_march(
             st["m_cnt"], st["ledger"], st["flags"], nonconv, st["deleted"], st["missing"],
             st["touched"], st["perr"],
         )
-        return carry, prev
+        return carry, prev.astype(out_dtype)
 
     init = (
-        labels[0], gmap0, pga, pgb, pgw, comps0, alive0, next_new0,
+        labels[0].astype(jnp.int32), gmap0, pga, pgb, pgw, comps0, alive0, next_new0,
         m_cnt0, ledger, flags0, nonconv0, deleted0, missing0,
         jnp.bool_(False), perr0,
     )
@@ -1070,7 +1075,7 @@ def scan_march(
     (last, gmap, pga, pgb, pgw, comps, alive, next_new, m_cnt, ledger, flags,
      nonconv, deleted, missing, dirty, perr), ys = jax.lax.scan(step, init, xs)
 
-    final_labels = jnp.concatenate([ys, last[None]], axis=0)
+    final_labels = jnp.concatenate([ys, last[None].astype(out_dtype)], axis=0)
     return dict(
         labels=final_labels,
         gmap=gmap,

@@ -114,16 +114,11 @@ def rolling_doy_window_sum(hist: jax.Array, window: int) -> jax.Array:
     Wrapped rolling sum over the day-of-year axis (axis 0), window centred —
     the windowed histogram of detect.py:2494-2500.
     """
+    # NOTE: a shifted-add formulation (sum of jnp.roll terms) was measured
+    # WORSE here: XLA materialises every rolled slice simultaneously
+    # (window-many full-size buffers, 25 GB at production tiles) where the
+    # cumsum chain holds only padded + csum + out. Keep the cumsum.
     pad = window // 2
-    if window <= 33:
-        # direct shifted adds: XLA fuses the chain into ~2 live copies of
-        # ``hist``, where the cumsum formulation materialises padded + csum
-        # + out (~3 extra full-size buffers — the OOM term at 0.25-degree
-        # hobday tiles)
-        out = hist
-        for k in range(1, pad + 1):
-            out = out + jnp.roll(hist, k, axis=0) + jnp.roll(hist, -k, axis=0)
-        return out
     padded = jnp.concatenate([hist[-pad:], hist, hist[:pad]], axis=0)
     csum = jnp.cumsum(padded, axis=0)
     csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
@@ -141,19 +136,7 @@ def rolling_axis_sum(hist: jax.Array, window: int, axis: int, wrap: bool) -> jax
     hist = jnp.moveaxis(hist, axis, 0)
     n = hist.shape[0]
     half = window // 2
-    if window <= 33:
-        # direct shifted adds (fused, ~2 live copies) instead of
-        # padded+cumsum (+3 full-size temporaries); see rolling_doy_window_sum
-        out = hist
-        for k in range(1, half + 1):
-            if wrap:
-                out = out + jnp.roll(hist, k, axis=0) + jnp.roll(hist, -k, axis=0)
-            else:
-                zpad = jnp.zeros_like(hist[:k])
-                fwd = jnp.concatenate([zpad, hist[: n - k]], axis=0)
-                bwd = jnp.concatenate([hist[k:], zpad], axis=0)
-                out = out + fwd + bwd
-        return jnp.moveaxis(out, 0, axis)
+    # (shifted-add variant rejected — see rolling_doy_window_sum)
     if wrap:
         padded = jnp.concatenate([hist[-half:], hist, hist[:half]], axis=0)
         csum = jnp.concatenate([jnp.zeros_like(padded[:1]), jnp.cumsum(padded, axis=0)], axis=0)
@@ -316,8 +299,10 @@ def hobday_thresholds_exact(data_ymd: jax.Array, q: float, window_days: int, doy
 
 
 # HBM budget for the (366, S_tile, nbins) histogram intermediate; above this
-# the space axis is processed in latitude tiles under lax.map.
-_HIST_TILE_BYTES = 1 << 30
+# the space axis is processed in spatial tiles under lax.map. ~2-3 copies of
+# one tile are live inside the rolling-sum chain, so the budget is set well
+# below the chip's HBM.
+_HIST_TILE_BYTES = 1 << 29
 
 
 def _hobday_tile(bins_tile: jax.Array, q, window_days, nbins, bin_centers, window_spatial, tile_grid, wrap_lon):
@@ -368,31 +353,77 @@ def hobday_thresholds_approx(
     if grid_shape is not None:
         ny, nx = grid_shape
         halo = (window_spatial // 2) if (window_spatial is not None and window_spatial > 1) else 0
-        # the ACTUAL tile buffer is (tile_rows + 2*halo) rows — budgeting
-        # only tile_rows under-counted 3x at production widths (and OOMed
-        # a 16 GB chip at 8yr x 360 x 720)
-        tile_rows = max(1, _HIST_TILE_BYTES // (D * nx * nbins * 4) - 2 * halo)
-        n_tiles = -(-ny // tile_rows)
-        ny_pad = n_tiles * tile_rows
+        cell_bytes = D * nbins * 4
+        # the ACTUAL tile buffer includes the halo band — budgeting only the
+        # core rows under-counted 3x at production widths (and OOMed a 16 GB
+        # chip at 8yr x 360 x 720)
+        budget_cells = max(1, _HIST_TILE_BYTES // cell_bytes)
+        tile_rows = budget_cells // nx - 2 * halo
+
+        if tile_rows >= 1:
+            # full-width row bands: in-tile lon rolling keeps native wrap
+            # semantics, no lon halo duplication
+            n_tiles = -(-ny // tile_rows)
+            ny_pad = n_tiles * tile_rows
+
+            b = bins_ymd.reshape(Y, D, ny, nx)
+            # sentinel-pad: halo rows beyond the globe + rows up to the tile multiple
+            b = jnp.pad(b, ((0, 0), (0, 0), (halo, halo + (ny_pad - ny)), (0, 0)), constant_values=nbins)
+
+            starts = jnp.arange(n_tiles) * tile_rows
+
+            def per_tile(start):
+                tile = jax.lax.dynamic_slice_in_dim(b, start, tile_rows + 2 * halo, axis=2)
+                tile = tile.reshape(Y, D, (tile_rows + 2 * halo) * nx)
+                thr = _hobday_tile(
+                    tile, q, window_days, nbins, bin_centers, window_spatial, (tile_rows + 2 * halo, nx), wrap_lon
+                )
+                thr = thr.reshape(D, tile_rows + 2 * halo, nx)
+                return jax.lax.dynamic_slice_in_dim(thr, halo, tile_rows, axis=1)
+
+            tiles = jax.lax.map(per_tile, starts)  # (n_tiles, D, tile_rows, nx)
+            out = jnp.moveaxis(tiles, 0, 1).reshape(D, ny_pad, nx)[:, :ny]
+            return out.reshape(D, ny * nx)
+
+        # 2-D tiles: at production widths one full-width halo'd row band
+        # already exceeds the budget (nx=1440: 5 rows = 5.3 GB), so tile
+        # both axes. Halos are baked into a padded copy — wrapped columns
+        # when the grid is periodic, sentinel otherwise — and the in-tile
+        # rolling runs wrap=False on both axes (core cells always see their
+        # full window via the halo; sentinel halo = zero counts = the
+        # truncated-window edge semantics).
+        side = max(1, int(budget_cells**0.5))
+        tr = min(ny, max(1, side - 2 * halo))
+        tc = min(nx, max(1, side - 2 * halo))
+        nty = -(-ny // tr)
+        ntx = -(-nx // tc)
 
         b = bins_ymd.reshape(Y, D, ny, nx)
-        # sentinel-pad: halo rows beyond the globe + rows up to the tile multiple
-        b = jnp.pad(b, ((0, 0), (0, 0), (halo, halo + (ny_pad - ny)), (0, 0)), constant_values=nbins)
+        if wrap_lon and halo > 0:
+            lon_l, lon_r = b[..., nx - halo:], b[..., :halo]
+        else:
+            lon_l = jnp.full(b.shape[:3] + (halo,), nbins, b.dtype)
+            lon_r = lon_l
+        lon_fill = jnp.full(b.shape[:3] + (ntx * tc - nx,), nbins, b.dtype)
+        b = jnp.concatenate([lon_l, b, lon_r, lon_fill], axis=3)
+        b = jnp.pad(b, ((0, 0), (0, 0), (halo, halo + (nty * tr - ny)), (0, 0)), constant_values=nbins)
 
-        starts = jnp.arange(n_tiles) * tile_rows
+        th, tw = tr + 2 * halo, tc + 2 * halo
 
-        def per_tile(start):
-            tile = jax.lax.dynamic_slice_in_dim(b, start, tile_rows + 2 * halo, axis=2)
-            tile = tile.reshape(Y, D, (tile_rows + 2 * halo) * nx)
+        def per_tile2d(i):
+            y0 = (i // ntx) * tr
+            x0 = (i % ntx) * tc
+            tile = jax.lax.dynamic_slice(b, (0, 0, y0, x0), (Y, D, th, tw))
             thr = _hobday_tile(
-                tile, q, window_days, nbins, bin_centers, window_spatial, (tile_rows + 2 * halo, nx), wrap_lon
+                tile.reshape(Y, D, th * tw), q, window_days, nbins, bin_centers,
+                window_spatial, (th, tw), False,
             )
-            thr = thr.reshape(D, tile_rows + 2 * halo, nx)
-            return jax.lax.dynamic_slice_in_dim(thr, halo, tile_rows, axis=1)
+            return jax.lax.dynamic_slice(thr.reshape(D, th, tw), (0, halo, halo), (D, tr, tc))
 
-        tiles = jax.lax.map(per_tile, starts)  # (n_tiles, D, tile_rows, nx)
-        out = jnp.moveaxis(tiles, 0, 1).reshape(D, ny_pad, nx)[:, :ny]
-        return out.reshape(D, ny * nx)
+        tiles = jax.lax.map(per_tile2d, jnp.arange(nty * ntx, dtype=jnp.int32))
+        out = tiles.reshape(nty, ntx, D, tr, tc)
+        out = jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(D, nty * tr, ntx * tc)
+        return out[:, :ny, :nx].reshape(D, ny * nx)
 
     # unstructured: flat tiles (no spatial window by construction)
     tile_s = max(1, _HIST_TILE_BYTES // (D * nbins * 4))

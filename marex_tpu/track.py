@@ -1751,6 +1751,16 @@ class tracker:
             for k, v in cached.items():
                 sizes[k] = max(sizes[k], v)
 
+        # the (T, H, W) label stack is the march's dominant buffer at
+        # production shape: store it int16 (locals are 1..Lmax << 32767;
+        # the scan upcasts one slice at a time) and release the int32
+        # source NOW — the fallback path rebuilds it by lossless upcast
+        labels3 = jnp.asarray(labels_local).reshape(T, H, W)
+        if Lmax + 2 <= 32000:
+            labels3 = labels3.astype(jnp.int16)
+            labels_box.clear()
+        del labels_local
+
         out = None
         for attempt in range(7):
             L = sizes["L"]
@@ -1775,7 +1785,6 @@ class tracker:
             # (the monolithic program); the streamed tracker feeds blocks
             # from zarr through the same loop.
             block_T = getattr(self, "march_block_T", None) or T
-            labels3 = jnp.asarray(labels_local).reshape(T, H, W)
             counts_i = counts.astype(np.int32)
             MPc = sizes["MP"]
             gmap_host = gmap0
@@ -1868,13 +1877,16 @@ class tracker:
             out = None
         if out is None:
             logger.warning("Scan march exceeded capacity retries; falling back to per-step march")
+            if not labels_box:
+                # rebuilt losslessly from the int16 copy for the per-step march
+                labels_box.append(labels3.astype(jnp.int32).reshape(out_shape))
             return None
 
         # the label stack is fully consumed into label_blocks: drop the last
         # references so the final assembly holds two full-size fields
         # instead of three (box emptied -> track_objects holds nothing)
         labels_box.clear()
-        del labels_local, labels3
+        del labels3
 
         # ---- host epilogue -------------------------------------------------
         table, overlap_list, merge_events = self._march_epilogue(
@@ -1884,7 +1896,13 @@ class tracker:
         labels_final = label_blocks[0] if len(label_blocks) == 1 else jnp.concatenate(label_blocks, axis=0)
         label_blocks.clear()
         out.pop("labels", None)  # allow the donation below to be the only ref
-        labels_dev = _march.map_to_global_donated(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
+        # donation only aliases like-for-like dtypes; the int16 stack (half
+        # the output's size) can't back the int32 result, so skip the donate
+        # wrapper there to avoid the unused-donation warning
+        if labels_final.dtype == jnp.int32:
+            labels_dev = _march.map_to_global_donated(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
+        else:
+            labels_dev = _march.map_to_global(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
         del labels_final  # donated: the buffer now backs labels_dev
         self._count_dispatch("march_map")
         logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")

@@ -336,7 +336,7 @@ def run_tracking_streamed(
                 fin = out["labels"] if s0 == 0 else out["labels"][1:]
                 zarr_lite.write_region(
                     fin_store, "labels", (s0,) + (0,) * len(sshape),
-                    np.asarray(fin).reshape((s1 - s0,) + sshape),
+                    np.asarray(fin, dtype=np.int32).reshape((s1 - s0,) + sshape),
                 )
                 comps_dev = out["comps"]
                 alive_dev = out["alive"]

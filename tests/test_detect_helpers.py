@@ -150,6 +150,38 @@ class TestHistogramQuantile2D:
             mquant._HIST_TILE_BYTES = old
         np.testing.assert_allclose(tiled_flat, ref_flat, rtol=1e-6, atol=1e-6, equal_nan=True)
 
+    def test_2d_tiled_equals_untiled(self):
+        """2-D spatial tiles (production widths where one halo'd row band
+        exceeds the budget) are exact vs the single-tile path, for periodic
+        and open longitude boundaries."""
+        rng = np.random.default_rng(23)
+        Y, ny, nx = 6, 9, 10
+        ymd = rng.normal(0, 1, (Y, 366, ny * nx)).astype(np.float32)
+        ymd[1, 100, :] = np.nan
+        edges = mquant.make_bin_edges()
+        nbins = len(edges) - 1
+        centers = jnp.asarray(mquant.make_bin_centers(edges))
+        bins = mquant.digitize_anomalies(jnp.asarray(ymd), 0.01, nbins)
+
+        old = mquant._HIST_TILE_BYTES
+        for wrap in (True, False):
+            for ws in (3, None):
+                ref = np.asarray(
+                    mquant.hobday_thresholds_approx(
+                        bins, 0.9, 11, nbins, centers, window_spatial=ws, grid_shape=(ny, nx), wrap_lon=wrap
+                    )
+                )
+                mquant._HIST_TILE_BYTES = 366 * nbins * 4 * 4  # budget_cells=4 < nx -> 2-D path
+                try:
+                    tiled = np.asarray(
+                        mquant.hobday_thresholds_approx(
+                            bins, 0.9, 11, nbins, centers, window_spatial=ws, grid_shape=(ny, nx), wrap_lon=wrap
+                        )
+                    )
+                finally:
+                    mquant._HIST_TILE_BYTES = old
+                np.testing.assert_allclose(tiled, ref, rtol=1e-6, atol=1e-6, equal_nan=True, err_msg=f"wrap={wrap} ws={ws}")
+
     def test_spatial_window_pooling(self):
         """5x5 spatial pooling smooths thresholds across neighbouring cells."""
         rng = np.random.default_rng(13)
