@@ -386,6 +386,7 @@ def config2_hobday_shifting(n_years, ny, nx):
         "track_wall_s": round(t_trk, 2),
         "gpd_per_s": round(T * ny * nx / wall, 1),
         "n_events": int(events.attrs["N_events_final"]),
+        "stage_walls": dict(getattr(tr, "stage_walls", {})),
     }
 
 

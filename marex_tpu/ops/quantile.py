@@ -464,8 +464,13 @@ def global_thresholds_approx(
     total = jnp.sum(valid, axis=0).astype(jnp.float32) + eps  # (S,)
 
     def cdf_at(k: jax.Array) -> jax.Array:
-        """cdf[k] per cell — f32(count of bins <= k) / f32(total + eps)."""
-        c = jnp.sum(jnp.logical_and(valid, bins_ts <= k[None]), axis=0)
+        """cdf[k] per cell — f32(count of bins <= k) / f32(total + eps).
+
+        The probe is cast to the bins' OWN dtype: comparing int16 bins
+        against an int32 probe promotes the whole (T, S) array, and XLA
+        hoists that convert out of the binary-search loop — a materialised
+        full-size int32 copy (4.5 GB at production shape, an observed OOM)."""
+        c = jnp.sum(jnp.logical_and(valid, bins_ts <= k.astype(bins_ts.dtype)[None]), axis=0)
         return c.astype(jnp.float32) / total
 
     n_steps = max(1, int(np.ceil(np.log2(nbins))))
