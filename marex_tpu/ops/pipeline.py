@@ -199,7 +199,7 @@ def hobday_program(
         pre_min = jnp.nanmin(thr)
         pre_max = jnp.nanmax(thr)
     else:
-        bins = _quant.digitize_anomalies(ymd, precision, nbins)
+        bins = _quant.digitize_anomalies(ymd, precision, nbins, compact=True)
         thr = _quant.hobday_thresholds_approx(
             bins, q, window_days, nbins, bin_centers,
             window_spatial=window_spatial, grid_shape=grid_shape, wrap_lon=wrap_lon,

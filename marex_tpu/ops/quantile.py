@@ -45,22 +45,26 @@ def make_bin_centers(bin_edges: np.ndarray) -> np.ndarray:
     return centers.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("nbins",))
-def digitize_anomalies(data: jax.Array, precision: float, nbins: int) -> jax.Array:
+@partial(jax.jit, static_argnames=("nbins", "compact"))
+def digitize_anomalies(data: jax.Array, precision: float, nbins: int, compact: bool = False) -> jax.Array:
     """
     Device equivalent of ``np.digitize(data, bin_edges) - 1`` for the
     asymmetric edges above.  NaN and out-of-range-high values map to the
     sentinel bin ``nbins`` (excluded from histograms), matching the
     flox ``expected_groups`` behaviour (detect.py:2644).
+
+    ``compact=True`` emits int16 (when the bin count fits): worthwhile ONLY
+    where the bin array is resident ACROSS programs (the hobday path holds
+    a (Y, 366, S) stack through the tile loop — int16 halves it). Inside
+    one fused program the convert is a pure loss: XLA keeps the int32
+    floor result AND its int16 copy live (+2.4 GB measured at production
+    shape), so the in-program global path keeps int32.
     """
     k = jnp.floor((data + precision) / precision).astype(jnp.int32) + 1
     k = jnp.where(data < -precision, 0, k)
     k = jnp.where(jnp.isnan(data), nbins, k)
     k = jnp.clip(k, 0, nbins)
-    # bin indices are a full-size (Y, 366, S) resident buffer on the hobday
-    # path — int16 halves it (default precision/max_anomaly give ~502 bins;
-    # scatter/compare consumers upcast per-tile only)
-    if nbins + 1 <= np.iinfo(np.int16).max:
+    if compact and nbins + 1 <= np.iinfo(np.int16).max:
         k = k.astype(jnp.int16)
     return k
 
