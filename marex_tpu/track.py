@@ -23,6 +23,7 @@ import logging
 import os
 import time
 import warnings
+import weakref
 from contextlib import contextmanager
 from typing import Any, Dict, List, Literal, Optional, Tuple, Union
 
@@ -688,6 +689,9 @@ class tracker:
 
     def _label_slices(self, data: jnp.ndarray) -> Tuple[jnp.ndarray, np.ndarray]:
         """Per-timestep CCL returning dense per-slice labels + counts."""
+        reused = self._take_label_reuse(data)
+        if reused is not None:
+            return reused
         if self.unstructured_grid:
             masked = jnp.logical_and(data, jnp.asarray(self.mask_values)[None])
             labels, counts = _label.label_slices_unstructured(masked, jnp.asarray(self.neighbours_sym))
@@ -703,6 +707,38 @@ class tracker:
             labels = _label.densify_slice_roots(root_flat, root_ids).reshape(data.shape)
             return labels, counts
         dense, _ = _label.densify_slices_sorted_donated(root_flat)
+        return dense.reshape(data.shape), counts
+
+    def _stash_label_reuse(self, filtered_out, root_flat, filtered_flat, kept_counts: np.ndarray) -> None:
+        """
+        Remember the FILTERED field's per-slice root labels so the tracking
+        stage can skip its own CCL fixpoint. Area filtering drops whole
+        components, so the filtered field's converged roots are exactly
+        ``where(kept, root_flat, BIG)`` — re-labeling it from scratch (a
+        ~30 s fixpoint at production shape, run once in filter_small and
+        again in the ccl stage) reproduces these bit-for-bit. Keyed by a
+        weakref to the returned array: any other input misses and recomputes.
+        """
+        roots_f = jnp.where(filtered_flat, root_flat, _label._BIG)
+        self._label_reuse = (weakref.ref(filtered_out), roots_f, kept_counts.astype(np.int32))
+
+    def _take_label_reuse(self, data):
+        """Single-use: pop the cached filtered roots when ``data`` is the very
+        array filter_small_objects returned; densify from roots (no fixpoint)."""
+        cache = getattr(self, "_label_reuse", None)
+        if cache is None:
+            return None
+        self._label_reuse = None  # single-use; frees the roots on miss too
+        ref, roots_f, counts = cache
+        if ref() is not data or self.unstructured_grid:
+            return None
+        L = int(counts.max()) if counts.size else 0
+        if L == 0:
+            return jnp.zeros(data.shape, jnp.int32), counts
+        if L <= 64:
+            root_ids, _ = _label.extract_root_areas(roots_f, L)
+            return _label.densify_slice_roots(roots_f, root_ids).reshape(data.shape), counts
+        dense, _ = _label.densify_slices_sorted_donated(roots_f)
         return dense.reshape(data.shape), counts
 
     def filter_small_objects(self, data: jnp.ndarray):
@@ -821,7 +857,9 @@ class tracker:
                 keep[t_first, 0] = False
             N_filtered = int(keep.sum())
 
-            filtered = _label.apply_root_keep(root_flat, root_ids, jnp.asarray(keep)).reshape(data.shape)
+            filtered_flat = _label.apply_root_keep(root_flat, root_ids, jnp.asarray(keep))
+            filtered = filtered_flat.reshape(data.shape)
+            self._stash_label_reuse(filtered, root_flat, filtered_flat, keep.sum(axis=1))
             return filtered, area_threshold, object_areas, N_prefiltered, N_filtered
 
         # count-robust sorted path (no object-count cap)
@@ -846,7 +884,12 @@ class tracker:
                 root_flat[t_first] == root_ids[t_first, 0]
             )
             filtered = jnp.logical_and(filtered, jnp.logical_not(first_mask))
-        return filtered.reshape(data.shape), area_threshold, object_areas, N_prefiltered, N_filtered
+        kept_counts = np.sum(slot & (areas_tj >= area_threshold), axis=1)
+        if keep_first:
+            kept_counts[t_first] -= 1
+        out = filtered.reshape(data.shape)
+        self._stash_label_reuse(out, root_flat, filtered, kept_counts)
+        return out, area_threshold, object_areas, N_prefiltered, N_filtered
 
     def _checkpoint_paths(self) -> Tuple[str, str]:
         """Deterministic per-configuration checkpoint paths: the name embeds a
@@ -1097,6 +1140,7 @@ class tracker:
                 if T * S > 16 * 1024 * 1024 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
                     labels, N_events = self._label_spacetime_two_level(data_bin_preprocessed)
                 else:
+                    self._label_reuse = None  # fused path never consumes the filter-stage roots
                     labf, n_dev = _label.label_spacetime_roots(data_bin_preprocessed, wrap_x=not self.regional_mode)
                     N_events = int(n_dev)
                     if 0 < N_events <= 512:
