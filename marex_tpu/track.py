@@ -822,8 +822,9 @@ class tracker:
         the per-cell component-area map. Either way the dense-relabel flat
         gather (~1.1 s on a 105M-cell block) never runs.
         """
-        root_flat, counts_dev = _label.label_slices_grid_roots(data, wrap_x=not self.regional_mode)
-        counts = np.asarray(counts_dev)
+        with self._stage_ctx("filter/ccl_fixpoint"):
+            root_flat, counts_dev = _label.label_slices_grid_roots(data, wrap_x=not self.regional_mode)
+            counts = np.asarray(counts_dev)
         L = int(counts.max()) if counts.size else 0
         if L == 0:
             raise TrackingError(
@@ -864,8 +865,9 @@ class tracker:
 
         # count-robust sorted path (no object-count cap)
         n_max = max(64, 1 << max(L - 1, 1).bit_length())
-        root_ids, areas_dev, area_cell, _ = _label.slice_root_stats_sorted(root_flat, n_max)
-        areas_tj = np.asarray(areas_dev)  # (T, n_max) ascending root order, 0-padded
+        with self._stage_ctx("filter/root_stats"):
+            root_ids, areas_dev, area_cell, _ = _label.slice_root_stats_sorted(root_flat, n_max)
+            areas_tj = np.asarray(areas_dev)  # (T, n_max) ascending root order, 0-padded
         slot = np.arange(n_max)[None, :] < counts[:, None]
         object_areas = areas_tj[slot]
 
@@ -877,18 +879,20 @@ class tracker:
         keep_first = t_first >= 0 and areas_tj[t_first, 0] >= area_threshold
         N_filtered = int(np.sum(object_areas >= area_threshold)) - int(keep_first)
 
-        filtered = area_cell >= jnp.float32(area_threshold)
-        if t_first >= 0:
-            # clear the first object's cells (smallest root of its slice)
-            first_mask = jnp.zeros(filtered.shape, bool).at[t_first].set(
-                root_flat[t_first] == root_ids[t_first, 0]
-            )
-            filtered = jnp.logical_and(filtered, jnp.logical_not(first_mask))
-        kept_counts = np.sum(slot & (areas_tj >= area_threshold), axis=1)
-        if keep_first:
-            kept_counts[t_first] -= 1
-        out = filtered.reshape(data.shape)
-        self._stash_label_reuse(out, root_flat, filtered, kept_counts)
+        with self._stage_ctx("filter/apply") as _s:
+            filtered = area_cell >= jnp.float32(area_threshold)
+            if t_first >= 0:
+                # clear the first object's cells (smallest root of its slice)
+                first_mask = jnp.zeros(filtered.shape, bool).at[t_first].set(
+                    root_flat[t_first] == root_ids[t_first, 0]
+                )
+                filtered = jnp.logical_and(filtered, jnp.logical_not(first_mask))
+            kept_counts = np.sum(slot & (areas_tj >= area_threshold), axis=1)
+            if keep_first:
+                kept_counts[t_first] -= 1
+            out = filtered.reshape(data.shape)
+            self._stash_label_reuse(out, root_flat, filtered, kept_counts)
+            _s.append(out)
         return out, area_threshold, object_areas, N_prefiltered, N_filtered
 
     def _checkpoint_paths(self) -> Tuple[str, str]:
