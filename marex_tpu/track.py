@@ -1402,16 +1402,20 @@ class tracker:
         clock stops, giving exact attribution at the cost of extra syncs."""
         t0 = time.perf_counter()
         sync_refs: list = []
-        yield sync_refs
-        if sync_refs and os.environ.get("MAREX_STAGE_TIMING", "") == "1":
-            try:
-                jax.block_until_ready(sync_refs)
-            except Exception:  # host arrays / pytrees with None
-                pass
-        d = getattr(self, "stage_walls", None)
-        if d is None:
-            d = self.stage_walls = {}
-        d[name] = round(d.get(name, 0.0) + (time.perf_counter() - t0), 4)
+        try:
+            yield sync_refs
+            if sync_refs and os.environ.get("MAREX_STAGE_TIMING", "") == "1":
+                try:
+                    jax.block_until_ready(sync_refs)
+                except Exception:  # host arrays / pytrees with None
+                    pass
+        finally:
+            # record elapsed time even when the stage raises (a failed
+            # stage's wall would otherwise silently vanish from stage_walls)
+            d = getattr(self, "stage_walls", None)
+            if d is None:
+                d = self.stage_walls = {}
+            d[name] = round(d.get(name, 0.0) + (time.perf_counter() - t0), 4)
 
     def _pairs_dev(self, a_dev, b_dev, key_stride: int) -> np.ndarray:
         """Overlap triples for ONE slice pair computed on device (the march's
