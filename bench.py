@@ -822,11 +822,13 @@ def _tunnel_guard() -> "str | None":
 # run first as insurance against production-shape failures.
 _CONFIG_ORDER = ["1", "4", "2", "5", "3", "6", "7", "8", "q"]
 
-# Rough per-config wall estimates (seconds; production shape, cold compile,
-# single-core host data-gen amortised by the /tmp cache) used ONLY for
-# budget gating — configs whose estimate exceeds the remaining budget are
-# recorded as skipped instead of timing out the whole benchmark.
-_CONFIG_EST_S = {"q": 130, "4": 210, "1": 120, "2": 150, "5": 170, "3": 70, "6": 90, "7": 130, "8": 150}
+# Rough per-config wall estimates (seconds; production shape, fresh XLA
+# compile on the single host core, /tmp-cached data, in-process executable
+# reuse across configs) used ONLY for budget gating — configs whose
+# estimate exceeds the remaining budget are recorded as skipped instead of
+# timing out the whole benchmark. Config 1 carries the bulk of the compile
+# cost; later configs reuse its executables in memory.
+_CONFIG_EST_S = {"1": 500, "4": 160, "2": 150, "5": 180, "3": 45, "6": 80, "7": 90, "8": 120, "q": 300}
 
 
 def _requested_configs():
@@ -881,28 +883,143 @@ def _emit(detail) -> None:
     print(json.dumps(out), flush=True)
 
 
-def _orchestrate() -> None:
-    """Run every requested config in its OWN subprocess, merge results, and
-    re-emit the headline line after each one (last line wins).
+def _run_config(cid: str, ctx: dict) -> None:
+    """Dispatch one config id into ctx["detail"]["configs"] via ctx["try"].
+    Shared by the in-process driver and the isolated child worker."""
+    n_years, ny, nx, n_cells = ctx["n_years"], ctx["ny"], ctx["nx"], ctx["n_cells"]
+    _try = ctx["try"]
+    da = ctx["da"]
+    da_host = ctx["da_host"]
+    if cid == "1":
+        _try("1_fixed_global_production", config1_production_nomerge, da, ny, nx)
+    elif cid == "2":
+        _try("2_shifting_hobday", config2_hobday_shifting, max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64))
+    elif cid == "3":
+        _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
+    elif cid == "4":
+        _try("4_merge_production", config4_merge_production, da, ny, nx)
+    elif cid == "5":
+        _try("5_unstructured", config5_unstructured, max(n_years // 2, 2), n_cells)
+    elif cid == "6":
+        _try("6_merge_dense", config6_merge_dense, max(ny // 4, 60), max(nx // 4, 120))
+    elif cid == "7":
+        _try("7_streamed", config7_streamed, da_host, ny, nx)
+    elif cid == "8":
+        _try("8_streamed_track", config8_streamed_track, da, ny, nx)
 
-    Subprocess isolation matters on the shared dev chip: one mid-execution
-    OOM leaves the device pool poisoned for the rest of the process
-    (observed: after a config-4 OOM even a 100 MB stage failed in every
-    later config, while a fresh process could allocate tens of GB). The
-    persistent compile cache + the /tmp data cache keep cross-process
-    restarts cheap.
 
-    Budgeting: MAREX_BENCH_BUDGET_S (default 520 s) is a soft wall-clock
-    target. Configs are launched headline-first; a config whose rough cost
-    estimate exceeds the remaining budget is recorded as skipped. SIGTERM /
-    SIGINT (driver timeout) kills the running child and emits best-so-far
-    before exiting."""
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "hbm", "Ran out of memory", "out of memory", "UNAVAILABLE")
+
+
+def _entry_oom(cfgs: dict) -> bool:
+    return any(
+        any(s in e.get("error", "") for s in _OOM_MARKERS) or "crashed" in e.get("error", "")
+        for e in cfgs.values()
+    )
+
+
+def _worker_context(which) -> dict:
+    """Shapes + data + fault-isolation wrapper for config execution in THIS
+    process (jax must already be importable; the tunnel probe has run)."""
+    import sys as _sys
+
+    import jax
+
+    small = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    # < 2 years is scientifically degenerate for the baseline climatologies
+    # (1 year of daily data IS its own day-of-year mean, so anomalies ~ 0 and
+    # the 95th-percentile threshold collapses to the histogram floor -> zero
+    # extremes). Clamp and record rather than emit garbage (VERDICT r3 weak 4).
+    n_years_req = int(os.environ.get("MAREX_BENCH_YEARS", "3"))
+    n_years = max(n_years_req, 2)
+    ny = int(os.environ.get("MAREX_BENCH_NY", "90" if small else "720"))
+    nx = int(os.environ.get("MAREX_BENCH_NX", "180" if small else "1440"))
+    n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "20000" if small else "1048576"))
+
+    # only configs 1/4/7/8 consume the full-resolution host block; building
+    # it for other configs wastes minutes + gigabytes
+    t_gen = time.perf_counter()
+    da_host = make_data(n_years, ny, nx) if which & {"1", "4", "7", "8"} else None
+    print(f"[bench] data ready in {time.perf_counter() - t_gen:.1f}s", file=_sys.stderr, flush=True)
+    T = da_host.sizes["time"] if da_host is not None else n_years * 365
+
+    detail = {"shape": [T, ny, nx], "configs": {}}
+    if n_years != n_years_req:
+        detail["years_clamped"] = {"requested": n_years_req, "used": n_years}
+    detail["platform"] = jax.devices()[0].platform
+
+    def _try(name, fn, *args, **kw):
+        """Per-config fault isolation: an OOM/failure in one config records
+        an error entry instead of zeroing the whole benchmark."""
+        import gc
+        import traceback
+
+        try:
+            detail["configs"][name] = fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001
+            traceback.print_exc()
+            detail["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
+            # a device OOM can leave compiled executables, their constant
+            # buffers AND orphaned intermediate arrays resident (observed on
+            # the axon tunnel backend: after one OOM, even a 100 MB stage
+            # failed for the rest of the process while a fresh process could
+            # allocate tens of GB). Configs never share device arrays — the
+            # host block is staged per run — so on failure drop every live
+            # device buffer plus everything JAX caches.
+            try:
+                import jax as _jax
+
+                gc.collect()  # release exception-frame refs first
+                for arr in _jax.live_arrays():
+                    try:
+                        arr.delete()
+                    except Exception:
+                        pass
+                _jax.clear_caches()
+            except Exception:
+                pass
+        gc.collect()
+        return detail["configs"][name]
+
+    # configs 1/4/8 receive the HOST block; _detect_track stages it per run
+    # (upload untimed) and frees it before tracking — pre-staging here would
+    # pin 4.8 GB of HBM across the whole benchmark at production shape
+    da = da_host if which & {"1", "4", "8"} else None
+    return {
+        "detail": detail, "try": _try, "da": da, "da_host": da_host,
+        "n_years": n_years, "ny": ny, "nx": nx, "n_cells": n_cells,
+    }
+
+
+def _drive() -> None:
+    """In-process benchmark driver: run the requested configs SEQUENTIALLY IN
+    THIS PROCESS (compiled executables are reused across configs in memory —
+    the ONLY compile reuse that works on the axon tunnel backend, where
+    persistent-cache-loaded executables take minutes on first execution),
+    re-emitting the merged headline JSON line after each config (last line
+    wins). Subprocesses are used only AFTER a device OOM: an OOM poisons the
+    device pool for the rest of the process, so the failed config is retried
+    at half shape in a fresh child and every remaining config runs in its
+    own child too.
+
+    Budgeting: MAREX_BENCH_BUDGET_S (default 1100 s) is a soft wall-clock
+    target. Configs run headline-first; a config whose rough cost estimate
+    exceeds the remaining budget is recorded as skipped. SIGTERM / SIGINT
+    (driver timeout) emits best-so-far before exiting.
+
+    Cold-start economics on the axon tunnel (measured r4): XLA compile of
+    ALL config-1 programs is ~55 s, but each program's FIRST execution pays
+    a large load-onto-device cost (~200-400 s summed over config 1's
+    programs at production shape) whether the executable was freshly
+    compiled or loaded from the persistent cache — which is why the
+    persistent cache is disabled and configs share executables in-process
+    instead."""
     import signal
     import subprocess
     import sys
     import tempfile
 
-    budget = float(os.environ.get("MAREX_BENCH_BUDGET_S", "520"))
+    budget = float(os.environ.get("MAREX_BENCH_BUDGET_S", "1100"))
     t0 = time.monotonic()
     detail = {"configs": {}}
     platform_note = _tunnel_guard()  # probe once; children inherit the result
@@ -959,18 +1076,19 @@ def _orchestrate() -> None:
             except OSError:
                 pass
 
-    def _entry_oom(cfgs: dict) -> bool:
-        return any(
-            any(s in e.get("error", "") for s in ("RESOURCE_EXHAUSTED", "hbm", "Ran out of memory", "out of memory"))
-            or "crashed" in e.get("error", "")
-            for e in cfgs.values()
-        )
-
     ny = int(os.environ.get("MAREX_BENCH_NY", "720"))
     nx = int(os.environ.get("MAREX_BENCH_NX", "1440"))
     cells = int(os.environ.get("MAREX_BENCH_CELLS", "1048576"))
+    half_env = {
+        "MAREX_BENCH_NY": str(max(ny // 2, 32)),
+        "MAREX_BENCH_NX": str(max(nx // 2, 64)),
+        "MAREX_BENCH_CELLS": str(max(cells // 4, 4096)),
+    }
 
-    for cid in _requested_configs():
+    ids = _requested_configs()
+    ctx = None
+    poisoned = False
+    for cid in ids:
         remaining = budget - (time.monotonic() - t0)
         est = _CONFIG_EST_S.get(cid, 120)
         if remaining < est * 0.8:
@@ -978,29 +1096,39 @@ def _orchestrate() -> None:
                 "skipped": f"budget: {remaining:.0f}s left < ~{est}s estimate"
             }
             continue
-        extra = None
-        if cid == "q":
-            extra = {
-                "MAREX_BENCH_YEARS": "2",
-                "MAREX_BENCH_NY": "180",
-                "MAREX_BENCH_NX": "360",
-                "MAREX_BENCH_WARM": "0",
-            }
-        child = run_child(cid, extra, timeout_s=max(remaining - 5.0, 30.0))
-        cfgs = child.get("configs", {})
-        if cid == "q":
-            q = cfgs.get("4_merge_production") or next(iter(cfgs.values()), {})
-            q["shape"] = child.get("shape")
-            cfgs = {"0_quick_provisional": q}
+
+        if cid == "q" or poisoned:
+            extra = None
+            if cid == "q":
+                extra = {
+                    "MAREX_BENCH_YEARS": "2",
+                    "MAREX_BENCH_NY": "180",
+                    "MAREX_BENCH_NX": "360",
+                    "MAREX_BENCH_WARM": "0",
+                }
+            child = run_child(cid, extra, timeout_s=max(remaining - 5.0, 30.0))
+            cfgs = child.get("configs", {})
+            if cid == "q":
+                q = cfgs.get("4_merge_production") or next(iter(cfgs.values()), {})
+                q["shape"] = child.get("shape")
+                cfgs = {"0_quick_provisional": q}
+            for k in ("shape", "platform", "platform_note"):
+                if k in child and k not in detail and cid != "q":
+                    detail[k] = child[k]
+        else:
+            if ctx is None:
+                ctx = _worker_context(set(ids))
+                for k in ("shape", "platform", "years_clamped"):
+                    if k in ctx["detail"] and k not in detail:
+                        detail[k] = ctx["detail"][k]
+            before = set(ctx["detail"]["configs"])
+            _run_config(cid, ctx)
+            cfgs = {k: v for k, v in ctx["detail"]["configs"].items() if k not in before}
+            if _entry_oom(cfgs):
+                poisoned = True  # device pool is unreliable from here on
+
         if _entry_oom(cfgs):
-            # an OOM poisons the device pool for the REST of that process
-            # (observed on the axon tunnel), so any fallback must run in a
-            # FRESH child at half resolution
-            half_env = {
-                "MAREX_BENCH_NY": str(max(ny // 2, 32)),
-                "MAREX_BENCH_NX": str(max(nx // 2, 64)),
-                "MAREX_BENCH_CELLS": str(max(cells // 4, 4096)),
-            }
+            # retry the failed config at half resolution in a FRESH child
             remaining = budget - (time.monotonic() - t0)
             if remaining > est * 0.5:
                 retry = run_child(cid, half_env, timeout_s=max(remaining - 5.0, 30.0)).get("configs", {})
@@ -1011,127 +1139,45 @@ def _orchestrate() -> None:
                         entry["full_shape_error"] = full[:300]
                 if not _entry_oom(retry):
                     cfgs = retry
-        for k in ("shape", "platform", "platform_note"):
-            if k in child and k not in detail and cid != "q":
-                detail[k] = child[k]
         detail["configs"].update(cfgs)
         detail["elapsed_s"] = round(time.monotonic() - t0, 1)
+        _emit(detail)
+    if "elapsed_s" not in detail:  # everything skipped: still print one line
         _emit(detail)
 
 
 def main() -> None:
-    ids = _requested_configs()
-    if os.environ.get("MAREX_BENCH_CHILD") != "1" and (len(ids) > 1 or "q" in ids):
-        _orchestrate()
+    if os.environ.get("MAREX_BENCH_CHILD") != "1":
+        _drive()
         return
+    # ---- isolated child worker (one config per process) ----
     platform_note = _tunnel_guard()
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmark_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    # The persistent compilation cache is DISABLED by default: on the axon
+    # TPU tunnel backend a cache-loaded executable's FIRST execution takes
+    # minutes (measured r4: 121-736 s for a trivially-compiled reduction at
+    # production shape, regardless of whether the entry was written by the
+    # same server session), so cache "hits" cost more than the ~460 s of
+    # fresh XLA compiles they replace. Opt back in with
+    # MAREX_BENCH_COMPILE_CACHE=1 on backends with a working cache.
+    if os.environ.get("MAREX_BENCH_COMPILE_CACHE") == "1":
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmark_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
 
-    # production-scale defaults target the TPU chip; a CPU fallback run
-    # (tunnel down) would take hours at 720x1440 on one host core, so the
-    # default shapes shrink to a CPU-feasible smoke unless explicitly set
-    small = platform_note is not None
-    # < 2 years is scientifically degenerate for the baseline climatologies
-    # (1 year of daily data IS its own day-of-year mean, so anomalies ~ 0 and
-    # the 95th-percentile threshold collapses to the histogram floor -> zero
-    # extremes). Clamp and record rather than emit garbage (VERDICT r3 weak 4).
-    n_years_req = int(os.environ.get("MAREX_BENCH_YEARS", "3"))
-    n_years = max(n_years_req, 2)
-    ny = int(os.environ.get("MAREX_BENCH_NY", "90" if small else "720"))
-    nx = int(os.environ.get("MAREX_BENCH_NX", "180" if small else "1440"))
-    n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "20000" if small else "1048576"))
     which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(","))
-
-    # only configs 1/4/7/8 consume the full-resolution host block; building
-    # it for a 2/3/5/6-only child subprocess wastes minutes + gigabytes
-    import sys as _sys
-
-    t_gen = time.perf_counter()
-    da_host = make_data(n_years, ny, nx) if which & {"1", "4", "7", "8"} else None
-    print(f"[bench] data ready in {time.perf_counter() - t_gen:.1f}s", file=_sys.stderr, flush=True)
-    T = da_host.sizes["time"] if da_host is not None else n_years * 365
-
-    detail = {"shape": [T, ny, nx], "configs": {}}
-    if n_years != n_years_req:
-        detail["years_clamped"] = {"requested": n_years_req, "used": n_years}
-    detail["platform"] = jax.devices()[0].platform
+    ctx = _worker_context(which)
+    detail = ctx["detail"]
     if platform_note:
         detail["platform_note"] = platform_note
-
-    def _try(name, fn, *args, **kw):
-        """Per-config fault isolation: an OOM/failure in one config records
-        an error entry instead of zeroing the whole benchmark."""
-        import gc
-        import traceback
-
-        try:
-            detail["configs"][name] = fn(*args, **kw)
-        except Exception as e:  # noqa: BLE001
-            traceback.print_exc()
-            detail["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
-            # a device OOM can leave compiled executables, their constant
-            # buffers AND orphaned intermediate arrays resident (observed on
-            # the axon tunnel backend: after one OOM, even a 100 MB stage
-            # failed for the rest of the process while a fresh process could
-            # allocate tens of GB). Configs never share device arrays — the
-            # host block is staged per run — so on failure drop every live
-            # device buffer plus everything JAX caches.
-            try:
-                import jax as _jax
-
-                gc.collect()  # release exception-frame refs first
-                for arr in _jax.live_arrays():
-                    try:
-                        arr.delete()
-                    except Exception:
-                        pass
-                _jax.clear_caches()
-            except Exception:
-                pass
-        gc.collect()
-        return detail["configs"][name]
-    # configs 1/4/8 receive the HOST block; _detect_track stages it per run
-    # (upload untimed) and frees it before tracking — pre-staging here would
-    # pin 4.8 GB of HBM across the whole benchmark at production shape
-    da = da_host if which & {"1", "4", "8"} else None
-
-    # NOTE: there is deliberately no in-process OOM fallback here — a device
-    # OOM poisons the pool for the rest of the process on the axon tunnel;
-    # _orchestrate() retries a failed config in a FRESH child at half shape.
-    if "1" in which:
-        _try("1_fixed_global_production", config1_production_nomerge, da, ny, nx)
-
-    import gc
-
-    gc.collect()
-    if "2" in which:
-        _try("2_shifting_hobday", config2_hobday_shifting, max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64))
-
-    if "3" in which:
-        _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
-
-    if "4" in which:
-        _try("4_merge_production", config4_merge_production, da, ny, nx)
-
-    if "5" in which:
-        _try("5_unstructured", config5_unstructured, max(n_years // 2, 2), n_cells)
-
-    if "6" in which or "merge_dense" in which:
-        _try("6_merge_dense", config6_merge_dense, max(ny // 4, 60), max(nx // 4, 120))
-
-    if "7" in which:
-        _try("7_streamed", config7_streamed, da_host, ny, nx)
-
-    if "8" in which:
-        _try("8_streamed_track", config8_streamed_track, da, ny, nx)
+    for cid in _CONFIG_ORDER:
+        if cid in which:
+            _run_config(cid, ctx)
 
     out_path = os.environ.get("MAREX_BENCH_OUT")
     if out_path:
