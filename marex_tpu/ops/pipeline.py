@@ -28,6 +28,14 @@ _SHIFT_CHUNK_CELLS = 64 * 1024 * 1024
 
 
 def _scatter_ymd(data: jax.Array, year_idx: jax.Array, doy_idx: jax.Array, n_years: int) -> jax.Array:
+    # The barrier works around an XLA:CPU miscompile: when the producer of
+    # ``data`` (the centered rolling mean's cumsum/slice chain) fuses into
+    # this NaN-initialised scatter, the compiled program returns ALL-NaN for
+    # small spatial extents (observed at S=240 with T=12yr daily; correct at
+    # S=800 and in eager mode). Forcing ``data`` to materialise first costs
+    # nothing — the (T, S) smoothed block exists anyway — and restores
+    # correctness on every backend.
+    data = jax.lax.optimization_barrier(data)
     S = data.shape[1]
     out = jnp.full((n_years, 366, S), jnp.nan, dtype=data.dtype)
     return out.at[year_idx, doy_idx].set(data)

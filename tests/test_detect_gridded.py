@@ -7,6 +7,7 @@ documented output contract.
 """
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import marex_tpu as marEx
@@ -127,6 +128,36 @@ class TestShiftingBaseline:
         assert np.isfinite(anom).all()
         freq = ds.extreme_events.values[:, mask].mean()
         assert_percentile_frequency(freq, 95, description="shifting/global")
+
+    def test_small_spatial_extent_not_nan(self):
+        """Regression: the fused smooth->calendar-scatter program miscompiled
+        on XLA:CPU at small spatial extents (ALL-NaN anomalies at 12x20 cells
+        while 20x40 was correct) until an optimization_barrier was placed at
+        the scatter input (ops/pipeline._scatter_ymd)."""
+        rng = np.random.default_rng(0)
+        T, H, W = 8 * 365, 12, 20
+        times = pd.date_range("2000-01-01", periods=T, freq="D").to_numpy()
+        da = marEx.Field(
+            (15 + rng.standard_normal((T, H, W))).astype(np.float32),
+            ("time", "lat", "lon"),
+            {"time": times, "lat": np.linspace(35, 40, H), "lon": np.linspace(-40, -35, W)},
+            name="sst",
+        )
+        ds = marEx.preprocess_data(
+            da,
+            method_anomaly="shifting_baseline",
+            method_extreme="hobday_extreme",
+            # 4-year window: any 4 consecutive years include a leap year, so
+            # the doy-366 climatology is defined (a 3-year window starting
+            # after a leap year legitimately yields NaN on Dec 31)
+            window_year_baseline=4,
+            smooth_days_baseline=21,
+            window_days_hobday=11,
+            threshold_percentile=95,
+        )
+        anom = ds.dat_anomaly.values
+        assert np.isfinite(anom).all()
+        assert ds.extreme_events.values.mean() > 0.01
 
     def test_insufficient_years_raises(self, gridded_sst):
         with pytest.raises(marEx.DataValidationError):
