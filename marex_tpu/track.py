@@ -661,6 +661,12 @@ class tracker:
     def compute_area(self, data_bin: jnp.ndarray) -> np.ndarray:
         """Total active area per timestep (track.py:1499-1518); returns a
         small (T,) host array."""
+        if isinstance(data_bin, np.ndarray):
+            # host-resident field (the host-CCL fast path): summing here
+            # avoids re-uploading a full-size field over the device link
+            if self.unstructured_grid:
+                return (data_bin * np.asarray(self.cell_area)[None]).sum(axis=1)
+            return data_bin.sum(axis=(1, 2))
         if self.unstructured_grid:
             return np.asarray(jnp.sum(data_bin * jnp.asarray(self.cell_area)[None], axis=1))
         return np.asarray(jnp.sum(data_bin, axis=(1, 2)))
@@ -741,8 +747,71 @@ class tracker:
         dense, _ = _label.densify_slices_sorted_donated(roots_f)
         return dense.reshape(data.shape), counts
 
+    def _host_ccl_eligible(self, data) -> bool:
+        """The host CCL fast path applies to gridded NO-MERGE tracking: CCL is
+        pointer-chasing (the per-slice min-label fixpoint costs ~30 s at
+        production shape on the TPU vs ~3 s for a run-based two-pass labeling
+        on the host core), and the field ships bit-packed (142 MB at
+        production shape) so the transfer amortises. Merge-mode tracking
+        needs the per-slice labels ON DEVICE for the scan march, so it keeps
+        the device fixpoint."""
+        from . import _native
+
+        if self.unstructured_grid or self.allow_merging:
+            return False
+        env = os.environ.get("MAREX_HOST_CCL", "").strip()
+        if env == "0":
+            return False
+        if env != "1" and int(np.prod(data.shape)) < 4 * 1024 * 1024:
+            return False  # small fields: device fixpoint is already fast
+        return _native.has_native()
+
+    def _filter_small_objects_host(self, data: jnp.ndarray):
+        """Host-side area filter + 3x3x3 event labeling in ONE native call
+        (the no-merge pipeline's entire post-morphology compute): bit-pack
+        the binary field on device, download 1 bit/cell, run
+        csrc/marex_host.cpp:marex_track_nomerge (run-based per-slice CCL,
+        areas, threshold incl. the reference's drop-first-object quirk,
+        3x3x3 event labeling in first-appearance order), and stash the final
+        event id field so run_tracking's ccl3d stage is a dictionary lookup.
+        The filtered field and the event ids stay HOST-resident — nothing in
+        the no-merge path needs them on device, and the tunnel's download
+        link runs at ~14 MB/s so avoiding the 4.5 GB round-trip is the
+        difference between this path winning and losing. Bit-exact against
+        the device kernels (pinned in tests/test_host_ccl.py)."""
+        from . import _native
+
+        T = data.shape[0]
+        H, W = data.shape[1], data.shape[2]
+        with self._stage_ctx("filter/host_download"):
+            bits = np.asarray(jnp.packbits(data.reshape(T, H, W), axis=-1, bitorder="little"))
+        with self._stage_ctx("filter/host_ccl"):
+            res = _native.track_nomerge(
+                bits, T, H, W, not self.regional_mode,
+                self.area_filter_absolute if self._use_absolute_filtering else None,
+                self.area_filter_quartile,
+                drop_first=True,
+            )
+            id_field, bool_field, n_events, counts, areas, area_threshold, n_kept = res
+        if int(counts.max() if counts.size else 0) == 0:
+            raise TrackingError(
+                "No objects found for area-based filtering",
+                details={"objects_count": 0, "area_filter_quartile": self.area_filter_quartile},
+                suggestions=[
+                    "Check if input data contains any extreme events",
+                    "Verify that preprocessing parameters are appropriate",
+                    "Consider lowering the extreme threshold percentile",
+                ],
+            )
+        object_areas = areas.astype(np.float32)
+        filtered = bool_field  # host bool field; downstream accepts numpy
+        self._host_label_state = (weakref.ref(filtered), id_field, int(n_events))
+        return filtered, float(area_threshold), object_areas, int(object_areas.size), int(n_kept)
+
     def filter_small_objects(self, data: jnp.ndarray):
         """Remove objects below the area threshold (track.py:1755-1906)."""
+        if not self.unstructured_grid and self._host_ccl_eligible(data):
+            return self._filter_small_objects_host(data)
         if not self.unstructured_grid:
             fast = self._filter_small_objects_roots(data)
             if fast is not None:
@@ -1353,6 +1422,15 @@ class tracker:
         full-length int32 buffers inside its while body: ~19 GB for a 6-year
         0.25 deg block). Event ids come out in first-appearance order,
         identical to ops.label.label_spacetime_grid."""
+        host = getattr(self, "_host_label_state", None)
+        if host is not None:
+            self._host_label_state = None  # single-use
+            ref, host_labels, n_events = host
+            if ref() is data:
+                # the area-filter stage already computed the final event id
+                # field on the host (_filter_small_objects_host) — the whole
+                # two-level CCL collapses to returning it
+                return host_labels, n_events
         labels_slices, counts = self._label_slices(data)
         counts = np.asarray(counts)
         n_obj = int(counts.sum())
