@@ -470,9 +470,12 @@ def config1_production_nomerge(da, ny, nx):
 
 
 def config2_hobday_shifting(n_years, ny, nx):
-    """Production detect methods. Runs on its own half-resolution block: the
-    rolling climatology's (years, 366, space) intermediate is ~Y/3 x the
-    input footprint (full-res century-scale runs use config 7's streaming)."""
+    """The reference's DEFAULT production path (shifting_baseline +
+    hobday_extreme, detect.py:287) at FULL bench resolution: the rolling
+    climatology's dense (years, 366, space) intermediate is space-chunked
+    (ops/pipeline anomaly_program), so 0.25-degree in-memory detect+track
+    fits one 16 GB chip at the default 3-year block (century-scale runs use
+    config 7's streaming)."""
     da = _stage(make_data(n_years, ny, nx, seed=2))
     kw_detect = dict(
         method_anomaly="shifting_baseline",
@@ -602,11 +605,11 @@ def config5_unstructured(n_years, n_cells):
         )
         events = tr.run()
         _block(events["ID_field"].data)
-        return events, t_det, time.perf_counter() - t0
+        return (events, tr), t_det, time.perf_counter() - t0
 
     with _silence:
         res, _ = _cold_then_warm(run)
-        events, t_det, t_trk = res
+        (events, tr), t_det, t_trk = res
     T = da.sizes["time"]
     C = da.sizes["ncells"]
     wall = t_det + t_trk
@@ -618,6 +621,8 @@ def config5_unstructured(n_years, n_cells):
         "n_cells": int(C),
         "n_events": int(events.attrs["N_events_final"]),
         "total_merges": int(events.attrs["total_merges"]),
+        "stage_walls": dict(getattr(tr, "stage_walls", {})),
+        "march_dispatches": dict(getattr(tr, "dispatch_counts", {})),
     }
 
 
@@ -893,7 +898,7 @@ def _run_config(cid: str, ctx: dict) -> None:
     if cid == "1":
         _try("1_fixed_global_production", config1_production_nomerge, da, ny, nx)
     elif cid == "2":
-        _try("2_shifting_hobday", config2_hobday_shifting, max(n_years + 5, 8), max(ny // 2, 32), max(nx // 2, 64))
+        _try("2_shifting_hobday", config2_hobday_shifting, n_years, ny, nx)
     elif cid == "3":
         _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
     elif cid == "4":

@@ -300,7 +300,60 @@ def label_spacetime_grid(
     return dense.reshape(T, H, W), rank[-1]
 
 
+def _unstr_block(d, flat_idx, nb_idx, nb_valid, max_iters: int, jump_every: int):
+    """Converged dense per-slice labels of one (TB, C) block."""
+    lab = jnp.where(d, flat_idx, _BIG)
+
+    def step(state):
+        lab, _, it = state
+        g = lab[:, nb_idx]  # (TB, K, C)
+        g = jnp.where(nb_valid[None], g, _BIG)
+        m = jnp.minimum(lab, jnp.min(g, axis=1))
+        m = jnp.where(d, m, _BIG)
+        m = jax.lax.cond(
+            (it % jump_every) == jump_every - 1,
+            lambda x: _jump(_jump(x)),
+            lambda x: x,
+            m,
+        )
+        return m, jnp.any(m != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
+
+    is_root = jnp.logical_and(d, lab == flat_idx)
+    rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
+    idx = jnp.where(lab == _BIG, 0, lab)
+    dense = jnp.where(lab == _BIG, 0, jnp.take_along_axis(rank, idx, axis=1))
+    return dense, rank[:, -1]
+
+
 @partial(jax.jit, static_argnames=("max_iters", "jump_every", "time_block"))
+def _label_slices_unstructured_fused(
+    data: jax.Array, neighbours: jax.Array, max_iters: int, jump_every: int, time_block: int
+) -> Tuple[jax.Array, jax.Array]:
+    T, C = data.shape
+    flat_idx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    nb_idx = jnp.maximum(neighbours, 0)  # (K, C)
+    nb_valid = neighbours >= 0
+
+    def block(d):
+        return _unstr_block(d, flat_idx, nb_idx, nb_valid, max_iters, jump_every)
+
+    dense, counts = _map_time_blocks(block, data, time_block)
+    return dense.reshape(-1, C)[:T], counts.reshape(-1)[:T]
+
+
+@partial(jax.jit, static_argnames=("max_iters", "jump_every"))
+def _unstr_block_jit(d, neighbours, max_iters: int, jump_every: int):
+    C = d.shape[1]
+    flat_idx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    return _unstr_block(d, flat_idx, jnp.maximum(neighbours, 0), neighbours >= 0, max_iters, jump_every)
+
+
 def label_slices_unstructured(
     data: jax.Array, neighbours: jax.Array, max_iters: int = 4096, jump_every: int = 16, time_block: int = 64
 ) -> Tuple[jax.Array, jax.Array]:
@@ -315,43 +368,37 @@ def label_slices_unstructured(
     Returns per-slice dense labels (1..n_t per slice, 0 = background) and
     per-slice counts — the ID convention of the reference's per-slice
     csgraph labeling (track.py:1947-1999).
+
+    Above a handful of blocks the time blocks are looped on the HOST with
+    one shared compiled per-block program instead of a fused
+    lax.map(while_loop) program: at ICON scale (730 x 1M cells, 46 blocks)
+    the fused composition crashes the TPU worker outright ("kernel fault" —
+    the same class of backend miscompile as ops.label._BLOCK_CELL_BUDGET
+    documents for the gridded fixpoint), while the identical per-block
+    program runs fine block by block. Costs ~one dispatch per block.
     """
     T, C = data.shape
-    flat_idx = jnp.arange(C, dtype=jnp.int32)[None, :]
-    nb_idx = jnp.maximum(neighbours, 0)  # (K, C)
-    nb_valid = neighbours >= 0
+    tb = min(time_block, T, max(1, _BLOCK_CELL_BUDGET // max(C, 1)))
+    n_blocks = -(-T // tb)
+    if n_blocks <= 4:
+        return _label_slices_unstructured_fused(data, neighbours, max_iters, jump_every, time_block)
 
-    def block(d):
-        lab = jnp.where(d, flat_idx, _BIG)
-
-        def step(state):
-            lab, _, it = state
-            g = lab[:, nb_idx]  # (TB, K, C)
-            g = jnp.where(nb_valid[None], g, _BIG)
-            m = jnp.minimum(lab, jnp.min(g, axis=1))
-            m = jnp.where(d, m, _BIG)
-            m = jax.lax.cond(
-                (it % jump_every) == jump_every - 1,
-                lambda x: _jump(_jump(x)),
-                lambda x: x,
-                m,
-            )
-            return m, jnp.any(m != lab), it + 1
-
-        def cond(state):
-            _, changed, it = state
-            return jnp.logical_and(changed, it < max_iters)
-
-        lab, _, _ = jax.lax.while_loop(cond, step, (lab, jnp.bool_(True), jnp.int32(0)))
-
-        is_root = jnp.logical_and(d, lab == flat_idx)
-        rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
-        idx = jnp.where(lab == _BIG, 0, lab)
-        dense = jnp.where(lab == _BIG, 0, jnp.take_along_axis(rank, idx, axis=1))
-        return dense, rank[:, -1]
-
-    dense, counts = _map_time_blocks(block, data, time_block)
-    return dense.reshape(-1, C)[:T], counts.reshape(-1)[:T]
+    data = jnp.asarray(data)
+    neighbours = jnp.asarray(neighbours)
+    T_pad = n_blocks * tb
+    if T_pad != T:
+        data = jnp.pad(data, ((0, T_pad - T), (0, 0)), constant_values=False)
+    dense_blocks = []
+    count_blocks = []
+    for b in range(n_blocks):
+        db, cb = _unstr_block_jit(
+            jax.lax.dynamic_slice_in_dim(data, b * tb, tb, axis=0), neighbours, max_iters, jump_every
+        )
+        dense_blocks.append(db)
+        count_blocks.append(cb)
+    dense = jnp.concatenate(dense_blocks, axis=0)[:T]
+    counts = jnp.concatenate(count_blocks, axis=0)[:T]
+    return dense, counts
 
 
 def _offset_labels_impl(labels: jax.Array, counts: jax.Array) -> jax.Array:
