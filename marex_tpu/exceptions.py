@@ -60,6 +60,18 @@ class MarExError(Exception):
             parts.append(f"Context: {ctx}")
         return "\n".join(parts)
 
+    def add_suggestion(self, suggestion: str) -> None:
+        """Append a remediation suggestion after creation (reference
+        marEx/exceptions.py:75-77); the formatted message is refreshed."""
+        self.suggestions.append(suggestion)
+        super().__init__(self._format())
+
+    def add_context(self, key: str, value: Any) -> None:
+        """Attach one debugging key/value after creation (reference
+        marEx/exceptions.py:79-81); the formatted message is refreshed."""
+        self.context[key] = value
+        super().__init__(self._format())
+
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         return f"{type(self).__name__}({self.message!r}, error_code={self.error_code!r})"
 

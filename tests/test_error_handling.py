@@ -592,3 +592,92 @@ class TestHelpfulErrorMessages:
         m = Field(np.ones(6, bool), ("lat",), coords={"lat": np.arange(6.0)})
         with pytest.raises(marEx.MarExError):
             marEx.tracker(da, m, R_fill=1, area_filter_quartile=0.5)
+
+
+class TestExceptionMutators:
+    """Post-creation mutation API (reference marEx/exceptions.py:75-81,
+    tests/test_exceptions.py:76-92)."""
+
+    def test_add_suggestion(self):
+        err = marEx.MarExError("Test error")
+        assert err.suggestions == []
+        err.add_suggestion("New suggestion")
+        assert err.suggestions == ["New suggestion"]
+        assert "New suggestion" in str(err)
+
+    def test_add_context(self):
+        err = marEx.MarExError("Test error")
+        assert err.context == {}
+        err.add_context("key", "value")
+        assert err.context["key"] == "value"
+        assert "key='value'" in str(err)
+
+    def test_mutators_compose(self):
+        err = marEx.TrackingError("boom")
+        err.add_suggestion("try A")
+        err.add_suggestion("try B")
+        err.add_context("n", 3)
+        s = str(err)
+        assert "try A" in s and "try B" in s and "n=3" in s
+
+
+class TestExceptionChaining:
+    """``raise ... from`` preserves the original cause
+    (reference tests/test_exceptions.py:237-252)."""
+
+    def test_cause_preserved(self):
+        try:
+            try:
+                raise ValueError("original")
+            except ValueError as e:
+                raise marEx.ProcessingError("wrapped", details="ctx") from e
+        except marEx.ProcessingError as err:
+            assert isinstance(err.__cause__, ValueError)
+            assert str(err.__cause__) == "original"
+
+    def test_wrap_exception_sets_cause(self):
+        from marex_tpu.exceptions import wrap_exception
+
+        try:
+            raise RuntimeError("low level")
+        except RuntimeError as e:
+            wrapped = wrap_exception(e, "higher-level context")
+        assert isinstance(wrapped, marEx.MarExError)
+        assert wrapped.__cause__ is None or isinstance(wrapped.__cause__, RuntimeError)
+        assert "higher-level context" in str(wrapped) or "low level" in str(wrapped)
+
+
+class TestErrorMessageQuality:
+    """Errors raised by the pipeline must carry actionable suggestions and
+    debugging context (reference tests/test_exceptions.py:254-288)."""
+
+    def test_pipeline_errors_have_suggestions_and_context(self, sst):
+        try:
+            marEx.preprocess_data(sst, method_anomaly="not_a_method")
+        except marEx.ConfigurationError as err:
+            assert len(err.suggestions) >= 1
+            assert all(isinstance(s, str) and len(s) > 10 for s in err.suggestions)
+            assert err.context  # names the offending value
+            assert err.error_code
+        else:
+            raise AssertionError("expected ConfigurationError")
+
+    def test_tracking_error_context_names_counts(self):
+        import numpy as np
+        import pandas as pd
+
+        from marex_tpu import Field
+
+        T, H, W = 8, 16, 32
+        times = pd.date_range("2001-01-01", periods=T, freq="D").to_numpy()
+        ev = Field(
+            np.zeros((T, H, W), bool), ("time", "lat", "lon"),
+            {"time": times, "lat": np.linspace(-50, 50, H), "lon": np.linspace(0, 360, W, endpoint=False)},
+            name="extreme_events",
+        )
+        mask = Field(np.ones((H, W), bool), ("lat", "lon"), {"lat": ev.coords["lat"], "lon": ev.coords["lon"]}, name="mask")
+        tr = marEx.tracker(ev, mask, R_fill=1, T_fill=0, area_filter_quartile=0.5, allow_merging=False, quiet=True)
+        with pytest.raises(marEx.TrackingError) as ei:
+            tr.run()
+        assert ei.value.context.get("objects_count") == 0
+        assert len(ei.value.suggestions) >= 2

@@ -11,6 +11,7 @@ import os
 import numpy as np
 import pytest
 
+import marex_tpu as marEx
 from marex_tpu import logging_config as LC
 from marex_tpu.logging_config import (
     ProgressLogger,
@@ -550,3 +551,113 @@ class TestExternalLoggers:
         configure_logging()
         assert logging.getLogger("matplotlib.font_manager").level == logging.ERROR
         assert logging.getLogger("PIL.PngImagePlugin").level == logging.ERROR
+
+
+class TestProgressBars:
+    """Progress-bar helpers (reference tests/test_logging_system.py:456-545)."""
+
+    def test_create_progress_bar_updates_and_closes(self):
+        from marex_tpu.logging_config import create_progress_bar
+
+        bar = create_progress_bar(total=5, desc="t")
+        if bar is not None:  # tqdm importable, not quiet
+            for _ in range(5):
+                bar.update(1)
+            assert bar.n == 5
+            bar.close()
+
+    def test_create_progress_bar_quiet_returns_none(self):
+        from marex_tpu.logging_config import create_progress_bar, set_normal_logging, set_quiet_mode
+
+        set_quiet_mode()
+        try:
+            assert create_progress_bar(total=3, desc="t") is None
+        finally:
+            set_normal_logging()
+
+    def test_create_progress_bar_disable_flag(self):
+        from marex_tpu.logging_config import create_progress_bar
+
+        assert create_progress_bar(total=3, desc="t", disable=True) is None
+
+    def test_progress_bar_context(self):
+        from marex_tpu.logging_config import progress_bar
+
+        with progress_bar(total=4, desc="work") as bar:
+            for _ in range(4):
+                if bar is not None:
+                    bar.update(1)
+
+    def test_progress_bar_context_logger_fallback(self, caplog):
+        import logging
+
+        from marex_tpu.logging_config import get_logger, progress_bar, set_normal_logging, set_quiet_mode
+
+        logger = get_logger("marex_tpu.test_progress")
+        # quiet mode: no bar AND no fallback log line
+        set_quiet_mode()
+        try:
+            with caplog.at_level(logging.INFO, logger="marex_tpu.test_progress"):
+                with progress_bar(total=2, desc="quietwork", logger=logger) as bar:
+                    assert bar is None
+            assert not any("quietwork" in r.message for r in caplog.records)
+        finally:
+            set_normal_logging()
+
+    def test_log_progress(self, caplog):
+        import logging
+
+        from marex_tpu.logging_config import get_logger, log_progress
+
+        logger = get_logger("marex_tpu.test_progress")
+        with caplog.at_level(logging.INFO, logger="marex_tpu.test_progress"):
+            log_progress(logger, 5, 10, operation="halfway")
+        assert any("halfway" in r.message for r in caplog.records)
+
+    def test_log_progress_quiet_suppressed(self, caplog):
+        import logging
+
+        from marex_tpu.logging_config import get_logger, log_progress, set_normal_logging, set_quiet_mode
+
+        logger = get_logger("marex_tpu.test_progress")
+        set_quiet_mode()
+        try:
+            with caplog.at_level(logging.INFO, logger="marex_tpu.test_progress"):
+                log_progress(logger, 10, 10, operation="suppressed-op")
+            assert not any("suppressed-op" in r.message for r in caplog.records)
+        finally:
+            set_normal_logging()
+
+
+class TestFunctionLevelVerbosity:
+    """verbose/quiet kwargs on the public entry points control log volume
+    (reference tests/test_logging_system.py:142-253)."""
+
+    @pytest.fixture()
+    def small_sst(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        T, H, W = 365, 12, 24
+        times = pd.date_range("2005-01-01", periods=T, freq="D").to_numpy()
+        sst = (15 + rng.standard_normal((T, H, W))).astype(np.float32)
+        return marEx.Field(
+            sst, ("time", "lat", "lon"),
+            {"time": times, "lat": np.linspace(-40, 40, H), "lon": np.linspace(0, 360, W, endpoint=False)},
+            name="sst",
+        )
+
+    def test_preprocess_quiet_suppresses_info(self, small_sst, capfd):
+        marEx.preprocess_data(small_sst, method_anomaly="fixed_baseline", method_extreme="global_extreme", quiet=True)
+        err = capfd.readouterr().err
+        assert not any(" INFO " in ln or "- INFO -" in ln for ln in err.splitlines() if "marex_tpu" in ln)
+
+    def test_preprocess_normal_logs_stages(self, small_sst, capfd):
+        # the package logger has its own handlers (propagate=False), so
+        # assert on the actual stderr stream rather than caplog
+        from marex_tpu.logging_config import set_normal_logging
+
+        set_normal_logging()
+        marEx.preprocess_data(small_sst, method_anomaly="fixed_baseline", method_extreme="global_extreme")
+        err = capfd.readouterr().err.lower()
+        assert "preprocessing" in err or "anomaly" in err
