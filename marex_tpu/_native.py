@@ -111,6 +111,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
         ]
+        lib.marex_unstr_slice_ccl.restype = ctypes.c_int64
+        lib.marex_unstr_slice_ccl.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.marex_track_nomerge.restype = ctypes.c_int64
         lib.marex_track_nomerge.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -399,3 +409,36 @@ def track_nomerge(
                 areas[: n_pre.value], float(thr.value), int(n_kept.value),
             )
         cap *= 4
+
+
+def unstr_slice_ccl(bits: np.ndarray, T: int, C: int, neighbours: np.ndarray):
+    """Host per-slice CCL over an unstructured neighbour graph.
+
+    bits : (T, ceil(C/8)) uint8 (packbits bitorder='little'), already masked
+    neighbours : (K, C) int32, -1 = missing, SYMMETRIZED
+    Returns (labels (T, C) int16 dense per-slice ids from the warm buffer
+    pool, counts (T,) int32) or None when the native library is missing or
+    a slice exceeds int16 label capacity (callers fall back to the device
+    kernel).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    bits = np.ascontiguousarray(bits.reshape(-1), dtype=np.uint8)
+    neighbours = np.ascontiguousarray(neighbours, dtype=np.int32)
+    K = neighbours.shape[0]
+    labels = _pooled_empty((T, C), np.int16)
+    counts = np.empty(T, np.int32)
+    n = int(
+        lib.marex_unstr_slice_ccl(
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            T, C,
+            neighbours.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            K,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    )
+    if n < 0:
+        return None
+    return labels, counts

@@ -120,3 +120,28 @@ def test_track_nomerge_kernel_against_device_labeling():
         assert (id_field == np.asarray(ref3)).all()
         _, dc = L.label_slices_grid(jnp.asarray(d), wrap_x=wrap)
         assert (counts == np.asarray(dc)).all()
+
+
+@requires_native
+def test_unstructured_host_ccl_matches_device(monkeypatch):
+    """Host union-find per-slice CCL over the neighbour graph must equal the
+    device fixpoint kernel exactly (labels, counts) — dense ids in ascending
+    min-cell-index order (reference: csgraph per slice, track.py:1947-1999)."""
+    import jax.numpy as jnp
+
+    from marex_tpu import track as TR
+    from marex_tpu.ops import label as L
+
+    rng = np.random.default_rng(1)
+    C, T = 5000, 24
+    # ring + skip graph, symmetrized
+    nb = np.stack([(np.arange(C) - 1) % C, (np.arange(C) + 1) % C, (np.arange(C) + 7) % C]).astype(np.int32)
+    sym = TR._symmetrize_neighbours(nb)
+    d = rng.random((T, C)) < 0.2
+    bits = np.packbits(d, axis=-1, bitorder="little")
+    res = _native.unstr_slice_ccl(bits, T, C, sym)
+    assert res is not None
+    lab16, counts = res
+    ref_lab, ref_counts = L.label_slices_unstructured(jnp.asarray(d), jnp.asarray(sym))
+    assert (counts == np.asarray(ref_counts)).all()
+    assert (lab16.astype(np.int32) == np.asarray(ref_lab)).all()
