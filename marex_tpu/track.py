@@ -1944,7 +1944,16 @@ class tracker:
             # and resumes from the carried state. block_T=None runs one block
             # (the monolithic program); the streamed tracker feeds blocks
             # from zarr through the same loop.
-            block_T = getattr(self, "march_block_T", None) or T
+            block_T = getattr(self, "march_block_T", None)
+            if block_T is None:
+                block_T = T
+                # very large monolithic scan programs (~>400M label cells)
+                # crash the TPU worker outright ("kernel fault" — the same
+                # backend miscompile class as ops.label._BLOCK_CELL_BUDGET);
+                # run the march through the existing blockwise-resume loop
+                # instead, which the streamed tracker already exercises.
+                if T * H * W > 400 * 1024 * 1024:
+                    block_T = max(8, (64 * 1024 * 1024) // max(H * W, 1))
             counts_i = counts.astype(np.int32)
             MPc = sizes["MP"]
             gmap_host = gmap0
