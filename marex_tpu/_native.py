@@ -342,6 +342,14 @@ def _pooled_empty(shape, dtype) -> np.ndarray:
     ent = _POOL.get(key)
     if ent is not None:
         base, ref = ent
+        if ref() is not None:
+            # the previous result often sits in a reference cycle (FieldSet
+            # graphs) that only the generational GC breaks — collect once
+            # before giving up on the warm buffer, it is worth ~20 s of
+            # page faults at production shape
+            import gc
+
+            gc.collect()
         if ref() is None:  # previous result released -> reuse warm pages
             view = base.view()
             _POOL[key] = (base, weakref.ref(view))
