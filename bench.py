@@ -11,12 +11,13 @@ including per-stage (detect/track) walls, cold-start walls, merge counts,
 march dispatch counts, and a modeled HBM-traffic rate:
 
   1. fixed_baseline + global_extreme, tracker(allow_merging=False),
-     production morphology/filter params — exercises the scalable two-level
-     3-D CCL path (T*S > 200M)
-  2. shifting_baseline + hobday_extreme (production detect methods)
+     production morphology/filter params [headline when 4 is absent —
+     the usual case: see _CONFIG_EST_S on config 4's cold cost]
+  2. shifting_baseline + hobday_extreme (production detect methods) at
+     full bench resolution
   3. regional grid (open boundaries, area_filter_absolute)
   4. allow_merging=True split/merge with REAL merges (converging blob
-     pairs) at production params  [headline]
+     pairs) at production params [headline when it completes; runs LAST]
   5. unstructured mesh at ICON-like cell count (default 1M cells) with
      merging patches
   6. merge-dense stress: overhead factor + dispatch accounting
@@ -825,7 +826,7 @@ def _tunnel_guard() -> "str | None":
 # — round 3 emitted nothing until every config finished and a timeout
 # produced zero perf evidence). "q" is a small-shape provisional headline
 # run first as insurance against production-shape failures.
-_CONFIG_ORDER = ["1", "4", "2", "5", "3", "6", "7", "8", "q"]
+_CONFIG_ORDER = ["1", "2", "3", "6", "5", "7", "8", "4", "q"]
 
 # Rough per-config wall estimates (seconds; production shape, fresh XLA
 # compile on the single host core, /tmp-cached data, in-process executable
@@ -833,7 +834,11 @@ _CONFIG_ORDER = ["1", "4", "2", "5", "3", "6", "7", "8", "q"]
 # estimate exceeds the remaining budget are recorded as skipped instead of
 # timing out the whole benchmark. Config 1 carries the bulk of the compile
 # cost; later configs reuse its executables in memory.
-_CONFIG_EST_S = {"1": 500, "4": 160, "2": 150, "5": 180, "3": 45, "6": 80, "7": 90, "8": 120, "q": 300}
+# Config 4 (production merge march) runs LAST: its cold path (capacity
+# ladder recompiles of the scan program) has exceeded 19 min on this
+# chip, so it only runs when a large budget remains — the headline falls
+# back to config 1's production number otherwise.
+_CONFIG_EST_S = {"1": 500, "2": 220, "3": 60, "6": 90, "5": 400, "7": 100, "8": 130, "4": 700, "q": 300}
 
 
 def _requested_configs():
@@ -1007,7 +1012,7 @@ def _drive() -> None:
     at half shape in a fresh child and every remaining config runs in its
     own child too.
 
-    Budgeting: MAREX_BENCH_BUDGET_S (default 1100 s) is a soft wall-clock
+    Budgeting: MAREX_BENCH_BUDGET_S (default 1500 s) is a soft wall-clock
     target. Configs run headline-first; a config whose rough cost estimate
     exceeds the remaining budget is recorded as skipped. SIGTERM / SIGINT
     (driver timeout) emits best-so-far before exiting.
@@ -1024,7 +1029,7 @@ def _drive() -> None:
     import sys
     import tempfile
 
-    budget = float(os.environ.get("MAREX_BENCH_BUDGET_S", "1100"))
+    budget = float(os.environ.get("MAREX_BENCH_BUDGET_S", "1500"))
     t0 = time.monotonic()
     detail = {"configs": {}}
     platform_note = _tunnel_guard()  # probe once; children inherit the result
