@@ -347,6 +347,12 @@ def _label_slices_unstructured_fused(
     return dense.reshape(-1, C)[:T], counts.reshape(-1)[:T]
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_time_block(out: jax.Array, block: jax.Array, start: jax.Array) -> jax.Array:
+    """In-place (donated) write of one time block into the accumulator."""
+    return jax.lax.dynamic_update_slice_in_dim(out, block, start, axis=0)
+
+
 @partial(jax.jit, static_argnames=("max_iters", "jump_every"))
 def _unstr_block_jit(d, neighbours, max_iters: int, jump_every: int):
     C = d.shape[1]
@@ -388,17 +394,18 @@ def label_slices_unstructured(
     T_pad = n_blocks * tb
     if T_pad != T:
         data = jnp.pad(data, ((0, T_pad - T), (0, 0)), constant_values=False)
-    dense_blocks = []
+    # assemble into a donated accumulator: at ICON scale the label field is
+    # ~3 GB and a concatenate of all blocks would transiently hold it twice
+    dense = jnp.zeros((T_pad, C), jnp.int32)
     count_blocks = []
     for b in range(n_blocks):
         db, cb = _unstr_block_jit(
             jax.lax.dynamic_slice_in_dim(data, b * tb, tb, axis=0), neighbours, max_iters, jump_every
         )
-        dense_blocks.append(db)
-        count_blocks.append(cb)
-    dense = jnp.concatenate(dense_blocks, axis=0)[:T]
-    counts = jnp.concatenate(count_blocks, axis=0)[:T]
-    return dense, counts
+        dense = _write_time_block(dense, db, jnp.int32(b * tb))
+        count_blocks.append(np.asarray(cb))
+    counts = jnp.asarray(np.concatenate(count_blocks)[:T])
+    return dense[:T], counts
 
 
 def _offset_labels_impl(labels: jax.Array, counts: jax.Array) -> jax.Array:
