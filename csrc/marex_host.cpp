@@ -346,7 +346,17 @@ int64_t marex_track_nomerge(const uint8_t* bits, int64_t T, int64_t H,
   std::memcpy(areas_out, areas.data(), sizeof(double) * n_obj);
   *n_pre_out = n_obj;
 
-  // threshold
+  // threshold. n_obj == 0 (all-background field) must NOT reach the
+  // percentile path: rank would go negative and sorted[0] dereference an
+  // empty vector. Return a clean zero-event result instead — the Python
+  // caller raises the reference's TrackingError on zero pre-filter objects.
+  if (n_obj == 0) {
+    *thr_out = 0.0;
+    *n_kept_out = 0;
+    std::memset(id_out, 0, sizeof(int32_t) * T * H * W);
+    std::memset(bool_out, 0, static_cast<size_t>(T * H * W));
+    return 0;
+  }
   double thr;
   if (thr_mode == 0) {
     thr = thr_value;

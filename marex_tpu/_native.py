@@ -18,7 +18,7 @@ import ctypes
 import os
 import subprocess
 import tempfile
-import weakref
+
 from typing import Optional
 
 import numpy as np
@@ -331,33 +331,42 @@ def replace_value(arr: np.ndarray, old_val: int, new_val: int) -> int:
 # Output-buffer pool: on this VM host, FIRST-TOUCH page faults run at
 # ~0.2 GB/s while warm pages fill at ~8 GB/s (measured; madvise(HUGEPAGE)
 # does not help), so materialising a fresh 4.5 GB ID field costs ~25 s of
-# pure page faulting at production shape. The pool hands out views of
-# persistent (warm) buffers; when the previously handed-out view is still
-# alive a fresh buffer is allocated instead, so results can never alias.
-_POOL: dict = {}
+# pure page faulting at production shape. The pool hands out the buffers
+# themselves and gates reuse on the buffer's refcount being back at the
+# pool-only baseline: every NumPy view DERIVED from a result (slice,
+# reshape, transpose) points its .base at the pooled buffer (base chains
+# collapse), so the refcount catches holders that a weakref to the
+# handed-out array would miss — results and their views are safe to hold.
+_POOL: dict = {}  # key -> [buffer, miss_streak]
 
 
 def _pooled_empty(shape, dtype) -> np.ndarray:
+    import sys
+
     key = (tuple(int(s) for s in shape), np.dtype(dtype).str)
     ent = _POOL.get(key)
     if ent is not None:
-        base, ref = ent
-        if ref() is not None:
-            # the previous result often sits in a reference cycle (FieldSet
-            # graphs) that only the generational GC breaks — collect once
-            # before giving up on the warm buffer, it is worth ~20 s of
-            # page faults at production shape
+        base = ent[0]
+        # refcount baseline = pool list entry + local `base` + getrefcount
+        # argument = 3; anything above means the previous result (or a view
+        # of it) is still alive and the buffer must not be reused
+        if sys.getrefcount(base) > 3 and ent[1] == 0:
+            # one whole-heap collect per miss STREAK: results often sit in
+            # reference cycles (FieldSet graphs) that only the generational
+            # GC breaks — worth ~20 s of page faults at production shape.
+            # Consecutive misses mean a direct strong reference is holding
+            # the buffer; no collect can release that, so don't pay the
+            # full-heap pause again until a reuse succeeds.
             import gc
 
             gc.collect()
-        if ref() is None:  # previous result released -> reuse warm pages
-            view = base.view()
-            _POOL[key] = (base, weakref.ref(view))
-            return view
+        if sys.getrefcount(base) == 3:  # previous result released
+            ent[1] = 0
+            return base
+        ent[1] = 1
     buf = np.empty(shape, dtype)
-    view = buf.view()
-    _POOL[key] = (buf, weakref.ref(view))
-    return view
+    _POOL[key] = [buf, 0]
+    return buf
 
 
 def track_nomerge(

@@ -288,6 +288,65 @@ def check_device_health(raise_on_error: bool = True) -> Dict[str, Any]:
     return report
 
 
+_LINK_BW_CACHE: Optional[tuple] = None
+
+
+def measured_link_bandwidth(probe_mb: float = 1.0, refresh: bool = False) -> tuple:
+    """
+    Measured host<->device link bandwidth ``(up_MB_per_s, down_MB_per_s)``.
+
+    The host/device work-placement cutovers (host CCL vs the device label
+    fixpoint, ``track.py``) depend on the real link rate, which on this
+    deployment spans three orders of magnitude: a co-located TPU host moves
+    ~1-10 GB/s over PCIe while a tunnelled remote chip has been measured at
+    2-14 MB/s (round 4/5 probes). A hard-coded byte-count threshold picks the
+    wrong side on one of those, so the cutover probes ONCE per process with a
+    ~``probe_mb`` MB round trip and caches the result.
+
+    Env override ``MAREX_LINK_BW_MBPS="up[,down]"`` skips the probe (useful in
+    tests and when the probe cost itself matters); any failure returns a
+    conservative ``(100.0, 100.0)``.
+    """
+    global _LINK_BW_CACHE
+    env = os.environ.get("MAREX_LINK_BW_MBPS", "").strip()
+    if env:
+        try:
+            parts = [float(p) for p in env.split(",")]
+            return (parts[0], parts[-1])
+        except ValueError:
+            logger.warning(f"Ignoring unparsable MAREX_LINK_BW_MBPS={env!r}")
+    if _LINK_BW_CACHE is not None and not refresh:
+        return _LINK_BW_CACHE
+    import time as _time
+
+    import jax
+
+    try:
+        n = max(int(probe_mb * 1e6) // 4, 1024)
+        # warm the dispatch path so the probe measures transfer, not init
+        jax.block_until_ready(jax.device_put(np.zeros((16,), np.float32)))
+        # best of two reps each way: the first large transfer of a process
+        # pays one-off layout/allocation costs that bias the rate low by up
+        # to 10x (measured on the CPU backend), and the cutover needs order
+        # of magnitude, not precision
+        up = down = 0.0
+        for _ in range(2):
+            host = np.zeros((n,), np.float32)
+            t0 = _time.perf_counter()
+            dev = jax.device_put(host)
+            jax.block_until_ready(dev)
+            up = max(up, (n * 4 / 1e6) / max(_time.perf_counter() - t0, 1e-6))
+            t0 = _time.perf_counter()
+            np.asarray(dev)
+            down = max(down, (n * 4 / 1e6) / max(_time.perf_counter() - t0, 1e-6))
+        _LINK_BW_CACHE = (float(up), float(down))
+        logger.info(f"Measured host<->device link bandwidth: up={up:.1f} MB/s down={down:.1f} MB/s")
+    except Exception as e:  # pragma: no cover - only on device failure
+        logger.warning(f"Link bandwidth probe failed ({type(e).__name__}: {e}); assuming 100 MB/s")
+        _LINK_BW_CACHE = (100.0, 100.0)
+    return _LINK_BW_CACHE
+
+
 def _default_retry_exceptions() -> tuple:
     from .exceptions import DeviceError
 

@@ -46,8 +46,73 @@ logger = get_logger(__name__)
 MAX_PARENTS = 10  # padded parent capacity per merge event (track.py:3827-3830)
 
 # last successful scan-march capacity buckets per problem shape: repeat runs
-# (benchmarks, parameter sweeps) skip the capacity-retry ladder entirely
+# (benchmarks, parameter sweeps) skip the capacity-retry ladder entirely.
+# Mirrored to disk (_scan_cache_path) so fresh processes skip it too.
 _SCAN_SIZE_CACHE: Dict[Tuple, Dict[str, int]] = {}
+
+# Measured per-cell walls behind the host/device CCL cutover (round-5
+# calibration: v5e chip + single bench-host core). The cutover compares
+# modeled stage walls using helper.measured_link_bandwidth() — the link to a
+# tunnelled chip has been measured anywhere from 0.9 to 14 MB/s while a
+# co-located host does GB/s, so any fixed byte threshold picks wrong on one
+# deployment. Override the decision with MAREX_HOST_CCL=0/1.
+_K_DEV_FIXPOINT_S_PER_CELL = 2.6e-8  # device per-slice min-label fixpoint
+_K_HOST_CCL_S_PER_CELL = 3.1e-9  # host run-based CCL + 3x3x3 relabel (marex_host.cpp)
+_K_DEV_UNSTR_S_PER_CELL = 8.8e-7  # device gather fixpoint over a (K, C) mesh
+_K_HOST_UNSTR_S_PER_CELL = 2.8e-9  # host union-find over active cells
+
+
+def _scan_cache_path() -> str:
+    return os.environ.get(
+        "MAREX_SCAN_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "marex_tpu", "scan_sizes.json"),
+    )
+
+
+def _scan_cache_key_str(key: Tuple) -> str:
+    return "|".join(str(int(k)) if not isinstance(k, str) else k for k in key)
+
+
+def _scan_cache_load(key: Tuple) -> Optional[Dict[str, int]]:
+    """Disk lookup for the scan-march capacity buckets: a capacity-ladder
+    retry recompiles the (large) scan program, which at production shape has
+    cost >19 min cold — paid once per PROCESS with only the in-memory cache.
+    Persisting the converged buckets per problem shape makes fresh processes
+    (CI runs, the driver's bench) skip the ladder entirely."""
+    if key in _SCAN_SIZE_CACHE:
+        return _SCAN_SIZE_CACHE[key]
+    try:
+        import json
+
+        with open(_scan_cache_path()) as f:
+            disk = json.load(f)
+        entry = disk.get(_scan_cache_key_str(key))
+        if entry:
+            return {k: int(v) for k, v in entry.items()}
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _scan_cache_store(key: Tuple, sizes: Dict[str, int]) -> None:
+    _SCAN_SIZE_CACHE[key] = dict(sizes)
+    try:
+        import json
+
+        path = _scan_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                disk = json.load(f)
+        except (OSError, ValueError):
+            disk = {}
+        disk[_scan_cache_key_str(key)] = {k: int(v) for k, v in sizes.items()}
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(disk, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # best-effort: the in-memory cache still covers this process
 
 
 # ============================
@@ -729,12 +794,29 @@ class tracker:
         or a slice exceeds int16 label capacity."""
         from . import _native
 
-        if os.environ.get("MAREX_HOST_CCL", "").strip() == "0":
+        env = os.environ.get("MAREX_HOST_CCL", "").strip()
+        if env == "0":
             return None
         T = masked.shape[0]
         C = int(np.prod(masked.shape[1:]))
-        if os.environ.get("MAREX_HOST_CCL", "").strip() != "1" and T * C < 64 * 1024 * 1024:
-            return None
+        cells = T * C
+        if env != "1":
+            if cells < 64 * 1024 * 1024:
+                return None
+            # measured cutover: bit-packed download + int16 label upload +
+            # host union-find vs the device gather fixpoint (see the
+            # _K_*_S_PER_CELL constants). The tunnel link rate varies 100x
+            # between deployments, so the byte costs use the probed rate.
+            from .helper import measured_link_bandwidth
+
+            up, down = measured_link_bandwidth()
+            host_s = cells / 8 / (down * 1e6) + 2 * cells / (up * 1e6) + _K_HOST_UNSTR_S_PER_CELL * cells
+            if host_s >= _K_DEV_UNSTR_S_PER_CELL * cells:
+                logger.info(
+                    f"Unstructured host CCL skipped: modeled host wall {host_s:.1f}s >= "
+                    f"device fixpoint {_K_DEV_UNSTR_S_PER_CELL * cells:.1f}s at {down:.1f} MB/s down"
+                )
+                return None
         if not _native.has_native():
             return None
         bits = np.asarray(jnp.packbits(masked.reshape(T, C), axis=-1, bitorder="little"))
@@ -792,8 +874,25 @@ class tracker:
         env = os.environ.get("MAREX_HOST_CCL", "").strip()
         if env == "0":
             return False
-        if env != "1" and int(np.prod(data.shape)) < 4 * 1024 * 1024:
-            return False  # small fields: device fixpoint is already fast
+        cells = int(np.prod(data.shape))
+        if env != "1":
+            if cells < 4 * 1024 * 1024:
+                return False  # small fields: device fixpoint is already fast
+            # measured cutover: the host path downloads the field bit-packed
+            # (1 bit/cell) and labels on one core; the device path runs the
+            # per-slice min-label fixpoint. Both scale linearly in cells, so
+            # the decision reduces to the probed download rate (GB/s PCIe ->
+            # host wins; a ~1 MB/s tunnel -> device wins).
+            from .helper import measured_link_bandwidth
+
+            _, down = measured_link_bandwidth()
+            host_s = cells / 8 / (down * 1e6) + _K_HOST_CCL_S_PER_CELL * cells
+            if host_s >= _K_DEV_FIXPOINT_S_PER_CELL * cells:
+                logger.info(
+                    f"Host CCL skipped: modeled host wall {host_s:.1f}s >= device "
+                    f"fixpoint {_K_DEV_FIXPOINT_S_PER_CELL * cells:.1f}s at {down:.1f} MB/s down"
+                )
+                return False
         return _native.has_native()
 
     def _filter_small_objects_host(self, data: jnp.ndarray):
@@ -1240,7 +1339,16 @@ class tracker:
             # two-level path (per-slice CCL in bounded blocks + inter-slice
             # union-find) takes over well below the observed threshold
             with self._stage_ctx("ccl3d") as _s:
-                if T * S > 16 * 1024 * 1024 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
+                host_done = self._take_host_label_state(data_bin_preprocessed)
+                if host_done is not None:
+                    # the area-filter stage already produced the final event
+                    # id field on the host (_filter_small_objects_host):
+                    # BOTH size branches collapse to returning it (the host
+                    # filter floor of 4M cells sits below the 16M two-level
+                    # cutover, so the fused branch must consume the stash too
+                    # or it recomputes the labeling and pins the host field)
+                    labels, N_events = host_done
+                elif T * S > 16 * 1024 * 1024 or os.environ.get("MAREX_TWO_LEVEL_CCL", "") == "1":
                     labels, N_events = self._label_spacetime_two_level(data_bin_preprocessed)
                 else:
                     self._label_reuse = None  # fused path never consumes the filter-stage roots
@@ -1444,6 +1552,21 @@ class tracker:
             return np.empty((0, 2), np.int64)
         return np.unique(np.concatenate(edges), axis=0)
 
+    def _take_host_label_state(self, data):
+        """Single-use pop of the event-id field the host area filter already
+        computed (_filter_small_objects_host): returns ``(labels, n_events)``
+        when ``data`` is the very array that filter returned, else ``None``.
+        Always clears the stash — a miss must not leave the full-size host
+        field pinned on the tracker."""
+        host = getattr(self, "_host_label_state", None)
+        if host is None:
+            return None
+        self._host_label_state = None  # single-use; frees the field on miss too
+        ref, host_labels, n_events = host
+        if ref() is data:
+            return host_labels, n_events
+        return None
+
     def _label_spacetime_two_level(self, data) -> Tuple[jnp.ndarray, int]:
         """Scalable 3x3x3 spatio-temporal labeling: tiled per-slice 2-D CCL,
         inter-slice adjacency edges, compact union-find, device remap — the
@@ -1452,15 +1575,9 @@ class tracker:
         full-length int32 buffers inside its while body: ~19 GB for a 6-year
         0.25 deg block). Event ids come out in first-appearance order,
         identical to ops.label.label_spacetime_grid."""
-        host = getattr(self, "_host_label_state", None)
+        host = self._take_host_label_state(data)
         if host is not None:
-            self._host_label_state = None  # single-use
-            ref, host_labels, n_events = host
-            if ref() is data:
-                # the area-filter stage already computed the final event id
-                # field on the host (_filter_small_objects_host) — the whole
-                # two-level CCL collapses to returning it
-                return host_labels, n_events
+            return host
         labels_slices, counts = self._label_slices(data)
         counts = np.asarray(counts)
         n_obj = int(counts.sum())
@@ -1906,7 +2023,7 @@ class tracker:
         # start from the last successful buckets for this problem shape so
         # repeat runs skip the capacity-retry ladder (and its recompiles)
         cache_key = (T, H, W, bool(self.nn_partitioning), wrap, mode)
-        cached = _SCAN_SIZE_CACHE.get(cache_key)
+        cached = _scan_cache_load(cache_key)
         if cached:
             for k, v in cached.items():
                 sizes[k] = max(sizes[k], v)
@@ -2022,7 +2139,7 @@ class tracker:
                     context={"child_id": int(perr[1]), "n_parents": int(perr[2]), "limit": MAX_PARENTS},
                 )
             if flags == 0:
-                _SCAN_SIZE_CACHE[cache_key] = dict(sizes)
+                _scan_cache_store(cache_key, sizes)
                 break
             # grow the offending capacity buckets and recompile (rare)
             if flags & _march.FLAG_MP:
