@@ -187,6 +187,130 @@ def _make_data_impl(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-8
     return Field(sst, ("time", "lat", "lon"), coords={"time": times, "lat": lat, "lon": lon}, name="sst")
 
 
+# ---------------------------------------------------------------------------
+# On-device data generation.
+#
+# The round-5 probe measured the axon tunnel at 2.1 MB/s up / 0.9 MB/s down
+# (round 4 saw ~14 MB/s) — staging the 4.8 GB production SST block from host
+# costs 6-40 MINUTES of the bench budget, while generating the identical
+# statistical structure on the TPU costs one ~20 s compile plus <1 s of device
+# time per run. Configs 1/2/3/4/5 therefore synthesize their input on device
+# (same recipe as _make_data_impl: AR(1) noise, seasonal cycle, drifting warm
+# blobs, converging/separating pair stamps, land block); only the streaming
+# configs (7/8), whose very purpose is host<->device IO, still move real bytes
+# — at a link-bandwidth-adaptive shape.
+# ---------------------------------------------------------------------------
+
+_GEN_FNS: dict = {}
+
+
+def _stamp_table(T, ny, nx, doy, years) -> np.ndarray:
+    """(T, S, 4) per-day disk-stamp parameters (cy, cx, radius, amplitude):
+    slot 0 the drifting warm blob, slots 1.. the converging pair stamps —
+    exactly the schedule _make_data_impl paints on the host."""
+    y0 = years.min()
+    r = max(min(ny, nx) // 8, 12)
+    rp = max(6, min(ny, nx) // 45)
+    # vertical spacing: adjacent pair rows must stay unconnectable through
+    # the production closing (gap > 2*R_fill + margin), or the pairs chain
+    # into one giant component whose merges exceed the reference's
+    # MAX_PARENTS=10 cap (observed: 11-parent TrackingError at smoke shapes)
+    n_pairs = max(2, min(ny // 90, 12))
+    pair_centers = [
+        (int(ny * (0.15 + 0.7 * i / max(n_pairs - 1, 1))), int((i * 997) % nx))
+        for i in range(n_pairs)
+    ]
+    S = 1 + 2 * n_pairs
+    st = np.zeros((T, S, 4), np.float32)
+    for t in range(T):
+        d = int(doy[t])
+        yr = int(years[t] - y0)
+        if 60 <= d <= 140:
+            cy = ny // 2 + ((yr % 3) - 1) * (ny // 6)
+            cx = (nx // 4 + yr * (nx // 5) + (d - 60)) % nx
+            st[t, 0] = (cy, cx, r, 4.0)
+        if 150 <= d <= 270:
+            phase = ((d - 150) % 40) / 40.0
+            sep = int((1.0 - min(phase * 2, 1.0)) * 3 * rp) + rp
+            for i, (cy, cx0) in enumerate(pair_centers):
+                cx0y = (cx0 + yr * (nx // 3 + 7)) % nx
+                st[t, 1 + 2 * i] = (cy, (cx0y - sep) % nx, rp, 5.0)
+                st[t, 2 + 2 * i] = (cy, (cx0y + sep) % nx, rp, 5.0)
+    return st
+
+
+def _gen_grid_fn():
+    """Jitted on-device grid SST generator (cached: configs sharing a shape
+    share one compile)."""
+    if "grid" in _GEN_FNS:
+        return _GEN_FNS["grid"]
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("ny", "nx", "wrap", "land"))
+    def gen(key, st, seas_t, lat, ny, nx, wrap, land):
+        coslat = jnp.cos(jnp.deg2rad(lat))  # (ny,)
+        base = 15.0 + 10.0 * coslat
+        yy = jnp.arange(ny, dtype=jnp.float32)
+        xx = jnp.arange(nx, dtype=jnp.float32)
+        k0, k1 = jax.random.split(key)
+        prev0 = jax.random.normal(k0, (ny, nx), jnp.float32)  # stationary std ~ 1
+        keys = jax.random.split(k1, st.shape[0])
+
+        def step(prev, xs):
+            kt, stt, seas = xs
+            noise = jax.random.normal(kt, (ny, nx), jnp.float32)
+            cur = 0.8 * prev + 0.6 * noise
+            cy, cx, rr, amp = stt[:, 0], stt[:, 1], stt[:, 2], stt[:, 3]
+            dy2 = (yy[None, :] - cy[:, None]) ** 2  # (S, ny)
+            dxa = jnp.abs(xx[None, :] - cx[:, None])  # (S, nx)
+            dx = jnp.minimum(dxa, nx - dxa) if wrap else dxa
+            inside = dy2[:, :, None] + (dx**2)[:, None, :] <= (rr**2)[:, None, None]
+            bump = jnp.sum(jnp.where(inside, amp[:, None, None], 0.0), axis=0)
+            out = cur + base[:, None] + seas * coslat[:, None] + bump
+            return cur, out
+
+        _, sst = jax.lax.scan(step, prev0, (keys, st, seas_t))
+        ly0, ly1, lx0, lx1 = land
+        sst = sst.at[:, ly0:ly1, lx0:lx1].set(jnp.nan)
+        return sst
+
+    _GEN_FNS["grid"] = gen
+    return gen
+
+
+def make_data_device(n_years: int, ny: int, nx: int, seed: int = 0, lat_range=(-89.5, 89.5), lon_range=(0.0, 360.0)):
+    """Device-resident synthetic SST block with _make_data_impl's structure
+    (see the section comment above for why generation happens on the TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from marex_tpu.core.field import Field
+
+    times = pd.date_range("2000-01-01", periods=int(n_years * 365.25), freq="D").to_numpy()
+    T = len(times)
+    lat = np.linspace(lat_range[0], lat_range[1], ny)
+    global_lon = lon_range == (0.0, 360.0)
+    lon = np.linspace(lon_range[0], lon_range[1], nx, endpoint=not global_lon)
+    idx = pd.DatetimeIndex(times)
+    doy = idx.dayofyear.to_numpy()
+    years = idx.year.to_numpy()
+    st = _stamp_table(T, ny, nx, doy, years)
+    seas_t = (3.0 * np.cos(2 * np.pi * (doy - 30) / 365.25)).astype(np.float32)
+    land = (ny // 4, ny // 4 + ny // 8, nx // 8, nx // 4)
+    sst = _gen_grid_fn()(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(st),
+        jnp.asarray(seas_t),
+        jnp.asarray(lat.astype(np.float32)),
+        ny, nx, bool(global_lon), land,
+    )
+    sst.block_until_ready()
+    return Field(sst, ("time", "lat", "lon"), coords={"time": times, "lat": lat, "lon": lon}, name="sst")
+
+
 def make_unstructured(n_years: int, n_cells: int, seed: int = 1):
     """Disk-cached wrapper around :func:`_make_unstructured_impl` (see
     :func:`make_data` for why)."""
@@ -223,18 +347,14 @@ def make_unstructured(n_years: int, n_cells: int, seed: int = 1):
     return da, nbf, areas
 
 
-def _make_unstructured_impl(n_years: int, n_cells: int, seed: int = 1):
-    """Synthetic triangular mesh at ICON-like cell counts: structured
-    vertices triangulated into a (3, C) neighbour table, plus TWO warm
-    patches per latitude band that converge and merge each season."""
-    from marex_tpu.core.field import Field
-
-    rng = np.random.default_rng(seed)
+def _tri_mesh(n_cells: int):
+    """Vectorised triangle-pair mesh at ICON-like cell counts: returns
+    (nb (3, C) 1-based int32, lat_c (C,), lon_c (C,)). Shared by the host
+    and on-device generators (the python loop took minutes at 1M cells)."""
     gx = int(np.sqrt(n_cells / 2))
     gy = max(n_cells // (2 * gx), 2)
     C = 2 * gy * gx
 
-    # vectorised triangle-pair construction (the python loop took minutes at 1M cells)
     jj, ii = np.mgrid[0:gy, 0:gx]
     lo = 2 * (jj * gx + ii)
     up = lo + 1
@@ -258,7 +378,18 @@ def _make_unstructured_impl(n_years: int, n_cells: int, seed: int = 1):
     lat_c[up.ravel()] = np.broadcast_to(lat_g[:, None], (gy, gx)).ravel() + 0.2
     lon_c[lo.ravel()] = np.broadcast_to(lon_g[None, :], (gy, gx)).ravel()
     lon_c[up.ravel()] = np.broadcast_to(lon_g[None, :], (gy, gx)).ravel() + 0.2
-    nb = nb + 1  # 1-based like ICON output
+    return nb + 1, lat_c, lon_c  # 1-based like ICON output
+
+
+def _make_unstructured_impl(n_years: int, n_cells: int, seed: int = 1):
+    """Synthetic triangular mesh at ICON-like cell counts: structured
+    vertices triangulated into a (3, C) neighbour table, plus TWO warm
+    patches per latitude band that converge and merge each season."""
+    from marex_tpu.core.field import Field
+
+    rng = np.random.default_rng(seed)
+    nb, lat_c, lon_c = _tri_mesh(n_cells)
+    C = nb.shape[1]
 
     times = pd.date_range("2000-01-01", periods=int(n_years * 365.25), freq="D").to_numpy()
     T = len(times)
@@ -313,6 +444,103 @@ def _make_unstructured_impl(n_years: int, n_cells: int, seed: int = 1):
         if len(cells) and len(days):
             sst[np.ix_(days, cells)] += 5.0
 
+    coords = {"time": times, "lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}
+    da = Field(sst, ("time", "ncells"), coords=coords, name="sst")
+    nbf = Field(nb, ("nv", "ncells"), coords={"lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}, name="neighbours")
+    areas = Field(np.full(C, 1.0e7, np.float32), ("ncells",), name="cell_areas")
+    return da, nbf, areas
+
+
+def _gen_unstr_fn():
+    """Jitted on-device unstructured SST generator (see the on-device
+    generation section comment)."""
+    if "unstr" in _GEN_FNS:
+        return _GEN_FNS["unstr"]
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("C",))
+    def gen(key, patch_t, damp_t, lat_c, lon_c, d_lat, d_lon, d_rad, seas_t, C):
+        coslat = jnp.cos(jnp.deg2rad(lat_c))
+        # distractor cell masks are time-invariant: build once, then apply
+        # each day's on/off amplitudes as a (40,) x (40, C) matvec (MXU)
+        dd = jnp.abs(lon_c[None, :] - d_lon[:, None])
+        dd = jnp.minimum(dd, 360.0 - dd)
+        dmask = (
+            (jnp.abs(lat_c[None, :] - d_lat[:, None]) < d_rad[:, None]) & (dd < d_rad[:, None])
+        ).astype(jnp.float32)
+        k0, k1 = jax.random.split(key)
+        prev0 = jax.random.normal(k0, (C,), jnp.float32)
+        keys = jax.random.split(k1, patch_t.shape[0])
+
+        def step(prev, xs):
+            kt, pt, da_, seas = xs
+            noise = jax.random.normal(kt, (C,), jnp.float32)
+            cur = 0.8 * prev + 0.6 * noise
+            dlon = jnp.abs(lon_c[None, :] - pt[:, 1:2])
+            dlon = jnp.minimum(dlon, 360.0 - dlon)
+            pmask = (jnp.abs(lat_c[None, :] - pt[:, 0:1]) < 12.0) & (dlon < 18.0)
+            bump = jnp.sum(jnp.where(pmask, pt[:, 2:3], 0.0), axis=0)
+            bump = bump + da_ @ dmask
+            return cur, cur + 15.0 + seas * coslat + bump
+
+        _, sst = jax.lax.scan(step, prev0, (keys, patch_t, damp_t, seas_t))
+        return sst
+
+    _GEN_FNS["unstr"] = gen
+    return gen
+
+
+def make_unstructured_device(n_years: int, n_cells: int, seed: int = 1):
+    """Device-resident unstructured SST with _make_unstructured_impl's
+    structure (converging patch pairs + blinking log-spaced distractors);
+    only the mesh table and cell coordinates move over the link (~12 MB at
+    1M cells vs the 2.9 GB SST block)."""
+    import jax
+    import jax.numpy as jnp
+
+    from marex_tpu.core.field import Field
+
+    nb, lat_c, lon_c = _tri_mesh(n_cells)
+    C = nb.shape[1]
+    times = pd.date_range("2000-01-01", periods=int(n_years * 365.25), freq="D").to_numpy()
+    T = len(times)
+    idx = pd.DatetimeIndex(times)
+    doy = idx.dayofyear.to_numpy()
+    yrs = idx.year.to_numpy()
+    yr0 = yrs.min()
+    seas_t = (3.0 * np.cos(2 * np.pi * (doy - 30) / 365.25)).astype(np.float32)
+
+    # (T, 4, 3) per-day patch params (lat0, clon, amp): two bands x two signs
+    patch_t = np.zeros((T, 4, 3), np.float32)
+    for t in range(T):
+        d = int(doy[t])
+        if 60 <= d <= 140:
+            k = d - 60
+            yr = int(yrs[t] - yr0)
+            for band, (lat0, lon0) in enumerate([(15.0, 40.0), (-15.0, 200.0)]):
+                lon0y = (lon0 + yr * 137.0) % 360.0
+                for si, sgn in enumerate((-1, +1)):
+                    clon = (lon0y + sgn * max(60 - k * 1.6, 8.0)) % 360.0
+                    patch_t[t, 2 * band + si] = (lat0, clon, 5.0)
+
+    rng_d = np.random.default_rng(seed + 1000)
+    n_distr = 40
+    d_lat = rng_d.uniform(-55, 55, n_distr).astype(np.float32)
+    d_lon = rng_d.uniform(0, 360, n_distr).astype(np.float32)
+    d_rad = np.geomspace(1.5, 10.0, n_distr).astype(np.float32)
+    damp_t = (rng_d.random((T, n_distr)) < 0.25).astype(np.float32) * 5.0
+
+    lat32 = jnp.asarray(lat_c.astype(np.float32))
+    lon32 = jnp.asarray(lon_c.astype(np.float32))
+    sst = _gen_unstr_fn()(
+        jax.random.PRNGKey(seed), jnp.asarray(patch_t), jnp.asarray(damp_t),
+        lat32, lon32, jnp.asarray(d_lat), jnp.asarray(d_lon), jnp.asarray(d_rad),
+        jnp.asarray(seas_t), C,
+    )
+    sst.block_until_ready()
     coords = {"time": times, "lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}
     da = Field(sst, ("time", "ncells"), coords=coords, name="sst")
     nbf = Field(nb, ("nv", "ncells"), coords={"lat": ("ncells", lat_c), "lon": ("ncells", lon_c)}, name="neighbours")
@@ -393,18 +621,23 @@ def _detect_track(da, detect_kwargs, track_kwargs):
     """Run detect then track with per-stage walls; returns
     (events, tracker, t_detect, t_track).
 
-    The host block is staged to device HERE (upload untimed, like _stage)
-    and the staged input + anomalies are RELEASED before tracking starts:
-    production runs detect and track as separate jobs (submit_track.sh),
-    so holding the raw SST block across tracking would be a bench artifact
-    — and at production shape (4.8 GB) it is the difference between the
-    tracking stage fitting a 16 GB chip and not."""
+    ``da`` is either a Field (host blocks are staged HERE, upload untimed,
+    like _stage) or a zero-arg callable returning a device-resident Field
+    (the on-device generators — regenerated per run so neither the cold nor
+    the warm run pins the 4.8 GB block across tracking). Input + anomalies
+    are RELEASED before tracking starts: production runs detect and track as
+    separate jobs (submit_track.sh), so holding the raw SST block across
+    tracking would be a bench artifact — and at production shape it is the
+    difference between the tracking stage fitting a 16 GB chip and not."""
     import gc
 
     import marex_tpu as marEx
 
     gc.collect()  # free the previous run's device buffers before the peak
-    da_dev = da if type(da.data).__module__.startswith("jax") else _stage(da)
+    if callable(da):
+        da_dev = da()
+    else:
+        da_dev = da if type(da.data).__module__.startswith("jax") else _stage(da)
     t0 = time.perf_counter()
     ds = marEx.preprocess_data(da_dev, quiet=True, **detect_kwargs)
     _block(ds.extreme_events.data)
@@ -445,16 +678,15 @@ def _bw_model_gb(T: int, S: int, track: bool) -> float:
     return (detect_bytes + track_bytes) / 1e9
 
 
-def config1_production_nomerge(da, ny, nx):
+def config1_production_nomerge(make, T, ny, nx):
     kw = dict(allow_merging=False, **_prod_track_kwargs(ny))
 
     def run():
-        return _detect_track(da, DETECT_FIXED, kw)
+        return _detect_track(make, DETECT_FIXED, kw)
 
     with _silence:
         res, cold = _cold_then_warm(run)
         events, tr, t_det, t_trk = res
-    T = da.sizes["time"]
     wall = t_det + t_trk
     two_level = T * ny * nx > 200_000_000
     return {
@@ -477,7 +709,9 @@ def config2_hobday_shifting(n_years, ny, nx):
     (ops/pipeline anomaly_program), so 0.25-degree in-memory detect+track
     fits one 16 GB chip at the default 3-year block (century-scale runs use
     config 7's streaming)."""
-    da = _stage(make_data(n_years, ny, nx, seed=2))
+    def make():
+        return make_data_device(n_years, ny, nx, seed=2)
+
     kw_detect = dict(
         method_anomaly="shifting_baseline",
         method_extreme="hobday_extreme",
@@ -490,12 +724,12 @@ def config2_hobday_shifting(n_years, ny, nx):
     kw_track = dict(allow_merging=False, **_prod_track_kwargs(ny))
 
     def run():
-        return _detect_track(da, kw_detect, kw_track)
+        return _detect_track(make, kw_detect, kw_track)
 
     with _silence:
         res, _ = _cold_then_warm(run)
         events, tr, t_det, t_trk = res
-    T = da.sizes["time"]
+    T = int(n_years * 365.25)
     wall = t_det + t_trk
     return {
         "wall_s": round(wall, 2),
@@ -508,19 +742,16 @@ def config2_hobday_shifting(n_years, ny, nx):
 
 
 def config3_regional(n_years, ny, nx):
-    import marex_tpu as marEx
-
-    da = _stage(make_data(n_years, ny, nx, seed=3, lat_range=(30.0, 70.0), lon_range=(-30.0, 40.0)))
-
     def run():
         import marex_tpu as marEx
 
+        da = make_data_device(n_years, ny, nx, seed=3, lat_range=(30.0, 70.0), lon_range=(-30.0, 40.0))
         t0 = time.perf_counter()
         ds = marEx.preprocess_data(da, quiet=True, **DETECT_FIXED)
         _block(ds.extreme_events.data)
         t_det = time.perf_counter() - t0
         ev, mask = ds.extreme_events, ds.mask
-        del ds
+        del ds, da
         t0 = time.perf_counter()
         tr = marEx.regional_tracker(
             ev, mask, R_fill=8, T_fill=2,
@@ -534,7 +765,7 @@ def config3_regional(n_years, ny, nx):
     with _silence:
         res, _ = _cold_then_warm(run)
         events, t_det, t_trk = res
-    T = da.sizes["time"]
+    T = int(n_years * 365.25)
     wall = t_det + t_trk
     return {
         "wall_s": round(wall, 2),
@@ -545,7 +776,7 @@ def config3_regional(n_years, ny, nx):
     }
 
 
-def config4_merge_production(da, ny, nx):
+def config4_merge_production(make, T, ny, nx):
     kw = dict(
         allow_merging=True,
         nn_partitioning=True,
@@ -554,12 +785,11 @@ def config4_merge_production(da, ny, nx):
     )
 
     def run():
-        return _detect_track(da, DETECT_FIXED, kw)
+        return _detect_track(make, DETECT_FIXED, kw)
 
     with _silence:
         res, cold = _cold_then_warm(run)
         events, tr, t_det, t_trk = res
-    T = da.sizes["time"]
     wall = t_det + t_trk
     return {
         "wall_s": round(wall, 2),
@@ -578,12 +808,11 @@ def config4_merge_production(da, ny, nx):
 def config5_unstructured(n_years, n_cells):
     import marex_tpu as marEx
 
-    da, nb, areas = make_unstructured(n_years, n_cells)
-    da = _stage(da)
     dims = {"time": "time", "x": "ncells"}
     coords = {"time": "time", "x": "lon", "y": "lat"}
 
     def run():
+        da, nb, areas = make_unstructured_device(n_years, n_cells)
         t0 = time.perf_counter()
         ds = marEx.preprocess_data(
             da, dimensions=dims, coordinates=coords,
@@ -593,7 +822,7 @@ def config5_unstructured(n_years, n_cells):
         t_det = time.perf_counter() - t0
         ev, mask = ds.extreme_events, ds.mask
         nbv, cav = ds.neighbours, ds.cell_areas
-        del ds
+        del ds, da
         t0 = time.perf_counter()
         tr = marEx.tracker(
             ev, mask, R_fill=2, T_fill=2,
@@ -611,8 +840,7 @@ def config5_unstructured(n_years, n_cells):
     with _silence:
         res, _ = _cold_then_warm(run)
         (events, tr), t_det, t_trk = res
-    T = da.sizes["time"]
-    C = da.sizes["ncells"]
+    T, C = (int(s) for s in events["ID_field"].data.shape)
     wall = t_det + t_trk
     return {
         "wall_s": round(wall, 2),
@@ -693,13 +921,25 @@ def config6_merge_dense(ny: int, nx: int, T: int = 200, n_pairs: int = 24):
     }
 
 
-def config7_streamed(da_host, ny, nx):
-    """Streamed larger-than-memory detect at full resolution: lat-row tiles
-    from host RAM through the fused detect programs into a raw zarr store
-    (the century-scale ingest path; README.md:161 analogue)."""
+def config7_streamed(n_years, ny, nx):
+    """Streamed larger-than-memory detect: lat-row tiles from host RAM
+    through the fused detect programs into a raw zarr store (the
+    century-scale ingest path; README.md:161 analogue). The whole f32 block
+    crosses the host->device link once — that IS the workload — so the
+    spatial shape adapts to the MEASURED link rate (~90 s of link budget):
+    full production shape on a PCIe-attached host, scaled down over a
+    tunnelled chip, with the link rate recorded alongside the result."""
     import shutil
 
     import marex_tpu as marEx
+    from marex_tpu.helper import measured_link_bandwidth
+
+    up, _ = measured_link_bandwidth()
+    T_est = int(n_years * 365.25)
+    s = min(1.0, (90.0 * up * 1e6 / (T_est * ny * nx * 4.0)) ** 0.5)
+    ny = max(int(ny * s) // 8 * 8, 24)
+    nx = max(int(nx * s) // 8 * 8, 48)
+    da_host = make_data(n_years, ny, nx)
 
     out = "/tmp/marex_bench_streamed.zarr"
     T = da_host.sizes["time"]
@@ -739,29 +979,48 @@ def config7_streamed(da_host, ny, nx):
         "n_tiles": n_tiles,
         "out_gb": round(out_bytes / 1e9, 2),
         "extremes_probe": n_ex,
+        "shape": [int(T), int(ny), int(nx)],
+        "link_up_mbps": round(up, 2),
     }
 
 
-def config8_streamed_track(da, ny, nx):
-    """Streamed larger-than-memory TRACKING at full resolution: detect once,
-    write the binary extremes to a chunked zarr store, then stream the whole
-    tracking pipeline (lazy reads, blockwise scan march, region-written
+def config8_streamed_track(n_years, ny, nx):
+    """Streamed larger-than-memory TRACKING: detect once (on device-generated
+    data), write the binary extremes to a chunked zarr store, then stream the
+    whole tracking pipeline (lazy reads, blockwise scan march, region-written
     ID_field) under a bounded memory budget. The out-of-core counterpart of
     config 4's track stage (reference analogue: zarr-region batched
-    split/merge, track.py:3804-4814)."""
+    split/merge, track.py:3804-4814). Every cell crosses the link ~5x (bool
+    extremes up from zarr, int32 IDs down to zarr), so like config 7 the
+    spatial shape adapts to the MEASURED link rate (~150 s budget per run)."""
     import shutil
 
+    import jax.numpy as jnp
+
     import marex_tpu as marEx
+    from marex_tpu.helper import measured_link_bandwidth
     from marex_tpu.io import zarr_lite
+
+    up, down = measured_link_bandwidth()
+    T_est = int(n_years * 365.25)
+    per_cell_s = 1.0 / (up * 1e6) + 4.125 / (down * 1e6)
+    s = min(1.0, (150.0 / (T_est * ny * nx * per_cell_s)) ** 0.5)
+    ny = max(int(ny * s) // 8 * 8, 24)
+    nx = max(int(nx * s) // 8 * 8, 48)
 
     src = "/tmp/marex_bench_trkstream_src.zarr"
     outp = "/tmp/marex_bench_trkstream_out.zarr"
     with _silence:
-        da_dev = da if type(da.data).__module__.startswith("jax") else _stage(da)
+        da_dev = make_data_device(n_years, ny, nx)
+        T = da_dev.sizes["time"]
         ds = marEx.preprocess_data(da_dev, quiet=True, **DETECT_FIXED)
         ev, mask = ds.extreme_events, ds.mask
-        ev_host = marEx.Field(np.asarray(ev.data), ev.dims, dict(ev.coords), name="extreme_events")
-        del ds, ev, da_dev
+        # extremes leave the device bit-packed (1/8th the link bytes)
+        S = ny * nx
+        bits = np.asarray(jnp.packbits(ev.data.reshape(T, S), axis=-1, bitorder="little"))
+        ev_np = np.unpackbits(bits, axis=-1, count=S, bitorder="little").astype(bool).reshape(T, ny, nx)
+        ev_host = marEx.Field(ev_np, ev.dims, dict(ev.coords), name="extreme_events")
+        del ds, ev, da_dev, bits
         zarr_lite.to_zarr(ev_host, src, chunks={"time": 64})
         del ev_host
         lazy = zarr_lite.open_zarr(src, lazy=True)
@@ -776,7 +1035,6 @@ def config8_streamed_track(da, ny, nx):
 
         res, _ = _cold_then_warm(run)
         events, tr, wall = res
-    T = da.sizes["time"]
     out = {
         "track_wall_s": round(wall, 2),
         "gpd_per_s": round(T * ny * nx / wall, 1),
@@ -784,6 +1042,8 @@ def config8_streamed_track(da, ny, nx):
         "total_merges": int(events.attrs["total_merges"]),
         "march_blocks": int(tr.dispatch_counts.get("march_scan", 0)),
         "memory_budget_mb": 2048,
+        "shape": [int(T), int(ny), int(nx)],
+        "link_mbps": [round(up, 2), round(down, 2)],
     }
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(outp, ignore_errors=True)
@@ -821,24 +1081,24 @@ def _tunnel_guard() -> "str | None":
     return f"cpu fallback: {reason}"
 
 
-# Orchestration order: headline config first so a driver timeout at ANY
+# Orchestration order: headline configs first so a driver timeout at ANY
 # point still leaves the best-so-far JSON line on stdout (VERDICT r3 item 1
 # — round 3 emitted nothing until every config finished and a timeout
-# produced zero perf evidence). "q" is a small-shape provisional headline
-# run first as insurance against production-shape failures.
-_CONFIG_ORDER = ["1", "2", "3", "6", "5", "7", "8", "4", "q"]
+# produced zero perf evidence). With on-device data generation (round 5)
+# none of the device configs pays a bulk host upload, so the true headline
+# (4, production merge) runs right after config 1's insurance number; the
+# link-bound streaming configs (7/8) go last. "q" is a small-shape
+# provisional headline in a subprocess, insurance against production-shape
+# failures — only reached when earlier configs failed fast.
+_CONFIG_ORDER = ["1", "4", "2", "5", "6", "3", "7", "8", "q"]
 
 # Rough per-config wall estimates (seconds; production shape, fresh XLA
-# compile on the single host core, /tmp-cached data, in-process executable
-# reuse across configs) used ONLY for budget gating — configs whose
-# estimate exceeds the remaining budget are recorded as skipped instead of
-# timing out the whole benchmark. Config 1 carries the bulk of the compile
-# cost; later configs reuse its executables in memory.
-# Config 4 (production merge march) runs LAST: its cold path (capacity
-# ladder recompiles of the scan program) has exceeded 19 min on this
-# chip, so it only runs when a large budget remains — the headline falls
-# back to config 1's production number otherwise.
-_CONFIG_EST_S = {"1": 500, "2": 220, "3": 60, "6": 90, "5": 400, "7": 100, "8": 130, "4": 700, "q": 300}
+# compile on the single host core, in-process executable reuse across
+# configs) used ONLY for budget gating — configs whose estimate exceeds the
+# remaining budget are recorded as skipped instead of timing out the whole
+# benchmark. Calibrated from round-5 TPU runs with on-device generation;
+# config 1 carries the bulk of the shared compile cost.
+_CONFIG_EST_S = {"1": 260, "4": 420, "2": 180, "5": 240, "6": 90, "3": 60, "7": 130, "8": 200, "q": 300}
 
 
 def _requested_configs():
@@ -898,24 +1158,27 @@ def _run_config(cid: str, ctx: dict) -> None:
     Shared by the in-process driver and the isolated child worker."""
     n_years, ny, nx, n_cells = ctx["n_years"], ctx["ny"], ctx["nx"], ctx["n_cells"]
     _try = ctx["try"]
-    da = ctx["da"]
-    da_host = ctx["da_host"]
+    T = int(n_years * 365.25)
+
+    def make(seed=0):
+        return make_data_device(n_years, ny, nx, seed=seed)
+
     if cid == "1":
-        _try("1_fixed_global_production", config1_production_nomerge, da, ny, nx)
+        _try("1_fixed_global_production", config1_production_nomerge, make, T, ny, nx)
     elif cid == "2":
         _try("2_shifting_hobday", config2_hobday_shifting, n_years, ny, nx)
     elif cid == "3":
         _try("3_regional", config3_regional, n_years, max(ny // 2, 32), max(nx // 2, 64))
     elif cid == "4":
-        _try("4_merge_production", config4_merge_production, da, ny, nx)
+        _try("4_merge_production", config4_merge_production, make, T, ny, nx)
     elif cid == "5":
         _try("5_unstructured", config5_unstructured, max(n_years // 2, 2), n_cells)
     elif cid == "6":
         _try("6_merge_dense", config6_merge_dense, max(ny // 4, 60), max(nx // 4, 120))
     elif cid == "7":
-        _try("7_streamed", config7_streamed, da_host, ny, nx)
+        _try("7_streamed", config7_streamed, n_years, ny, nx)
     elif cid == "8":
-        _try("8_streamed_track", config8_streamed_track, da, ny, nx)
+        _try("8_streamed_track", config8_streamed_track, n_years, ny, nx)
 
 
 _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "hbm", "Ran out of memory", "out of memory", "UNAVAILABLE")
@@ -928,11 +1191,9 @@ def _entry_oom(cfgs: dict) -> bool:
     )
 
 
-def _worker_context(which) -> dict:
-    """Shapes + data + fault-isolation wrapper for config execution in THIS
+def _worker_context(which) -> dict:  # noqa: ARG001 - `which` kept for call compat
+    """Shapes + fault-isolation wrapper for config execution in THIS
     process (jax must already be importable; the tunnel probe has run)."""
-    import sys as _sys
-
     import jax
 
     small = os.environ.get("JAX_PLATFORMS", "") == "cpu"
@@ -946,12 +1207,10 @@ def _worker_context(which) -> dict:
     nx = int(os.environ.get("MAREX_BENCH_NX", "180" if small else "1440"))
     n_cells = int(os.environ.get("MAREX_BENCH_CELLS", "20000" if small else "1048576"))
 
-    # only configs 1/4/7/8 consume the full-resolution host block; building
-    # it for other configs wastes minutes + gigabytes
-    t_gen = time.perf_counter()
-    da_host = make_data(n_years, ny, nx) if which & {"1", "4", "7", "8"} else None
-    print(f"[bench] data ready in {time.perf_counter() - t_gen:.1f}s", file=_sys.stderr, flush=True)
-    T = da_host.sizes["time"] if da_host is not None else n_years * 365
+    # every device config generates its input ON DEVICE (see the on-device
+    # generation section); only the streaming configs (7/8) build host
+    # blocks, at their own link-adaptive shapes
+    T = int(n_years * 365.25)
 
     detail = {"shape": [T, ny, nx], "configs": {}}
     if n_years != n_years_req:
@@ -991,12 +1250,8 @@ def _worker_context(which) -> dict:
         gc.collect()
         return detail["configs"][name]
 
-    # configs 1/4/8 receive the HOST block; _detect_track stages it per run
-    # (upload untimed) and frees it before tracking — pre-staging here would
-    # pin 4.8 GB of HBM across the whole benchmark at production shape
-    da = da_host if which & {"1", "4", "8"} else None
     return {
-        "detail": detail, "try": _try, "da": da, "da_host": da_host,
+        "detail": detail, "try": _try,
         "n_years": n_years, "ny": ny, "nx": nx, "n_cells": n_cells,
     }
 

@@ -291,7 +291,7 @@ def check_device_health(raise_on_error: bool = True) -> Dict[str, Any]:
 _LINK_BW_CACHE: Optional[tuple] = None
 
 
-def measured_link_bandwidth(probe_mb: float = 1.0, refresh: bool = False) -> tuple:
+def measured_link_bandwidth(probe_mb: float = 8.0, refresh: bool = False) -> tuple:
     """
     Measured host<->device link bandwidth ``(up_MB_per_s, down_MB_per_s)``.
 
@@ -322,23 +322,38 @@ def measured_link_bandwidth(probe_mb: float = 1.0, refresh: bool = False) -> tup
     import jax
 
     try:
-        n = max(int(probe_mb * 1e6) // 4, 1024)
+        # Two-size differential measurement: a tunnelled link carries ~0.5 s
+        # of per-transfer dispatch latency, so a single small transfer reads
+        # 10-20x below the sustained rate (measured: 1 MB probe said
+        # 0.9 MB/s down while a 142 MB download sustained 16 MB/s). Timing a
+        # small AND a large transfer and dividing the SIZE difference by the
+        # TIME difference cancels the fixed latency.
+        n_small = max(int(probe_mb * 1e6) // 16, 1024) // 4
+        n_big = max(int(probe_mb * 1e6), 4096) // 4
         # warm the dispatch path so the probe measures transfer, not init
         jax.block_until_ready(jax.device_put(np.zeros((16,), np.float32)))
-        # best of two reps each way: the first large transfer of a process
-        # pays one-off layout/allocation costs that bias the rate low by up
-        # to 10x (measured on the CPU backend), and the cutover needs order
-        # of magnitude, not precision
-        up = down = 0.0
-        for _ in range(2):
+
+        def _one(n):
             host = np.zeros((n,), np.float32)
             t0 = _time.perf_counter()
             dev = jax.device_put(host)
             jax.block_until_ready(dev)
-            up = max(up, (n * 4 / 1e6) / max(_time.perf_counter() - t0, 1e-6))
+            t_up = _time.perf_counter() - t0
             t0 = _time.perf_counter()
             np.asarray(dev)
-            down = max(down, (n * 4 / 1e6) / max(_time.perf_counter() - t0, 1e-6))
+            return t_up, _time.perf_counter() - t0
+
+        us, ds = _one(n_small)
+        ub, db = _one(n_big)
+        dmb = (n_big - n_small) * 4 / 1e6
+        up = dmb / max(ub - us, 1e-6)
+        down = dmb / max(db - ds, 1e-6)
+        # fall back to the plain big-transfer rate if timing noise made the
+        # difference negative/unstable
+        if ub <= us:
+            up = n_big * 4 / 1e6 / max(ub, 1e-6)
+        if db <= ds:
+            down = n_big * 4 / 1e6 / max(db, 1e-6)
         _LINK_BW_CACHE = (float(up), float(down))
         logger.info(f"Measured host<->device link bandwidth: up={up:.1f} MB/s down={down:.1f} MB/s")
     except Exception as e:  # pragma: no cover - only on device failure

@@ -111,6 +111,30 @@ def event_global_id(new_flat: jax.Array, old_flat: jax.Array, n_events: int, tim
     return _map_row_blocks(blk, (new_flat, old_flat), T, tb)[:, : n_events + 1]
 
 
+@partial(jax.jit, static_argnames=("n_events", "time_block"))
+def event_global_id_lookup(old_flat: jax.Array, lookup: jax.Array, n_events: int, time_block: int = 64) -> jax.Array:
+    """
+    :func:`event_global_id` with the NEW ids derived in-block via
+    ``lookup[old]`` instead of passed as a second full-size field. The
+    cluster-rename stage uses this to build the (time, ID) table BEFORE the
+    full-field remap, so the remap can donate the old-id buffer — at
+    production shape that removes a 4.5 GB concurrent allocation, the
+    difference between merge-mode tracking fitting a 16 GB chip and
+    RESOURCE_EXHAUSTED (observed round 5, config 4 at 1095x720x1440).
+    """
+    T = old_flat.shape[0]
+    tb = min(time_block, T)
+
+    def blk(ofb):
+        ofb = ofb.reshape(ofb.shape[0], -1)
+        nfb = jnp.take(lookup, ofb)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, nfb.shape, 0)
+        cols = jnp.where(nfb > 0, nfb, n_events + 1)
+        return jnp.zeros((nfb.shape[0], n_events + 2), jnp.int32).at[t_idx, cols].max(ofb)
+
+    return _map_row_blocks(blk, (old_flat,), T, tb)[:, : n_events + 1]
+
+
 @partial(jax.jit, static_argnames=("n_labels",))
 def grid_label_comps(labels: jax.Array, n_labels: int) -> jax.Array:
     """

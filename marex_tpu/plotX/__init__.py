@@ -20,7 +20,7 @@ from ..exceptions import ConfigurationError
 from ..logging_config import get_logger
 from .base import PlotConfig, PlotterBase
 from .gridded import GriddedPlotter
-from .unstructured import UnstructuredPlotter
+from .unstructured import UnstructuredPlotter, clear_cache
 
 logger = get_logger(__name__)
 
@@ -126,6 +126,7 @@ if has_dependency("xarray"):  # pragma: no cover - exercised only with xarray in
 
 __all__ = [
     "PlotConfig",
+    "clear_cache",
     "PlotterBase",
     "GriddedPlotter",
     "UnstructuredPlotter",

@@ -2381,20 +2381,19 @@ class tracker:
         max_id = int(max(int(jnp.max(labels_dev)), all_ids.max() if len(all_ids) else 0))
         lookup = np.zeros(max_id + 2, dtype=np.int32)
         lookup[all_ids] = comp.astype(np.int32) + 1
-
-        # device remap of the full field
-        new_field_dev = jnp.take(jnp.asarray(lookup), labels_dev)
+        lookup_dev = jnp.asarray(lookup)
 
         T = labels_dev.shape[0]
         N = n_events
 
-        # global_ID (time, ID): original id at each time for each event —
-        # per-row max-combining scatter, time-tiled (ops.properties). The
-        # fields pass 3-D: event_global_id flattens per block (a standalone
-        # (T, S) relayout copy is ~4.5 GB each at production shape)
-        global_id = _props.event_global_id(new_field_dev, labels_dev, N)
-        del labels_dev  # old ids are dead; free one full-size field
-        new_field = new_field_dev  # device-resident; downloaded only on .values
+        # global_ID (time, ID) FIRST, deriving new ids in-block via the
+        # lookup (ops.properties.event_global_id_lookup), THEN the full-field
+        # remap with the old-id buffer DONATED: holding old and new full-size
+        # fields concurrently (2 x 4.5 GB at production shape) exhausted the
+        # chip in round 5's config-4 run.
+        global_id = _props.event_global_id_lookup(labels_dev, lookup_dev, N)
+        new_field = _label.remap_labels_donated(lookup_dev, labels_dev)
+        del labels_dev  # donated: the buffer now backs new_field
 
         presence = global_id > 0
         time_vals = np.asarray(self.data_bin.coords[self.timecoord].values)
