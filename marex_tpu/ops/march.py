@@ -73,6 +73,14 @@ class MarchSizes(NamedTuple):
     HC: int = 0   # partition row-band height (0 = full-grid partition)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def write_time_block_donated(out: jax.Array, block: jax.Array, start) -> jax.Array:
+    """In-place (donated) write of one time block into the label accumulator
+    (the blockwise march's assembly step; a list+concatenate would hold the
+    full-size field twice — see track._split_and_merge_scan)."""
+    return jax.lax.dynamic_update_slice_in_dim(out, block, start, axis=0)
+
+
 # flag bit positions (carried int32 bitmask)
 FLAG_MP = 1 << 0      # pair slots overflowed
 FLAG_K = 1 << 1       # >K merging children in one iteration

@@ -62,6 +62,26 @@ _K_DEV_UNSTR_S_PER_CELL = 8.8e-7  # device gather fixpoint over a (K, C) mesh
 _K_HOST_UNSTR_S_PER_CELL = 2.8e-9  # host union-find over active cells
 
 
+def _log_live_device_bytes(tag: str) -> None:
+    """MAREX_MEM_AUDIT=1 diagnostic: log total bytes of PYTHON-visible live
+    jax arrays plus the five largest, at pipeline stage boundaries. The axon
+    backend exposes no memory_stats(), so leak-hunting at production shape
+    (16 GB chip) works from the framework side."""
+    try:
+        arrs = jax.live_arrays()
+        items = sorted(
+            ((int(np.prod(a.shape)) * a.dtype.itemsize, a.shape, str(a.dtype)) for a in arrs),
+            reverse=True,
+        )
+        total = sum(i[0] for i in items)
+        top = ", ".join(f"{s}/{d}:{b/1e9:.2f}GB" for b, s, d in items[:5])
+        import sys as _sys
+
+        print(f"[mem-audit] {tag}: live={total/1e9:.2f}GB n={len(items)} top=[{top}]", file=_sys.stderr, flush=True)
+    except Exception:  # pragma: no cover - diagnostic only
+        pass
+
+
 def _scan_cache_path() -> str:
     return os.environ.get(
         "MAREX_SCAN_CACHE",
@@ -1627,6 +1647,9 @@ class tracker:
         clock stops, giving exact attribution at the cost of extra syncs."""
         t0 = time.perf_counter()
         sync_refs: list = []
+        audit = os.environ.get("MAREX_MEM_AUDIT", "") == "1"
+        if audit:
+            _log_live_device_bytes(f"enter {name}")
         try:
             yield sync_refs
             if sync_refs and os.environ.get("MAREX_STAGE_TIMING", "") == "1":
@@ -1641,6 +1664,8 @@ class tracker:
             if d is None:
                 d = self.stage_walls = {}
             d[name] = round(d.get(name, 0.0) + (time.perf_counter() - t0), 4)
+            if audit:
+                _log_live_device_bytes(f"exit {name}")
 
     def _pairs_dev(self, a_dev, b_dev, key_stride: int) -> np.ndarray:
         """Overlap triples for ONE slice pair computed on device (the march's
@@ -2077,7 +2102,14 @@ class tracker:
             pga_h = np.full((T, MPc), -1, np.int32)
             pgb_h = np.full((T, MPc), -1, np.int32)
             pgw_h = np.zeros((T, MPc), np.float32)
-            label_blocks = []
+            # blockwise label assembly goes into a DONATED accumulator as the
+            # blocks arrive: holding the per-block outputs in a list and
+            # concatenating at the end transiently doubles the ~4.5 GB label
+            # field at production shape, which (stacked on labels3 + the
+            # boolean fields) exhausted the chip in round 5's config-4 run
+            acc = None
+            boundary = None  # previous block's FINAL output slice
+            labels_final = None
             resume = None
             out = None
             flags = 0
@@ -2091,7 +2123,7 @@ class tracker:
                 else:
                     # the boundary slice must be its FINAL pixels (partition
                     # pieces included), i.e. the previous block's last output
-                    labels_ext = jnp.concatenate([out["labels"][-1:], labels3[s0:s1]])
+                    labels_ext = jnp.concatenate([boundary, labels3[s0:s1]])
                 out = _march.scan_march(
                     labels_ext,
                     jnp.asarray(counts_i[ext0:s1]),
@@ -2116,7 +2148,16 @@ class tracker:
                 pga_h[ext0:s1] = np.asarray(out["pga"])
                 pgb_h[ext0:s1] = np.asarray(out["pgb"])
                 pgw_h[ext0:s1] = np.asarray(out["pgw"])
-                label_blocks.append(out["labels"] if s0 == 0 else out["labels"][1:])
+                blk = out.pop("labels")
+                boundary = blk[-1:]
+                if s0 == 0 and s1 == T:
+                    labels_final = blk  # monolithic run: the output IS the result
+                else:
+                    if acc is None:
+                        acc = jnp.zeros((T,) + blk.shape[1:], blk.dtype)
+                    acc = _march.write_time_block_donated(acc, blk if s0 == 0 else blk[1:], s0)
+                    labels_final = acc
+                del blk
                 resume = dict(
                     pga=out["pga"][-1:], pgb=out["pgb"][-1:], pgw=out["pgw"][-1:],
                     comps=out["comps"], alive=out["alive"], next_new=out["next_new"],
@@ -2168,8 +2209,8 @@ class tracker:
                 labels_box.append(labels3.astype(jnp.int32).reshape(out_shape))
             return None
 
-        # the label stack is fully consumed into label_blocks: drop the last
-        # references so the final assembly holds two full-size fields
+        # the label stack is fully consumed into the accumulator: drop the
+        # last references so the global-id map holds two full-size fields
         # instead of three (box emptied -> track_objects holds nothing)
         labels_box.clear()
         del labels3
@@ -2179,9 +2220,7 @@ class tracker:
             gmap_host, pga_h, pgb_h, pgw_h, out, T, W, unstr, wrap
         )
 
-        labels_final = label_blocks[0] if len(label_blocks) == 1 else jnp.concatenate(label_blocks, axis=0)
-        label_blocks.clear()
-        out.pop("labels", None)  # allow the donation below to be the only ref
+        del acc, boundary  # labels_final is the only remaining reference
         # donation only aliases like-for-like dtypes; the int16 stack (half
         # the output's size) can't back the int32 result, so skip the donate
         # wrapper there to avoid the unused-donation warning

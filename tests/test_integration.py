@@ -20,14 +20,20 @@ class TestGriddedPipeline:
         # hold); sized for the single-core CPU test backend
         return make_gridded_sst(n_years=6, ny=24, nx=128, seed=21)
 
-    def test_fixed_global_exact_to_tracker(self, sst):
-        ds = marEx.preprocess_data(
+    @pytest.fixture(scope="class")
+    def ds_fixed_exact(self, sst):
+        # shared by three tests below (identical detect settings); one
+        # preprocess instead of three keeps the suite's wall-time down
+        return marEx.preprocess_data(
             sst,
             method_anomaly="fixed_baseline",
             method_extreme="global_extreme",
             method_percentile="exact",
             threshold_percentile=95,
         )
+
+    def test_fixed_global_exact_to_tracker(self, sst, ds_fixed_exact):
+        ds = ds_fixed_exact
         tr = marEx.tracker(
             ds.extreme_events,
             ds.mask,
@@ -88,10 +94,8 @@ class TestGriddedPipeline:
         # time_start <= time_end
         assert (events.time_start.values <= events.time_end.values).all()
 
-    def test_grid_resolution_areas(self, sst):
-        ds = marEx.preprocess_data(
-            sst, method_anomaly="fixed_baseline", method_extreme="global_extreme", method_percentile="exact"
-        )
+    def test_grid_resolution_areas(self, sst, ds_fixed_exact):
+        ds = ds_fixed_exact
         tr = marEx.tracker(
             ds.extreme_events,
             ds.mask,
@@ -107,14 +111,15 @@ class TestGriddedPipeline:
         # physical km^2 cell areas at 1.5 deg: single-cell area ~ up to 2.7e4
         assert np.nanmean(area[pres]) > 1e3
 
-    def test_method_consistency(self, sst):
+    def test_method_consistency(self, sst, ds_fixed_exact):
         """Different anomaly methods produce broadly consistent event activity."""
-        counts = {}
-        for method in ("fixed_baseline", "detrend_harmonic"):
-            ds = marEx.preprocess_data(
-                sst, method_anomaly=method, method_extreme="global_extreme", method_percentile="exact"
-            )
-            counts[method] = float(ds.extreme_events.values.mean())
+        ds_detrend = marEx.preprocess_data(
+            sst, method_anomaly="detrend_harmonic", method_extreme="global_extreme", method_percentile="exact"
+        )
+        counts = {
+            "fixed_baseline": float(ds_fixed_exact.extreme_events.values.mean()),
+            "detrend_harmonic": float(ds_detrend.extreme_events.values.mean()),
+        }
         ratio = counts["fixed_baseline"] / counts["detrend_harmonic"]
         assert 0.5 < ratio < 2.0
 
