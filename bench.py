@@ -1393,7 +1393,21 @@ def _drive() -> None:
                 poisoned = True  # device pool is unreliable from here on
 
         if _entry_oom(cfgs):
-            # retry the failed config at half resolution in a FRESH child
+            # RESOURCE_EXHAUSTED on the tunnelled backend is often the
+            # remote server degrading under load, not true chip-HBM
+            # exhaustion (round 5: the same config OOMed and then passed
+            # minutes apart) — so retry ONCE at FULL shape in a fresh child
+            # before degrading to half resolution.
+            remaining = budget - (time.monotonic() - t0)
+            if remaining > est * 1.2:
+                retry = run_child(cid, None, timeout_s=max(remaining - 5.0, 30.0)).get("configs", {})
+                for name, entry in retry.items():
+                    if "error" not in entry:
+                        entry["fresh_process_retry"] = True
+                if not _entry_oom(retry):
+                    cfgs = retry
+        if _entry_oom(cfgs):
+            # still failing: retry at half resolution in a fresh child
             remaining = budget - (time.monotonic() - t0)
             if remaining > est * 0.5:
                 retry = run_child(cid, half_env, timeout_s=max(remaining - 5.0, 30.0)).get("configs", {})

@@ -1013,6 +1013,16 @@ def identify_extremes(
                 context={"method_percentile": method_percentile, "provided_max_anomaly": max_anomaly},
             )
 
+    if not 0 < threshold_percentile <= 100:
+        # the reference leaves out-of-range percentiles to fail deep inside
+        # numpy's quantile (exact) or silently misbehave (approximate
+        # histogram interpolation); reject them up front instead
+        raise ConfigurationError(
+            f"threshold_percentile must be in (0, 100], got {threshold_percentile}",
+            suggestions=["Use a percentile like 90, 95, or 99 for extreme event detection"],
+            context={"threshold_percentile": threshold_percentile},
+        )
+
     if threshold_percentile < 60 and method_percentile == "approximate":
         raise ConfigurationError(
             f"Percentile threshold {threshold_percentile}% is not supported with method_percentile='approximate'",

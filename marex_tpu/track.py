@@ -697,6 +697,41 @@ class tracker:
     # Main public pipeline
     # ------------------------------------------------------------------
 
+    def _data_bin_payload(self) -> jnp.ndarray:
+        """The raw binary field as a device bool array — transparently
+        unpacking the bit-packed stash when :meth:`_release_data_bin` ran
+        (a second ``run()`` on the same tracker reconstructs the field)."""
+        packed = getattr(self, "_data_bin_packed", None)
+        if packed is not None:
+            bits, shape = packed
+            S = int(np.prod(shape[1:]))
+            flat = jnp.unpackbits(bits, axis=-1, count=S, bitorder="little")
+            return flat.reshape(shape).astype(bool)
+        payload = self.data_bin.data
+        if type(payload).__module__.startswith("jax"):
+            return payload.astype(bool)  # already device-resident
+        return jnp.asarray(np.asarray(payload, dtype=bool))
+
+    def _release_data_bin(self) -> None:
+        """Swap the raw binary field's device buffer for a bit-packed copy
+        (1 bit/cell) and a zero-RAM host shell that preserves dims/coords/
+        attrs: after preprocessing, only the field's METADATA wraps outputs,
+        so keeping the bool buffer alive pins ~1.1 GB at production shape
+        through the march/rename peaks. Host-backed inputs (numpy, lazy
+        zarr) are left untouched."""
+        payload = self.data_bin.data
+        if getattr(self, "_data_bin_packed", None) is not None:
+            return
+        if not type(payload).__module__.startswith("jax"):
+            return
+        shape = tuple(payload.shape)
+        bits = jnp.packbits(payload.reshape(shape[0], -1), axis=-1, bitorder="little")
+        bits.block_until_ready()
+        self._data_bin_packed = (bits, shape)
+        shell = np.broadcast_to(np.False_, shape)  # full shape, zero bytes
+        self.data_bin = Field(shell, self.data_bin.dims, dict(self.data_bin.coords),
+                              name=self.data_bin.name, attrs=dict(self.data_bin.attrs))
+
     def run(self, return_merges: bool = False, checkpoint: Optional[str] = None):
         """Run preprocessing, tracking, and statistics (track.py:1162-1232)."""
         logger.info("Starting complete tracking pipeline")
@@ -705,8 +740,15 @@ class tracker:
         with log_timing(logger, "Data preprocessing", log_memory=True):
             data_bin_preprocessed, object_stats = self.run_preprocess(checkpoint=checkpoint)
 
+        # the RAW binary field's device buffer is dead from here on (only its
+        # coords/shape wrap outputs); swap it for a bit-packed copy so it
+        # stops pinning ~1 GB/year-of-0.25deg through the march and rename
+        self._release_data_bin()
+
         with log_timing(logger, "Object identification and tracking", log_memory=True):
-            events_ds, merges_ds, N_events_final = self.run_tracking(data_bin_preprocessed)
+            pre_box = [data_bin_preprocessed]
+            del data_bin_preprocessed  # ownership moves into the box
+            events_ds, merges_ds, N_events_final = self.run_tracking(pre_box)
 
         with log_timing(logger, "Computing event statistics and attributes", log_memory=True):
             events_ds = self.run_stats_attributes(events_ds, merges_ds, object_stats, N_events_final)
@@ -1199,11 +1241,7 @@ class tracker:
             if os.path.exists(bin_path) and os.path.exists(stats_path):
                 return self._load_checkpoint()
 
-        payload = self.data_bin.data
-        if type(payload).__module__.startswith("jax"):
-            data = payload.astype(bool)  # already device-resident
-        else:
-            data = jnp.asarray(np.asarray(payload, dtype=bool))
+        data = self._data_bin_payload()
 
         if self.mesh is not None:
             from .parallel import shard_if_divisible, track_sharding
@@ -1343,11 +1381,19 @@ class tracker:
         field = object_id_field.data if isinstance(object_id_field, Field) else object_id_field
         return self._all_overlaps(np.asarray(field, dtype=np.int32))
 
-    def run_tracking(self, data_bin_preprocessed: jnp.ndarray):
-        """Track objects through time (track.py:1370-1412)."""
+    def run_tracking(self, data_bin_preprocessed):
+        """Track objects through time (track.py:1370-1412).
+
+        ``data_bin_preprocessed`` may be the filtered field or a 1-element
+        OWNERSHIP BOX holding it (run() passes a box): the field is dead the
+        moment labeling has consumed it, and clearing the box then frees
+        ~1.1 GB at production shape through the march/rename peaks."""
+        box = data_bin_preprocessed if isinstance(data_bin_preprocessed, list) else [data_bin_preprocessed]
+        del data_bin_preprocessed
         if self.allow_merging or self.unstructured_grid:
-            events_ds, merges_ds, N_events = self.track_objects(data_bin_preprocessed)
+            events_ds, merges_ds, N_events = self.track_objects(box)
         else:
+            data_bin_preprocessed = box[0]
             # Scalable two-level 3x3x3 labeling: tiled per-slice CCL +
             # inter-slice adjacency union-find (memory bounded at any T).
             # Small fields keep the single fused fixpoint program + the
@@ -1382,6 +1428,8 @@ class tracker:
                         labels = dense.reshape(data_bin_preprocessed.shape)
                         N_events = int(n)
                 _s.append(labels)
+            del data_bin_preprocessed
+            box.clear()  # the filtered field is dead once labeling consumed it
             # keep the labeled field device-resident (it is the largest output)
             id_field = self._wrap_id_field(labels)
             events_ds = FieldSet({"ID_field": id_field})
@@ -1430,13 +1478,18 @@ class tracker:
                 keep.append((a, b, w))
         return np.array(keep, dtype=np.float64).reshape(-1, 3)
 
-    def track_objects(self, data_bin: jnp.ndarray):
+    def track_objects(self, data_bin):
         """Full merge/split-aware tracking (track.py:2734-2807). Labels stay
         device-resident; the merge march materialises only the slices it
-        touches (see _SliceStore)."""
+        touches (see _SliceStore). ``data_bin`` may arrive in a 1-element
+        ownership box (see run_tracking) — the binary field is freed as soon
+        as per-slice labeling has consumed it."""
+        box_in = data_bin if isinstance(data_bin, list) else [data_bin]
+        del data_bin
         with self._stage_ctx("ccl") as _s:
-            labels_slices, counts = self._label_slices(data_bin)
+            labels_slices, counts = self._label_slices(box_in[0])
             _s.append(labels_slices)
+        box_in.clear()
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
         # ownership box: the scan march drops the per-slice label stack once

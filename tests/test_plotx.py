@@ -333,7 +333,7 @@ class TestUnstructuredDepth:
         plotter.specify_grid(fpath_tgrid=path)
         fig, ax, im = plotter.single_plot(PlotConfig(show_colorbar=False))
         plt.close(fig)
-        tri = unstr._GRID_CACHE[("tri", 2, path)]
+        tri = unstr._GRID_CACHE[("tgrid", str(path))]
         assert tri.triangles.shape == (2, 3)
         np.testing.assert_array_equal(tri.triangles, voc.T - 1)
         np.testing.assert_allclose(tri.x, np.rad2deg(verts_lon))
