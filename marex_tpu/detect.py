@@ -282,6 +282,11 @@ class _Staged:
 
         mesh = get_default_mesh()
         payload = da.data
+        # host payloads are staged into a PRIVATE device copy — programs may
+        # donate (destroy) it freely; device-resident payloads belong to the
+        # caller and may only be donated on explicit opt-in (donate_input)
+        self.owns_data = not type(payload).__module__.startswith("jax")
+        self._mask_np: Optional[np.ndarray] = None
         if type(payload).__module__.startswith("jax"):
             # Already device-resident (e.g. chained from another detect
             # stage): keep the ORIGINAL (T, *spatial) shape. A standalone
@@ -329,7 +334,11 @@ class _Staged:
         return out
 
     def mask_values(self) -> np.ndarray:
-        return np.isfinite(np.asarray(self.data[0])).reshape(self.spatial_shape)
+        # cached: paths that DONATE the payload into the anomaly program must
+        # capture the mask first (the buffer is invalid afterwards)
+        if self._mask_np is None:
+            self._mask_np = np.isfinite(np.asarray(self.data[0])).reshape(self.spatial_shape)
+        return self._mask_np
 
 
 # ============================
@@ -364,6 +373,7 @@ def preprocess_data(
     verbose: Optional[bool] = None,
     quiet: Optional[bool] = None,
     mesh: Optional[Any] = None,
+    donate_input: bool = False,
 ) -> FieldSet:
     """
     Complete preprocessing pipeline: anomalies + extreme identification.
@@ -464,6 +474,7 @@ def preprocess_data(
             detrend_orders,
             force_zero_mean,
             reference_period,
+            donate_input=donate_input,
         )
 
     # Shifting baseline: drop the first `window_year_baseline` years
@@ -649,6 +660,7 @@ def compute_normalised_anomaly(
     use_temp_checkpoints: bool = False,
     verbose: Optional[bool] = None,
     quiet: Optional[bool] = None,
+    donate_input: bool = False,
 ) -> FieldSet:
     """
     Generate anomalies using the selected methodology
@@ -675,17 +687,20 @@ def compute_normalised_anomaly(
 
     if method_anomaly == "detrend_harmonic":
         return _anomaly_detrended(
-            da, dimensions, coordinates, std_normalise, detrend_orders, force_zero_mean, remove_harmonics=True
+            da, dimensions, coordinates, std_normalise, detrend_orders, force_zero_mean,
+            remove_harmonics=True, donate=donate_input,
         )
     elif method_anomaly == "shifting_baseline":
         return _anomaly_shifting_baseline(da, dimensions, coordinates, window_year_baseline, smooth_days_baseline)
     elif method_anomaly == "fixed_baseline":
-        return _anomaly_fixed_baseline(da, dimensions, coordinates, reference_period)
+        return _anomaly_fixed_baseline(da, dimensions, coordinates, reference_period, donate=donate_input)
     elif method_anomaly == "detrend_fixed_baseline":
         detrended = _anomaly_detrended(
-            da, dimensions, coordinates, False, detrend_orders, force_zero_mean, remove_harmonics=False
+            da, dimensions, coordinates, False, detrend_orders, force_zero_mean,
+            remove_harmonics=False, donate=donate_input,
         )
-        return _anomaly_fixed_baseline(detrended["dat_anomaly"], dimensions, coordinates, reference_period)
+        # the intermediate detrended field is OURS: always donate it onward
+        return _anomaly_fixed_baseline(detrended["dat_anomaly"], dimensions, coordinates, reference_period, donate=True)
     else:
         raise ConfigurationError(
             f"Unknown anomaly method '{method_anomaly}'",
@@ -771,6 +786,7 @@ def _anomaly_fixed_baseline(
     dimensions: Dict[str, str],
     coordinates: Dict[str, str],
     reference_period: Optional[Tuple[int, int]],
+    donate: bool = False,
 ) -> FieldSet:
     """Fixed daily climatology anomaly (cf. detect.py:2299-2397)."""
     staged = _Staged(da, dimensions, coordinates, prefer_flat=False)
@@ -798,7 +814,13 @@ def _anomaly_fixed_baseline(
     else:
         clim_mask = jnp.ones((staged.data.shape[0],), bool)
 
-    anomalies = _pipe.anomaly_program(
+    # donate the payload into the program when it is OURS (host-staged) or
+    # the caller opted in: the input and anomaly buffers (4.5 GB each at
+    # production shape) are otherwise concurrently live, and the detect peak
+    # decides whether the pipeline fits the chip's share of a busy pool
+    prog = _pipe.anomaly_program_donated if (donate or staged.owns_data) else _pipe.anomaly_program
+    staged.mask_values()  # capture the land mask BEFORE the buffer dies
+    anomalies = prog(
         staged.data,
         jnp.asarray(staged.tinfo.year_index),
         jnp.asarray(staged.tinfo.dayofyear - 1),
@@ -822,6 +844,7 @@ def _anomaly_detrended(
     detrend_orders: List[int],
     force_zero_mean: bool,
     remove_harmonics: bool,
+    donate: bool = False,
 ) -> FieldSet:
     """Polynomial + harmonic detrending anomaly (cf. detect.py:2061-2296)."""
     if not detrend_orders:
@@ -850,7 +873,9 @@ def _anomaly_detrended(
 
     staged = _Staged(da, dimensions, coordinates, prefer_flat=False)
     model, pmodel = _detrend.build_design_matrix(staged.tinfo, detrend_orders, remove_harmonics)
-    anomalies = _pipe.anomaly_program(
+    prog = _pipe.anomaly_program_donated if (donate or staged.owns_data) else _pipe.anomaly_program
+    staged.mask_values()  # capture the land mask BEFORE the buffer dies
+    anomalies = prog(
         staged.data,
         jnp.asarray(staged.tinfo.year_index),
         jnp.asarray(staged.tinfo.dayofyear - 1),

@@ -1117,3 +1117,27 @@ def map_to_global(labels: jax.Array, gmap: jax.Array) -> jax.Array:
 # stack is dead afterwards, and at production shape aliasing the output onto
 # it saves a full-field (~4.5 GB) buffer at the peak
 map_to_global_donated = jax.jit(map_to_global, donate_argnums=(0,))
+
+
+@partial(jax.jit, static_argnames=("time_block",))
+def map_to_global_blocked(labels: jax.Array, gmap: jax.Array, time_block: int = 64) -> jax.Array:
+    """:func:`map_to_global` computed per time block into an in-place output
+    carry: the monolithic batched gather's working set (int16 label stack +
+    int32 index temp + int32 output ~ 11 GB at production shape) is more
+    than a 16 GB chip can stage next to the live pipeline buffers; blockwise
+    execution bounds the transient to one block (~0.5 GB). Used for the
+    int16 stack (which the donated variant cannot alias anyway)."""
+    T = labels.shape[0]
+    tb = min(time_block, T)
+    n_blocks = -(-T // tb)
+    starts = jnp.minimum(jnp.arange(n_blocks, dtype=jnp.int32) * tb, T - tb)
+
+    def write(i, acc):
+        s0 = starts[i]
+        lab = jax.lax.dynamic_slice_in_dim(labels, s0, tb, axis=0)
+        rows = jax.lax.dynamic_slice_in_dim(gmap, s0, tb, axis=0)
+        # clamped final block recomputes overlapped rows with identical values
+        return jax.lax.dynamic_update_slice_in_dim(acc, map_to_global(lab, rows), s0, axis=0)
+
+    out0 = jnp.zeros(labels.shape, jnp.int32)
+    return jax.lax.fori_loop(0, n_blocks, write, out0)

@@ -82,16 +82,16 @@ def _doy_nanmean_direct(
     return jnp.where(cnts > 0, sums / cnts, jnp.nan)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_years",
-        "method_anomaly",
-        "window_year_baseline",
-        "smooth_days_baseline",
-        "force_zero_mean",
-    ),
+_ANOM_STATIC = (
+    "n_years",
+    "method_anomaly",
+    "window_year_baseline",
+    "smooth_days_baseline",
+    "force_zero_mean",
 )
+
+
+@partial(jax.jit, static_argnames=_ANOM_STATIC)
 def anomaly_program(
     data: jax.Array,
     year_idx: jax.Array,
@@ -169,6 +169,16 @@ def anomaly_program(
         return anom
 
     raise ValueError(method_anomaly)
+
+
+# Input-donating variant: the anomaly output aliases the input buffer, so
+# the raw block and the anomalies (4.5 GB EACH at 0.25-degree production
+# shape) are never concurrently live. Used whenever the staged payload is
+# private (host inputs) or the caller passed donate_input=True — the detect
+# peak decides whether the pipeline fits the chip's share of a shared pool.
+anomaly_program_donated = jax.jit(
+    anomaly_program.__wrapped__, static_argnames=_ANOM_STATIC, donate_argnums=(0,)
+)
 
 
 @partial(

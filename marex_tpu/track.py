@@ -2280,7 +2280,10 @@ class tracker:
         if labels_final.dtype == jnp.int32:
             labels_dev = _march.map_to_global_donated(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
         else:
-            labels_dev = _march.map_to_global(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
+            # int16 stack: blockwise relabel (the monolithic gather's ~11 GB
+            # working set cannot stage next to the live pipeline buffers on
+            # a 16 GB chip; see ops/march.map_to_global_blocked)
+            labels_dev = _march.map_to_global_blocked(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
         del labels_final  # donated: the buffer now backs labels_dev
         self._count_dispatch("march_map")
         logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
