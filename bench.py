@@ -1355,14 +1355,22 @@ def _drive() -> None:
     ids = _requested_configs()
     ctx = None
     poisoned = False
+    # self-correcting budget gate: the tunnel's speed varies ~10x between
+    # sessions (measured round 5: first-op latency 0.1-160 s, link 1-16 MB/s),
+    # so static estimates alone would either starve configs on a fast day or
+    # blow the budget on a slow one. Scale the remaining estimates by the
+    # median measured/estimated ratio of the configs that already ran.
+    ratios: list = []
     for cid in ids:
         remaining = budget - (time.monotonic() - t0)
-        est = _CONFIG_EST_S.get(cid, 120)
+        scale = float(np.median(ratios)) if ratios else 1.0
+        est = _CONFIG_EST_S.get(cid, 120) * max(scale, 0.5)
         if remaining < est * 0.8:
             detail["configs"][f"skipped_{cid}"] = {
-                "skipped": f"budget: {remaining:.0f}s left < ~{est}s estimate"
+                "skipped": f"budget: {remaining:.0f}s left < ~{est:.0f}s estimate (pace x{scale:.2f})"
             }
             continue
+        t_cfg = time.monotonic()
 
         if cid == "q" or poisoned:
             extra = None
@@ -1421,6 +1429,7 @@ def _drive() -> None:
                 if not _entry_oom(retry):
                     cfgs = retry
         detail["configs"].update(cfgs)
+        ratios.append((time.monotonic() - t_cfg) / max(_CONFIG_EST_S.get(cid, 120), 1))
         detail["elapsed_s"] = round(time.monotonic() - t0, 1)
         _emit(detail)
     if "elapsed_s" not in detail:  # everything skipped: still print one line
