@@ -1100,7 +1100,7 @@ _CONFIG_ORDER = ["1", "4", "2", "5", "6", "3", "7", "8", "q"]
 # remaining budget are recorded as skipped instead of timing out the whole
 # benchmark. Calibrated from round-5 TPU runs with on-device generation;
 # config 1 carries the bulk of the shared compile cost.
-_CONFIG_EST_S = {"1": 260, "4": 420, "2": 180, "5": 240, "6": 90, "3": 60, "7": 130, "8": 200, "q": 300}
+_CONFIG_EST_S = {"1": 300, "4": 420, "2": 200, "5": 260, "6": 90, "3": 60, "7": 130, "8": 200, "q": 300}
 
 
 def _requested_configs():
@@ -1436,29 +1436,34 @@ def _drive() -> None:
         _emit(detail)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, ON by default (opt out with
+    MAREX_BENCH_COMPILE_CACHE=0). Round 4 measured cache-loaded executables
+    taking minutes on first execution and disabled it; round-5 remeasurement
+    (config 4 production: 270 s cold with a warm cache vs ~440-520 s without)
+    shows the r4 pathology was the then-degraded tunnel, not the cache — and
+    the cache directory persists across bench processes on the same host."""
+    if os.environ.get("MAREX_BENCH_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmark_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main() -> None:
     if os.environ.get("MAREX_BENCH_CHILD") != "1":
+        _enable_compile_cache()
         _drive()
         return
     # ---- isolated child worker (one config per process) ----
     platform_note = _tunnel_guard()
-    import jax
-
-    # The persistent compilation cache is DISABLED by default: on the axon
-    # TPU tunnel backend a cache-loaded executable's FIRST execution takes
-    # minutes (measured r4: 121-736 s for a trivially-compiled reduction at
-    # production shape, regardless of whether the entry was written by the
-    # same server session), so cache "hits" cost more than the ~460 s of
-    # fresh XLA compiles they replace. Opt back in with
-    # MAREX_BENCH_COMPILE_CACHE=1 on backends with a working cache.
-    if os.environ.get("MAREX_BENCH_COMPILE_CACHE") == "1":
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmark_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        except Exception:
-            pass
+    _enable_compile_cache()
 
     which = set(os.environ.get("MAREX_BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(","))
     ctx = _worker_context(which)

@@ -949,9 +949,13 @@ class tracker:
 
             _, down = measured_link_bandwidth()
             host_s = cells / 8 / (down * 1e6) + _K_HOST_CCL_S_PER_CELL * cells
-            if host_s >= _K_DEV_FIXPOINT_S_PER_CELL * cells:
+            # require a CLEAR modeled win before leaving the device: the
+            # probed rate is an instantaneous sample of a bursty shared
+            # tunnel (round 5: probe said ~16 MB/s minutes before a 142 MB
+            # download sustained 3.5), and a wrong host pick costs 2-3x
+            if host_s >= 0.7 * _K_DEV_FIXPOINT_S_PER_CELL * cells:
                 logger.info(
-                    f"Host CCL skipped: modeled host wall {host_s:.1f}s >= device "
+                    f"Host CCL skipped: modeled host wall {host_s:.1f}s not clearly under device "
                     f"fixpoint {_K_DEV_FIXPOINT_S_PER_CELL * cells:.1f}s at {down:.1f} MB/s down"
                 )
                 return False
@@ -2162,6 +2166,8 @@ class tracker:
             # boolean fields) exhausted the chip in round 5's config-4 run
             acc = None
             boundary = None  # previous block's FINAL output slice
+            gmap_boundary = None  # previous block's FINAL gmap row (device)
+            block_meta: List[Tuple[int, int, dict]] = []
             labels_final = None
             resume = None
             out = None
@@ -2173,14 +2179,20 @@ class tracker:
                 if s0 == 0:
                     # full-range slice would dispatch a full-field copy
                     labels_ext = labels3 if s1 == T else labels3[ext0:s1]
+                    gmap_in = jnp.asarray(gmap_host[ext0:s1])
                 else:
                     # the boundary slice must be its FINAL pixels (partition
-                    # pieces included), i.e. the previous block's last output
+                    # pieces included) and its FINAL gmap row, i.e. the
+                    # previous block's last outputs — carried ON DEVICE (the
+                    # per-block host round trips they replaced cost ~2-4 s
+                    # EACH over a degraded tunnel, ~half the march wall at
+                    # production's 18 blocks)
                     labels_ext = jnp.concatenate([boundary, labels3[s0:s1]])
+                    gmap_in = jnp.concatenate([gmap_boundary, jnp.asarray(gmap_host[s0:s1])])
                 out = _march.scan_march(
                     labels_ext,
                     jnp.asarray(counts_i[ext0:s1]),
-                    jnp.asarray(gmap_host[ext0:s1]),
+                    gmap_in,
                     resume["comps"] if resume is not None else jnp.asarray(comps0),
                     resume["alive"] if resume is not None else jnp.asarray(alive0),
                     resume["next_new"] if resume is not None else jnp.int32(total + 1),
@@ -2194,15 +2206,9 @@ class tracker:
                     t0=ext0,
                 )
                 self._count_dispatch("march_scan")
-                flags = int(out["flags"])
-                if flags:
-                    break
-                gmap_host[ext0:s1] = np.asarray(out["gmap"])
-                pga_h[ext0:s1] = np.asarray(out["pga"])
-                pgb_h[ext0:s1] = np.asarray(out["pgb"])
-                pgw_h[ext0:s1] = np.asarray(out["pgw"])
                 blk = out.pop("labels")
                 boundary = blk[-1:]
+                gmap_boundary = out["gmap"][-1:]
                 if s0 == 0 and s1 == T:
                     labels_final = blk  # monolithic run: the output IS the result
                 else:
@@ -2211,6 +2217,7 @@ class tracker:
                     acc = _march.write_time_block_donated(acc, blk if s0 == 0 else blk[1:], s0)
                     labels_final = acc
                 del blk
+                block_meta.append((ext0, s1, out))
                 resume = dict(
                     pga=out["pga"][-1:], pgb=out["pgb"][-1:], pgw=out["pgw"][-1:],
                     comps=out["comps"], alive=out["alive"], next_new=out["next_new"],
@@ -2221,6 +2228,18 @@ class tracker:
                     missing=out["missing"], perr=out["perr"],
                 )
                 s0 = s1
+            # ONE flags sync for the whole march (they accumulate through the
+            # resume carry); overlapped boundary rows are written in block
+            # order so the later block's renamed version wins, exactly like
+            # the per-block host writes this replaced
+            flags = int(out["flags"]) if out is not None else 0
+            if flags == 0:
+                for ext0b, s1b, ob in block_meta:
+                    gmap_host[ext0b:s1b] = np.asarray(ob["gmap"])
+                    pga_h[ext0b:s1b] = np.asarray(ob["pga"])
+                    pgb_h[ext0b:s1b] = np.asarray(ob["pgb"])
+                    pgw_h[ext0b:s1b] = np.asarray(ob["pgw"])
+            block_meta.clear()
             if flags & _march.FLAG_P:
                 perr = np.asarray(out["perr"])
                 raise TrackingError(
