@@ -1399,6 +1399,24 @@ def _drive() -> None:
             before = set(ctx["detail"]["configs"])
             _run_config(cid, ctx)
             cfgs = {k: v for k, v in ctx["detail"]["configs"].items() if k not in before}
+            # configs never share device arrays, so drop EVERY live buffer
+            # between configs: round 5 measured config 2 OOMing in-process
+            # right after config 4 succeeded (residual buffers + a shared
+            # pool), which cascaded into child-process fallbacks that starved
+            # the remaining configs
+            try:
+                import gc as _gc
+
+                import jax as _jax
+
+                _gc.collect()
+                for arr in _jax.live_arrays():
+                    try:
+                        arr.delete()
+                    except Exception:
+                        pass
+            except Exception:
+                pass
             if _entry_oom(cfgs):
                 poisoned = True  # device pool is unreliable from here on
 
