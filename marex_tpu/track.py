@@ -2492,7 +2492,9 @@ class tracker:
         n_events = int(comp.max()) + 1 if len(comp) else 0
         logger.info(f"Identified {n_events} connected components (events)")
 
-        max_id = int(max(int(jnp.max(labels_dev)), all_ids.max() if len(all_ids) else 0))
+        with self._stage_ctx("rename/max") as _sx:
+            max_id = int(max(int(jnp.max(labels_dev)), all_ids.max() if len(all_ids) else 0))
+            del _sx
         lookup = np.zeros(max_id + 2, dtype=np.int32)
         lookup[all_ids] = comp.astype(np.int32) + 1
         lookup_dev = jnp.asarray(lookup)
@@ -2505,8 +2507,12 @@ class tracker:
         # remap with the old-id buffer DONATED: holding old and new full-size
         # fields concurrently (2 x 4.5 GB at production shape) exhausted the
         # chip in round 5's config-4 run.
-        global_id = _props.event_global_id_lookup(labels_dev, lookup_dev, N)
-        new_field = _label.remap_labels_donated(lookup_dev, labels_dev)
+        with self._stage_ctx("rename/gid") as _sx:
+            global_id = _props.event_global_id_lookup(labels_dev, lookup_dev, N)
+            _sx.append(global_id)
+        with self._stage_ctx("rename/remap") as _sx:
+            new_field = _label.remap_labels_donated(lookup_dev, labels_dev)
+            _sx.append(new_field)
         del labels_dev  # donated: the buffer now backs new_field
 
         presence = global_id > 0
@@ -2518,7 +2524,9 @@ class tracker:
         time_end = time_vals[last_idx]
 
         # per-time area & centroid recompute for (possibly disjoint) events
-        areas, clat, clon = self._event_stats(new_field, N)
+        with self._stage_ctx("rename/stats") as _sx:
+            areas, clat, clon = self._event_stats(new_field, N)
+            del _sx
 
         # merge ledger (time, ID, sibling_ID). Default 'reference' mode
         # replicates the reference's scheme exactly (track.py:3040-3106:
