@@ -125,6 +125,22 @@ def event_global_id_lookup(old_flat: jax.Array, lookup: jax.Array, n_events: int
     T = old_flat.shape[0]
     tb = min(time_block, T)
 
+    if n_events <= 64:
+        # unrolled compare+max: a TPU scatter-max over (tb, S) costs ~20 s
+        # at production shape (measured round 5), while n_events fused
+        # compare+reduce passes cost ~10 ms each — the same trade as
+        # label.select_labels
+        def blk(ofb):
+            ofb = ofb.reshape(ofb.shape[0], -1)
+            nfb = jnp.take(lookup, ofb)
+            cols = [jnp.zeros((ofb.shape[0],), jnp.int32)]
+            for e in range(1, n_events + 1):
+                cols.append(jnp.max(jnp.where(nfb == e, ofb, 0), axis=1))
+            return jnp.stack(cols, axis=1)
+
+        out = _map_row_blocks(blk, (old_flat,), T, tb)
+        return out
+
     def blk(ofb):
         ofb = ofb.reshape(ofb.shape[0], -1)
         nfb = jnp.take(lookup, ofb)

@@ -2067,7 +2067,8 @@ class tracker:
             comps_loc = np.zeros((T, Lmax + 1, 6), np.float32)
             comps_loc[..., :4] = comps4
         else:
-            comps_loc = np.asarray(_props.grid_label_comps(labels_local, Lmax))  # (T, Lmax+1, 6)
+            with self._stage_ctx("march/comps"):
+                comps_loc = np.asarray(_props.grid_label_comps(labels_local, Lmax))  # (T, Lmax+1, 6)
         self._count_dispatch("march_comps")
 
         # the unstructured BFS bound sizes no static array (the early-exit
@@ -2173,6 +2174,8 @@ class tracker:
             out = None
             flags = 0
             s0 = 0
+            _blk_ctx = self._stage_ctx("march/blocks")
+            _blk_ctx.__enter__()
             while s0 < T:
                 s1 = min(s0 + block_T, T)
                 ext0 = s0 if s0 == 0 else s0 - 1
@@ -2233,6 +2236,7 @@ class tracker:
             # order so the later block's renamed version wins, exactly like
             # the per-block host writes this replaced
             flags = int(out["flags"]) if out is not None else 0
+            _blk_ctx.__exit__(None, None, None)
             if flags == 0:
                 for ext0b, s1b, ob in block_meta:
                     gmap_host[ext0b:s1b] = np.asarray(ob["gmap"])
@@ -2288,14 +2292,17 @@ class tracker:
         del labels3
 
         # ---- host epilogue -------------------------------------------------
-        table, overlap_list, merge_events = self._march_epilogue(
-            gmap_host, pga_h, pgb_h, pgw_h, out, T, W, unstr, wrap
-        )
+        with self._stage_ctx("march/epilogue"):
+            table, overlap_list, merge_events = self._march_epilogue(
+                gmap_host, pga_h, pgb_h, pgw_h, out, T, W, unstr, wrap
+            )
 
         del acc, boundary  # labels_final is the only remaining reference
         # donation only aliases like-for-like dtypes; the int16 stack (half
         # the output's size) can't back the int32 result, so skip the donate
         # wrapper there to avoid the unused-donation warning
+        _map_ctx = self._stage_ctx("march/map")
+        _map_ctx.__enter__()
         if labels_final.dtype == jnp.int32:
             labels_dev = _march.map_to_global_donated(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
         else:
@@ -2304,6 +2311,9 @@ class tracker:
             # a 16 GB chip; see ops/march.map_to_global_blocked)
             labels_dev = _march.map_to_global_blocked(labels_final, jnp.asarray(gmap_host)).reshape(out_shape)
         del labels_final  # donated: the buffer now backs labels_dev
+        if os.environ.get("MAREX_STAGE_TIMING", "") == "1":
+            jax.block_until_ready(labels_dev)
+        _map_ctx.__exit__(None, None, None)
         self._count_dispatch("march_map")
         logger.info(f"Finished assigning {total} globally unique object IDs (scan march)")
         return labels_dev, table, overlap_list, merge_events
