@@ -7,6 +7,15 @@ code paths execute real collectives without TPU hardware.
 """
 
 import os
+import tempfile
+
+# The scan-march capacity cache persists to disk (track._scan_cache_path) so
+# production runs skip the retry ladder; tests must NOT share that file —
+# the forced-overflow ladder tests would poison it (and a poisoned file
+# pre-grows capacities, breaking the ladder tests themselves next session).
+os.environ.setdefault(
+    "MAREX_SCAN_CACHE", os.path.join(tempfile.mkdtemp(prefix="marex_test_scancache_"), "scan_sizes.json")
+)
 
 # Must be configured before the jax backend is initialised anywhere.
 os.environ["JAX_PLATFORMS"] = "cpu"

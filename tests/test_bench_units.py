@@ -116,10 +116,11 @@ class TestEmitPreference:
         assert "merging" in out["metric"]
 
     def test_fallback_to_config1(self, capsys):
-        detail = {"configs": {"1_fixed_global_production": {"gpd_per_s": 123.0}}}
+        gpd = 2.0e6
+        detail = {"configs": {"1_fixed_global_production": {"gpd_per_s": gpd}}}
         out = self._capture(detail, capsys)
-        assert out["value"] == 123.0
-        assert out["vs_baseline"] == pytest.approx(123.0 / bench.BASELINE_THROUGHPUT, rel=1e-3)
+        assert out["value"] == gpd
+        assert out["vs_baseline"] == pytest.approx(gpd / bench.BASELINE_THROUGHPUT, abs=2e-3)
 
     def test_error_emission_when_nothing_ran(self, capsys):
         detail = {"configs": {"1_fixed_global_production": {"error": "KaboomError: x"}}}
